@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines, each designed so the
+  * expensive step is a key-partitioned shuffle (never a cartesian product):
+  *
+  *  - exact:    hash-groupBy on a content fingerprint (one shuffle on the
+  *              fingerprint — at 100 TB this is the minimum possible work).
+  *  - minhash:  shingles -> K independent min-hashes -> B bands; candidate
+  *              pairs join only within (band, signature) buckets, so the
+  *              join fan-out is bounded by bucket occupancy, not n^2.
+  *  - simhash:  64-bit weighted sign fingerprint; near-dups differ in few
+  *              bits, candidates join on rotated prefix blocks.
+  *
+  * All hashing uses xxhash64 with integer seeds — deterministic across runs,
+  * partitions, and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+           count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: for each of `k` hash seeds, the minimum xxhash64
+    * over the document's distinct shingles. Returns array<bigint> of length k. */
+  def minhashSignature(text: Column, k: Int, shingle: Int = 3): Column = {
+    val shingles = TextFunctions.distinctShingles(text, shingle)
+    // array of k min-hashes; each is a fold over the shingle array
+    val mins = (0 until k).map { seed =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, sh) => least(acc, xxhash64(lit(seed), sh)))
+    }
+    array(mins: _*)
+  }
+
+  /** MinHash + LSH banding: emits candidate near-duplicate pairs (a < b).
+    *
+    * @param bands  number of LSH bands; each band hashes `k/bands` signature
+    *               slots into one bucket key. Pairs agreeing on any band are
+    *               candidates. P(candidate) = 1-(1-j^r)^b for Jaccard j.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 16,
+      bands: Int = 4,
+      shingle: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, shingle).as("sig"))
+    // one row per (band, bucket): bucket = hash of the band's signature slice
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    // self-join within (band, bucket); dedupe pairs that collide in >1 band
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs refined with exact shingle-Jaccard, keeping pairs at or
+    * above `threshold`. The Jaccard join touches only LSH candidates. */
+  def minhashNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 16,
+      bands: Int = 4,
+      shingle: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
+    val sh = docs.select(col(idCol).as("sid"),
+      TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
+    * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)). */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val bitSums = (0 until 64).map { bit =>
+      aggregate(toks, lit(0L),
+        (acc, tk) => acc + when(
+          (shiftright(xxhash64(tk), bit).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L))
+    }
+    (0 until 64).map { bit =>
+      when(bitSums(bit) > 0L, lit(if (bit == 63) Long.MinValue else 1L << bit))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup candidates by SimHash block match: split the 64-bit fingerprint
+    * into `blocks` equal bit-blocks; docs agreeing on any block are candidates
+    * (Hamming distance < blocks guarantees at least one exact block match). */
+  def simhashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      blocks: Int = 4): DataFrame = {
+    val width = 64 / blocks
+    val withSim = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"), posexplode(
+      array((0 until blocks).map { b =>
+        shiftrightunsigned(col("sim"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("block", "key")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .drop("sim_a", "sim_b")
+  }
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch analogues of the reference's streaming operators, on the `events`
+  * fixture (event_id ~ sequence number, user_id ~ stream_id, ts ~ event time,
+  * value ~ chunk duration). Each pins the exact reference semantics:
+  *
+  *  - q21: per-key sequence-gap detection (spark_streaming.py:378-385) — a
+  *    gap fires only on forward jumps `seq > last+1`, size `seq-last-1`.
+  *  - q22: rolling last-N window per key (spark_streaming.py:431-432).
+  *  - q23: event-time tumbling window aggregation (generalized T6).
+  *  - q24: sessionization by inactivity gap (generalized T6).
+  *  - q25: JSON field extraction (the reference decodes JSON per row,
+  *    spark_streaming.py:513,536 — here via get_json_object, not a UDF).
+  *  - q26: per-key conditional rates (metrics surface A5/A7 generalized).
+  *  - q27: the full HLS DVR manifest build (spark_streaming.py:427-449):
+  *    header + TARGETDURATION=int(max)+1 + MEDIA-SEQUENCE=max(0,idx-N+1) +
+  *    one EXTINF line per windowed segment, as a single declarative query.
+  *
+  * The streaming (stateful, incremental) forms of q21/q22/q27 live in
+  * graft.streaming; these batch forms are the oracle-checkable semantics.
+  */
+object Events extends QueryModule {
+
+  private val N = 10 // DVR_WINDOW_SIZE default (.env.example:75)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q21
+    QueryDef("q21_gap_detection",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        t(s, dir, "events")
+          .withColumn("prev_id", lag($"event_id", 1).over(w))
+          .filter($"prev_id".isNotNull && $"event_id" > $"prev_id" + 1)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("gap_events"),
+               sum($"event_id" - $"prev_id" - 1).as("missing_seqs"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, count(*) AS gap_events,
+        CAST(sum(event_id - prev_id - 1) AS BIGINT) AS missing_seqs
+        FROM (SELECT user_id, event_id,
+                lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+              FROM events)
+        WHERE prev_id IS NOT NULL AND event_id > prev_id + 1
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q22
+    QueryDef("q22_last_n_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= N)
+          .select($"user_id", $"rn", $"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"user_id", $"rn")
+      },
+      Some(s"""SELECT user_id, CAST(rn AS INTEGER) AS rn, event_id,
+        CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn <= $N ORDER BY user_id, rn""")),
+
+    // ---------------------------------------------------------------- q23
+    QueryDef("q23_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum($"value".cast("decimal(30,6)")).cast("decimal(38,6)").as("total_value"))
+          .orderBy($"day", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ---------------------------------------------------------------- q24
+    // Sessions split on >30 min inactivity; session id = running count of
+    // session starts in (ts, event_id) order. Microsecond arithmetic on both
+    // sides (events ts is truncated ns -> us in Tables).
+    QueryDef("q24_sessionization",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_ts".isNull ||
+                 unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min($"event_id").as("first_event"),
+               max($"event_id").as("last_event"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP))
+                      > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        sessions AS (
+          SELECT user_id, event_id,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+          min(event_id) AS first_event, max(event_id) AS last_event
+        FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---------------------------------------------------------------- q25
+    QueryDef("q25_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+          .filter($"k" > 50)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+        WHERE CAST(props->>'k' AS BIGINT) > 50 ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- q26
+    QueryDef("q26_conditional_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(count(when($"event_type" === "click", 1)).as("clicks"),
+               count(when($"event_type" === "view", 1)).as("views"),
+               count(when($"event_type" === "purchase", 1)).as("purchases"),
+               count(when($"event_type" === "error", 1)).as("errors"),
+               sum(when($"event_type" === "purchase", $"value").otherwise(0.0)
+                 .cast("decimal(30,6)")).cast("decimal(38,6)").as("purchase_value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+        CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+          AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS purchase_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q27
+    QueryDef("q27_dvr_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= N)
+          .groupBy($"user_id")
+          .agg(max($"value").as("maxd"),
+               max($"event_id").as("maxidx"),
+               array_sort(collect_list(struct($"event_id".as("i"), $"value".as("d"))))
+                 .as("segs"))
+          .select($"user_id", concat(
+              lit("#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:"),
+              (floor($"maxd").cast("long") + 1).cast("string"),
+              lit("\n#EXT-X-PLAYLIST-TYPE:EVENT\n#EXT-X-MEDIA-SEQUENCE:"),
+              greatest(lit(0L), $"maxidx" - (N - 1)).cast("string"),
+              lit("\n"),
+              array_join(transform($"segs", x =>
+                format_string("#EXTINF:%.3f,\nuser-%d/chunks/%d.ts\n",
+                  x("d"), $"user_id", x("i"))), "")
+            ).as("manifest"))
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH lastn AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events)
+        SELECT user_id,
+          '#EXTM3U' || e'\\n' || '#EXT-X-VERSION:3' || e'\\n' ||
+          '#EXT-X-TARGETDURATION:' || CAST(CAST(floor(max(value)) AS BIGINT) + 1 AS VARCHAR) || e'\\n' ||
+          '#EXT-X-PLAYLIST-TYPE:EVENT' || e'\\n' ||
+          '#EXT-X-MEDIA-SEQUENCE:' || CAST(greatest(0, max(event_id) - ${N - 1}) AS VARCHAR) || e'\\n' ||
+          string_agg(printf('#EXTINF:%.3f,', value) || e'\\n' ||
+                     printf('user-%d/chunks/%d.ts', user_id, event_id) || e'\\n',
+                     '' ORDER BY event_id) AS manifest
+        FROM lastn WHERE rn <= $N GROUP BY user_id ORDER BY user_id""")))
+}

@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational core: scans, projections, filters, every join shape,
+  * aggregation, window functions, set ops, scalar functions, subqueries.
+  *
+  * The reference pipeline itself has no relational surface beyond a Kafka
+  * scan + projection (SURVEY.md §2.3 — "no joins"); this module is the
+  * generalized query surface mandated by BASELINE.json's north star, built
+  * purely from declarative `org.apache.spark.sql` primitives so Catalyst
+  * owns pushdown, join strategy (broadcast vs shuffle), and codegen.
+  *
+  * Money aggregates run in exact decimal: the per-row double product of
+  * 2-dp inputs is mathematically a 4-dp value, so double->decimal(30,6)
+  * rounds to the identical decimal in Spark and DuckDB, and decimal sums
+  * are exact in both engines — bit-identical results at any parallelism.
+  */
+object Relational extends QueryModule {
+
+  /** disc_price term used by several queries: exact decimal of a 4-dp value. */
+  private def discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast("decimal(30,6)")
+  private val discPriceSql = "CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // TPC-H Q1 shape: scan -> filter -> hash aggregate. Partial (map-side)
+    // aggregation makes this shuffle only |groups| rows per partition.
+    QueryDef("q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity".cast("decimal(30,6)")).cast("decimal(38,6)").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("sum_base_price"),
+            sum(discPrice).cast("decimal(38,6)").as("sum_disc_price"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS sum_disc_price,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- q02
+    // Selective filter + narrow projection: both must reach the parquet scan
+    // (PushedFilters + 4-column ReadSchema).
+    QueryDef("q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" > 49 && $"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 49 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- q03
+    // TPC-H Q3 shape: 3-way join, aggregate, deterministic top-10.
+    // customer is small relative to lineitem -> Catalyst broadcasts it.
+    QueryDef("q03_topn_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .filter($"o_orderdate" < to_timestamp(lit("1998-01-01")) &&
+                  $"l_shipdate" > to_timestamp(lit("1998-01-01")))
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum(discPrice).cast("decimal(38,6)").as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q04
+    // 5-way join (flagship): the two large tables shuffle-join on orderkey;
+    // customer/nation/region are broadcast. Revenue per region/nation.
+    QueryDef("q04_revenue_by_nation",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+          .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(discPrice).cast("decimal(38,6)").as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+        CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS revenue, count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---------------------------------------------------------------- q05
+    // Left outer join preserving customers with zero orders.
+    QueryDef("q05_left_join_spend",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(count($"o_orderkey").as("order_cnt"),
+               coalesce(sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)"),
+                        lit(0).cast("decimal(38,6)")).as("spend"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)),
+                 CAST(0 AS DECIMAL(38,6))) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q06
+    // Left-semi join = EXISTS.
+    QueryDef("q06_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter($"o_totalprice" > 400000.0),
+                $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q07
+    // Left-anti join = NOT EXISTS.
+    QueryDef("q07_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q08
+    // Full outer join of two aggregates (25 nations, only 10 have suppliers).
+    QueryDef("q08_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val cc = t(s, dir, "customer").groupBy($"c_nationkey".as("nk_c"))
+          .agg(count(lit(1)).as("customers"))
+        val sc = t(s, dir, "supplier").groupBy($"s_nationkey".as("nk_s"))
+          .agg(count(lit(1)).as("suppliers"))
+        cc.join(sc, $"nk_c" === $"nk_s", "full_outer")
+          .select(coalesce($"nk_c", $"nk_s").as("nationkey"),
+                  coalesce($"customers", lit(0L)).as("customers"),
+                  coalesce($"suppliers", lit(0L)).as("suppliers"))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT coalesce(cc.nk, sc.nk) AS nationkey,
+        coalesce(cc.customers, 0) AS customers, coalesce(sc.suppliers, 0) AS suppliers
+        FROM (SELECT c_nationkey AS nk, count(*) AS customers FROM customer GROUP BY 1) cc
+        FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS suppliers FROM supplier GROUP BY 1) sc
+        ON cc.nk = sc.nk ORDER BY nationkey""")),
+
+    // ---------------------------------------------------------------- q09
+    // Non-equi (theta) join: equi key + range predicate.
+    QueryDef("q09_theta_join",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "supplier")
+          .join(t(s, dir, "customer"),
+                $"s_nationkey" === $"c_nationkey" && $"c_acctbal" > $"s_acctbal")
+          .groupBy($"s_suppkey", $"s_name")
+          .agg(count(lit(1)).as("richer_customers"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, count(*) AS richer_customers
+        FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        GROUP BY s_suppkey, s_name ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- q10
+    // Window top-k per key (reference W1 "latest chunk per stream",
+    // generalized): rank on raw stored doubles — no arithmetic, so ordering
+    // is exact in both engines; ties broken by key.
+    QueryDef("q10_window_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---------------------------------------------------------------- q11
+    // Running aggregate + lag (reference A2's "window over arrival order",
+    // generalized). Frame-ordered sequential sum -> decimal keeps it exact.
+    QueryDef("q11_window_running",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey",
+            sum($"o_totalprice".cast("decimal(30,6)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("decimal(38,6)").as("running_spend"),
+            lag($"o_orderkey", 1).over(w).as("prev_orderkey"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+          AS running_spend,
+        lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q12
+    // ROLLUP grouping sets; null group keys coalesced to a sentinel so row
+    // identity is total-order-able in both engines.
+    QueryDef("q12_rollup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("total"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+                  coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+                  $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---------------------------------------------------------------- q13
+    // Exact distinct aggregation (expands to two-phase aggregate).
+    QueryDef("q13_distinct_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("distinct_orders"),
+               countDistinct($"l_partkey").as("distinct_parts"),
+               count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_orders,
+        count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q14
+    // UNION (distinct).
+    QueryDef("q14_union",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_custkey".as("custkey"))
+        val p = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+          .select($"o_custkey".as("custkey"))
+        f.union(p).distinct().orderBy($"custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY custkey""")),
+
+    // ---------------------------------------------------------------- q15
+    // INTERSECT.
+    QueryDef("q15_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_custkey".as("custkey"))
+        val o = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+          .select($"o_custkey".as("custkey"))
+        f.intersect(o).orderBy($"custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY custkey""")),
+
+    // ---------------------------------------------------------------- q16
+    // EXCEPT.
+    QueryDef("q16_except",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_custkey".as("custkey"))
+        val o = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+          .select($"o_custkey".as("custkey"))
+        f.except(o).orderBy($"custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY custkey""")),
+
+    // ---------------------------------------------------------------- q17
+    // Scalar string functions (reference F1/F2/F8-F10 generalized).
+    QueryDef("q17_string_fns",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .select($"c_custkey",
+            upper($"c_name").as("name_upper"),
+            length($"c_name").as("name_len"),
+            substring($"c_name", 1, 8).as("name_pfx"),
+            concat_ws("/", $"c_mktsegment", $"c_name").as("seg_path"),
+            md5($"c_name").as("name_md5"),
+            regexp_replace($"c_name", "[0-9]+", "#").as("name_norm"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, upper(c_name) AS name_upper,
+        CAST(length(c_name) AS INTEGER) AS name_len,
+        substring(c_name, 1, 8) AS name_pfx,
+        concat_ws('/', c_mktsegment, c_name) AS seg_path,
+        md5(c_name) AS name_md5,
+        regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_norm
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q18
+    // Date/time functions (reference F3-F5 generalized).
+    QueryDef("q18_datetime_fns",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_orderkey",
+            year($"o_orderdate").as("yr"),
+            quarter($"o_orderdate").as("qtr"),
+            month($"o_orderdate").as("mo"),
+            date_format($"o_orderdate", "yyyy-MM").as("ym"),
+            expr("timestampadd(DAY, 30, o_orderdate)").as("due_ts"),
+            expr("timestampdiff(DAY, o_orderdate, TIMESTAMP '2002-01-01')").as("age_days"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        strftime(o_orderdate, '%Y-%m') AS ym,
+        o_orderdate + INTERVAL 30 DAY AS due_ts,
+        datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS age_days
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q19
+    // CASE WHEN bucketing + conditional aggregation (reference A8's status
+    // machine generalized to value-dependent routing).
+    QueryDef("q19_case_buckets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_totalprice",
+            when($"o_totalprice" > 300000.0, "high")
+              .when($"o_totalprice" > 100000.0, "mid")
+              .otherwise("low").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("total"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                         WHEN o_totalprice > 100000.0 THEN 'mid'
+                         ELSE 'low' END AS bucket,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS total
+        FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- q20
+    // Scalar subquery / HAVING over an aggregate-of-aggregate: customers
+    // whose spend exceeds 1.5x the mean per-customer spend.
+    QueryDef("q20_having_subquery",
+      (s, dir) => {
+        import s.implicits._
+        val spend = t(s, dir, "orders").groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("spend"))
+        val avgSpend = spend.agg(avg($"spend").cast("decimal(38,6)").as("threshold_base"))
+        spend.crossJoin(avgSpend)
+          .filter($"spend" > $"threshold_base" * 1.5)
+          .select($"o_custkey", $"spend")
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS spend
+        FROM orders GROUP BY o_custkey
+        HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) >
+          (SELECT CAST(avg(spend) AS DECIMAL(38,6)) FROM (
+             SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS spend
+             FROM orders GROUP BY o_custkey)) * 1.5
+        ORDER BY o_custkey""")))
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Text-analysis + dedup surface over the `documents` fixture (the
+  * training-data-pipeline operators from BASELINE.json's north star).
+  * Heuristics are closed formulas replicated verbatim in the DuckDB oracle;
+  * hashing-based ops (MinHash/SimHash) use xxhash64 and are rows-only
+  * checked (no equivalent hash in DuckDB), with semantic tests in ScalaTest.
+  */
+object Text extends QueryModule {
+
+  // DuckDB fragments mirroring TextFunctions
+  private val wsSql = """string_split_regex(trim(text), '\s+')"""
+  private val shinglesSql =
+    s"""CASE WHEN len($wsSql) < 3 THEN CAST([] AS VARCHAR[])
+        ELSE list_distinct(list_transform(range(1, len($wsSql) - 1),
+          i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2])) END"""
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q30
+    QueryDef("q30_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            TextFunctions.tokenCount($"text").as("n_tokens"),
+            TextFunctions.bpeishTokenCount($"text").as("n_bpeish"),
+            length($"text").as("n_chars_calc"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        CAST(len($wsSql) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+        CAST(length(text) AS INTEGER) AS n_chars_calc
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q31
+    QueryDef("q31_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        round(least(len($wsSql) / 100.0, 1.0) * 0.4
+          + (CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END) * 0.4
+          + (1.0 - CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END) * 0.2, 4) AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q32
+    QueryDef("q32_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang", TextFunctions.langId($"text").as("lang_pred"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val scoreSql = TextFunctions.langMarkers.map { case (lang, ws) =>
+          val sum = ws.map(w =>
+            s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+          s"($sum) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextFunctions.langMarkers.map(_._1)
+        val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseExpr = langs.map(l =>
+          s"WHEN s_$l > 0 AND s_$l = $maxExpr THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, lang,
+            CASE $caseExpr ELSE 'unknown' END AS lang_pred
+            FROM (SELECT doc_id, lang, text, $scoreSql FROM documents)
+            ORDER BY doc_id"""
+      }),
+
+    // ---------------------------------------------------------------- q33
+    QueryDef("q33_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q34
+    // Exact dedup: one shuffle on the content fingerprint.
+    QueryDef("q34_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exact(t(s, dir, "documents")).orderBy($"content_hash")
+      },
+      Some("""SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS content_hash,
+        min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY content_hash""")),
+
+    // ---------------------------------------------------------------- q35
+    QueryDef("q35_shingle_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(TextFunctions.distinctShingles($"text", 3)).as("n_shingles"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(len($shinglesSql) AS INTEGER) AS n_shingles
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q36
+    // Exact n-gram Jaccard on adjacent doc-id pairs (linear, oracle-able);
+    // the LSH-candidate version is q37/tested in DedupSpec.
+    QueryDef("q36_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sh = t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.distinctShingles($"text", 3).as("sh"))
+        sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            round(TextFunctions.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+          .orderBy($"id_a")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CASE WHEN (len(a.s) + len(b.s))
+                  - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+            THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                 / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x))))
+            ELSE 0.0 END, 6) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a""")),
+
+    // ---------------------------------------------------------------- q37
+    // MinHash signatures (xxhash64-based — no DuckDB equivalent: rows-only).
+    QueryDef("q37_minhash_signature",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", Dedup.minhashSignature($"text", k = 16).as("sig"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // ---------------------------------------------------------------- q38
+    // SimHash fingerprints (rows-only; near-dup banding tested in DedupSpec).
+    QueryDef("q38_simhash",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", Dedup.simhash($"text").as("simhash"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // ---------------------------------------------------------------- q39
+    // Multimodal plumbing: opaque binary content column + typed metadata,
+    // byte-level feature extraction (magic bytes, content hash, sampled
+    // "frame" digest). Documents' text doubles as the blob (ASCII fixture,
+    // so byte offsets == char offsets and the oracle can mirror it).
+    QueryDef("q39_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val bin = $"text".cast("binary")
+        t(s, dir, "documents")
+          .select($"doc_id",
+            length(bin).as("n_bytes"),
+            md5(bin).as("content_md5"),
+            lower(hex(substring(bin, 1, 8))).as("magic_hex"),
+            md5(substring(bin, 1, 256)).as("frame0_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        md5(text) AS content_md5,
+        lower(hex(encode(substring(text, 1, 8)))) AS magic_hex,
+        md5(substring(text, 1, 256)) AS frame0_md5
+        FROM documents ORDER BY doc_id""")))
+}
