@@ -156,17 +156,20 @@ object Relational extends QueryModule {
         ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- q07
-    // Left-anti join = NOT EXISTS.
+    // Left-anti join = NOT EXISTS. Filter on the right side (no finalized
+    // orders) keeps the result non-empty at every fixture SF.
     QueryDef("q07_anti_join",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .join(t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+                $"c_custkey" === $"o_custkey", "left_anti")
           .select($"c_custkey", $"c_name")
           .orderBy($"c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- q08

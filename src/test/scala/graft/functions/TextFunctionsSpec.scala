@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("tokenCount: whitespace runs, trimmed boundaries") {
+    assert(one[Long](TextFunctions.tokenCount($"t"), "  a  b\tc\nd ") == 4L)
+    assert(one[Long](TextFunctions.tokenCount($"t"), "one") == 1L)
+  }
+
+  test("bpeish token count splits letter/digit/punct runs") {
+    // "abc123!?x" -> [abc][123][!][?][x]
+    assert(one[Long](TextFunctions.bpeishTokenCount($"t"), "abc123!?x") == 5L)
+  }
+
+  test("fingerprint invariant under case and punctuation noise") {
+    val a = one[String](TextFunctions.fingerprint($"t"), "Hello, World! 42")
+    val b = one[String](TextFunctions.fingerprint($"t"), "hello world42")
+    assert(a == b)
+    val c = one[String](TextFunctions.fingerprint($"t"), "hello world43")
+    assert(a != c)
+  }
+
+  test("wordShingles in order; distinctShingles dedupes; short docs empty") {
+    val sh = one[collection.Seq[String]](TextFunctions.wordShingles($"t", 3), "a b c d")
+    assert(sh == Seq("a b c", "b c d"))
+    val dup = one[collection.Seq[String]](TextFunctions.distinctShingles($"t", 2), "x y x y x y")
+    assert(dup.sorted == Seq("x y", "y x"))
+    assert(one[collection.Seq[String]](TextFunctions.wordShingles($"t", 3), "a b").isEmpty)
+  }
+
+  test("jaccard of shingle sets") {
+    val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.distinctShingles($"x", 2),
+      TextFunctions.distinctShingles($"y", 2)).as("j")).collect().head.getDouble(0)
+    // shingles x: {a b, b c, c d}, y: {b c, c d, d e} -> 2/4
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("langId picks marker-majority language, unknown when no hit") {
+    assert(one[String](TextFunctions.langId($"t"), "the cat and the dog of it") == "en")
+    assert(one[String](TextFunctions.langId($"t"), "der hund und das haus") == "de")
+    assert(one[String](TextFunctions.langId($"t"), "zzz qqq") == "unknown")
+  }
+
+  test("qualityScore bounded [0,1]; penalizes digit-heavy text") {
+    val hi = one[Double](TextFunctions.qualityScore($"t"), ("word " * 120).trim)
+    val lo = one[Double](TextFunctions.qualityScore($"t"), "123 456 789 000 111")
+    assert(hi > lo && hi <= 1.0 && lo >= 0.0)
+  }
+}

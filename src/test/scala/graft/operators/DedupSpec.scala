@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+  private val nearDup = base.replace("lazy", "sleepy") // one token differs
+  private val different = "completely unrelated content about distributed sql engines " * 5
+
+  private def docs = Seq(
+    (1L, base), (2L, base.toUpperCase), // exact dups modulo case
+    (3L, nearDup), (4L, different)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/punct-identical docs, keeps min id canonical") {
+    val rows = Dedup.exact(docs).collect()
+    assert(rows.length == 3)
+    val grp = rows.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(grp.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash signature: identical docs identical, near-dups mostly agree") {
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", k = 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]]("sig")).toMap
+    assert(sigs(1L) == sigs(1L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > 16, s"near-dup agreement $agree13/32 should be high")
+    assert(agree14 < 8, s"unrelated agreement $agree14/32 should be low")
+  }
+
+  test("minhash LSH candidates include the near-dup pair, not the unrelated one") {
+    val pairs = Dedup.minhashCandidates(docs, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"expected (1,3) in $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("minhashNearDups refines with exact jaccard threshold") {
+    val nd = Dedup.minhashNearDups(docs, threshold = 0.5, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.contains((1L, 3L)))
+    assert(nd.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(3L)) < 12,
+      s"near-dup hamming ${ham(sims(1L), sims(3L))}")
+    assert(ham(sims(1L), sims(4L)) > 20,
+      s"unrelated hamming ${ham(sims(1L), sims(4L))}")
+  }
+
+  test("simhash candidates carry hamming distance for pairs sharing a block") {
+    val cands = Dedup.simhashCandidates(docs)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(cands.contains((1L, 3L)))
+    assert(cands((1L, 3L)) < 12)
+  }
+
+  test("determinism: signatures identical across independent evaluations") {
+    val a = docs.select(Dedup.minhashSignature($"text", 8).as("s")).collect().toSeq
+    val b = docs.repartition(3).select(Dedup.minhashSignature($"text", 8).as("s"))
+      .collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+  }
+}

