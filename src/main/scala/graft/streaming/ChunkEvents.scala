@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The chunk-metadata event model (reference spark_job/spark_streaming.py:
+  * 209-216 VOD, :364-372 live; producer/producer.py:289-307).
+  *
+  * The reference never declares a schema to Spark — it `json.loads`es each
+  * row on the driver and `.get`s fields with per-field defaults. Here the
+  * schema is explicit, decoding is `from_json` (distributed, codegen'd), the
+  * defaults are `coalesce` columns, and corrupt rows are isolated
+  * declaratively instead of per-row try/except (P2/P3/P6).
+  */
+object ChunkEvents {
+
+  /** Superset of the live (producer.py:289-307) and VOD (api/main.py:276-291)
+    * event shapes; either stream simply leaves the other's fields null. */
+  val schema: StructType = StructType(Seq(
+    StructField("stream_id", StringType),
+    StructField("chunk_index", LongType),
+    StructField("sequence_number", LongType),
+    StructField("timestamp", StringType), // ISO-8601; parsed during normalize
+    StructField("size_bytes", LongType),
+    StructField("stream_type", StringType),
+    StructField("status", StringType),
+    StructField("checksum", StringType),
+    StructField("duration_ms", LongType),
+    StructField("keyframe_aligned", BooleanType),
+    StructField("audio_track_id", StringType),
+    StructField("video_track_id", StringType),
+    StructField("title", StringType),
+    StructField("resolution", StringType),
+    StructField("raw_path", StringType),
+    StructField("match_home", StringType),
+    StructField("match_away", StringType),
+    StructField("competition", StringType)))
+
+  /** Deterministic stand-in for the reference's simulated 2% checksum
+    * failure (spark_streaming.py:156-167 uses `random() < 0.02`): a stable
+    * hash of the chunk identity selects ~2% of chunks. Same flagged set on
+    * every run/replay — required for exactly-once testing. */
+  def checksumOk(streamId: Column, chunkIndex: Column): Column =
+    pmod(xxhash64(streamId, chunkIndex), lit(50)) =!= 0
+
+  /** Decode a Kafka-shaped frame (`value` string + optional
+    * `kafka_timestamp`) into normalized chunk columns. Corrupt JSON yields
+    * `parsed IS NULL` (P6) — kept, flagged, never batch-fatal. */
+  def decode(frames: DataFrame, liveDefaults: Boolean): DataFrame = {
+    val withKts =
+      if (frames.columns.contains("kafka_timestamp")) frames
+      else frames.withColumn("kafka_timestamp", current_timestamp())
+    val p = withKts
+      .withColumn("parsed", from_json(col("value"), schema))
+      .withColumn("corrupt", col("parsed").isNull || col("parsed.stream_id").isNull)
+    normalize(p, liveDefaults)
+  }
+
+  /** Field extraction with the reference's per-field defaults
+    * (spark_streaming.py:364-372 live; :209-216 VOD). */
+  private def normalize(p: DataFrame, liveDefaults: Boolean): DataFrame = {
+    val sid = col("parsed.stream_id")
+    val idx = coalesce(col("parsed.chunk_index"), lit(0L))
+    val defDur = if (liveDefaults) 3000L else 4000L
+    val defSize = if (liveDefaults) 1000000L else 10000000L
+    p.select(
+      col("kafka_timestamp"),
+      col("corrupt"),
+      sid.as("stream_id"),
+      idx.as("chunk_index"),
+      coalesce(col("parsed.sequence_number"), idx).as("sequence_number"),
+      coalesce(try_to_timestamp(col("parsed.timestamp")), col("kafka_timestamp"))
+        .as("event_ts"),
+      coalesce(col("parsed.size_bytes"), lit(defSize)).as("size_bytes"),
+      coalesce(col("parsed.stream_type"), lit(if (liveDefaults) "live" else "vod"))
+        .as("stream_type"),
+      coalesce(col("parsed.status"), lit("received")).as("status"),
+      coalesce(col("parsed.checksum"), lit("")).as("checksum"),
+      coalesce(col("parsed.duration_ms"), lit(defDur)).as("duration_ms"),
+      coalesce(col("parsed.keyframe_aligned"), lit(true)).as("keyframe_aligned"),
+      coalesce(col("parsed.audio_track_id"), concat(lit("audio-"), sid))
+        .as("audio_track_id"),
+      coalesce(col("parsed.video_track_id"), concat(lit("video-"), sid))
+        .as("video_track_id"),
+      coalesce(col("parsed.title"), lit("")).as("title"),
+      coalesce(col("parsed.resolution"), lit("1920x1080")).as("resolution"),
+      coalesce(col("parsed.raw_path"), lit("")).as("raw_path"),
+      checksumOk(sid, idx).as("checksum_ok"))
+      .filter(!col("corrupt")) // dead-letter path: corrupt rows counted upstream via observe
+  }
+
+  /** Typed view used by the keyed stateful processors. */
+  final case class Chunk(
+      stream_id: String,
+      chunk_index: Long,
+      sequence_number: Long,
+      event_ts: Timestamp,
+      size_bytes: Long,
+      stream_type: String,
+      checksum: String,
+      duration_ms: Long,
+      keyframe_aligned: Boolean,
+      audio_track_id: String,
+      video_track_id: String,
+      title: String,
+      resolution: String,
+      checksum_ok: Boolean)
+
+  def toChunks(normalized: DataFrame): org.apache.spark.sql.Dataset[Chunk] = {
+    import normalized.sparkSession.implicits._
+    normalized.select(
+      col("stream_id"), col("chunk_index"), col("sequence_number"),
+      col("event_ts"), col("size_bytes"), col("stream_type"), col("checksum"),
+      col("duration_ms"), col("keyframe_aligned"), col("audio_track_id"),
+      col("video_track_id"), col("title"), col("resolution"), col("checksum_ok"))
+      .as[Chunk]
+  }
+}
