@@ -72,12 +72,13 @@ object Events extends QueryModule {
         t(s, dir, "events")
           .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
           .agg(count(lit(1)).as("n"),
-               sum($"value".cast("decimal(30,6)")).cast("decimal(38,6)").as("total_value"))
+               sum($"value".cast("decimal(30,6)")).cast("decimal(38,6)")
+                 .cast("double").as("total_value"))
           .orderBy($"day", $"event_type")
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS total_value
+        CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
 
     // ---------------------------------------------------------------- q24
@@ -144,7 +145,8 @@ object Events extends QueryModule {
                count(when($"event_type" === "purchase", 1)).as("purchases"),
                count(when($"event_type" === "error", 1)).as("errors"),
                sum(when($"event_type" === "purchase", $"value").otherwise(0.0)
-                 .cast("decimal(30,6)")).cast("decimal(38,6)").as("purchase_value"))
+                 .cast("decimal(30,6)")).cast("decimal(38,6)")
+                 .cast("double").as("purchase_value"))
           .orderBy($"user_id")
       },
       Some("""SELECT user_id,
@@ -152,8 +154,8 @@ object Events extends QueryModule {
         count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
         count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
-        CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
-          AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS purchase_value
+        CAST(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+          AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS purchase_value
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // ---------------------------------------------------------------- q27

@@ -17,6 +17,10 @@ import org.apache.spark.sql.expressions.Window
   * 2-dp inputs is mathematically a 4-dp value, so double->decimal(30,6)
   * rounds to the identical decimal in Spark and DuckDB, and decimal sums
   * are exact in both engines — bit-identical results at any parallelism.
+  * Final money columns are then cast decimal->DOUBLE on BOTH sides: the
+  * decimal values are identical, so the double conversions are identical,
+  * and the driver's pandas-based hash compare (which renders parquet
+  * decimals and DuckDB decimals as different Python types) can match.
   */
 object Relational extends QueryModule {
 
@@ -37,18 +41,20 @@ object Relational extends QueryModule {
           .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum($"l_quantity".cast("decimal(30,6)")).cast("decimal(38,6)").as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("sum_base_price"),
-            sum(discPrice).cast("decimal(38,6)").as("sum_disc_price"),
+            sum($"l_quantity".cast("decimal(30,6)")).cast("decimal(38,6)")
+              .cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(30,6)")).cast("decimal(38,6)")
+              .cast("double").as("sum_base_price"),
+            sum(discPrice).cast("decimal(38,6)").cast("double").as("sum_disc_price"),
             round(avg($"l_quantity"), 4).as("avg_qty"),
             round(avg($"l_extendedprice"), 4).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
         round(avg(l_quantity), 4) AS avg_qty,
         round(avg(l_extendedprice), 4) AS avg_price,
         count(*) AS count_order
@@ -82,12 +88,12 @@ object Relational extends QueryModule {
           .filter($"o_orderdate" < to_timestamp(lit("1998-01-01")) &&
                   $"l_shipdate" > to_timestamp(lit("1998-01-01")))
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-          .agg(sum(discPrice).cast("decimal(38,6)").as("revenue"))
+          .agg(sum(discPrice).cast("decimal(38,6)").cast("double").as("revenue"))
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS revenue
+        CAST(CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
         WHERE c_mktsegment = 'BUILDING'
@@ -108,12 +114,12 @@ object Relational extends QueryModule {
           .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
           .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
-          .agg(sum(discPrice).cast("decimal(38,6)").as("revenue"),
+          .agg(sum(discPrice).cast("decimal(38,6)").cast("double").as("revenue"),
                count(lit(1)).as("n_items"))
           .orderBy($"r_name", $"n_name")
       },
       Some(s"""SELECT r_name, n_name,
-        CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS revenue, count(*) AS n_items
+        CAST(CAST(sum($discPriceSql) AS DECIMAL(38,6)) AS DOUBLE) AS revenue, count(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -130,12 +136,12 @@ object Relational extends QueryModule {
           .groupBy($"c_custkey", $"c_name")
           .agg(count($"o_orderkey").as("order_cnt"),
                coalesce(sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)"),
-                        lit(0).cast("decimal(38,6)")).as("spend"))
+                        lit(0).cast("decimal(38,6)")).cast("double").as("spend"))
           .orderBy($"c_custkey")
       },
       Some("""SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
-        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)),
-                 CAST(0 AS DECIMAL(38,6))) AS spend
+        CAST(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)),
+                 CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
 
@@ -241,15 +247,15 @@ object Relational extends QueryModule {
           .select($"o_custkey", $"o_orderkey",
             sum($"o_totalprice".cast("decimal(30,6)"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("decimal(38,6)").as("running_spend"),
+              .cast("decimal(38,6)").cast("double").as("running_spend"),
             lag($"o_orderkey", 1).over(w).as("prev_orderkey"))
           .orderBy($"o_custkey", $"o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
-          AS running_spend,
+          AS DOUBLE) AS running_spend,
         lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
         FROM orders ORDER BY o_custkey, o_orderkey""")),
@@ -263,7 +269,8 @@ object Relational extends QueryModule {
         t(s, dir, "orders")
           .rollup($"o_orderstatus", $"o_orderpriority")
           .agg(count(lit(1)).as("n"),
-               sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("total"))
+               sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)")
+                 .cast("double").as("total"))
           .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
                   coalesce($"o_orderpriority", lit("ALL")).as("priority"),
                   $"n", $"total")
@@ -271,7 +278,7 @@ object Relational extends QueryModule {
       },
       Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
         coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS total
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
 
@@ -396,14 +403,15 @@ object Relational extends QueryModule {
               .otherwise("low").as("bucket"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
-               sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)").as("total"))
+               sum($"o_totalprice".cast("decimal(30,6)")).cast("decimal(38,6)")
+                 .cast("double").as("total"))
           .orderBy($"bucket")
       },
       Some("""SELECT CASE WHEN o_totalprice > 300000.0 THEN 'high'
                          WHEN o_totalprice > 100000.0 THEN 'mid'
                          ELSE 'low' END AS bucket,
         count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS total
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
         FROM orders GROUP BY 1 ORDER BY bucket""")),
 
     // ---------------------------------------------------------------- q20
@@ -417,11 +425,11 @@ object Relational extends QueryModule {
         val avgSpend = spend.agg(avg($"spend").cast("decimal(38,6)").as("threshold_base"))
         spend.crossJoin(avgSpend)
           .filter($"spend" > $"threshold_base" * 1.5)
-          .select($"o_custkey", $"spend")
+          .select($"o_custkey", $"spend".cast("double").as("spend"))
           .orderBy($"o_custkey")
       },
       Some("""SELECT o_custkey,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS spend
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS spend
         FROM orders GROUP BY o_custkey
         HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) >
           (SELECT CAST(avg(spend) AS DECIMAL(38,6)) FROM (

@@ -143,11 +143,15 @@ object Text extends QueryModule {
 
     // ---------------------------------------------------------------- q37
     // MinHash signatures (xxhash64-based — no DuckDB equivalent: rows-only).
+    // Emitted as a comma-joined string, not array<bigint>: the driver's
+    // pandas-based compare cannot sort/hash array columns.
     QueryDef("q37_minhash_signature",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .select($"doc_id", Dedup.minhashSignature($"text", k = 16).as("sig"))
+          .select($"doc_id",
+            array_join(Dedup.minhashSignature($"text", k = 16).cast("array<string>"), ",")
+              .as("sig"))
           .orderBy($"doc_id")
       },
       None),
