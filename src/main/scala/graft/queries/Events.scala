@@ -158,6 +158,45 @@ object Events extends QueryModule {
           AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS purchase_value
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---------------------------------------------------------------- q28
+    // The streaming decode layer (P2 from_json / P3 per-field defaults / P6
+    // corrupt isolation) run as a batch query the oracle can check: chunk
+    // JSON is synthesized from events rows (some fields withheld to force
+    // the reference defaults, ~1% corrupt), decoded by ChunkEvents.decode,
+    // and the normalized columns compared to DuckDB's independent expansion.
+    QueryDef("q28_chunk_decode",
+      (s, dir) => {
+        import s.implicits._
+        val sid = concat(lit("user-"), $"user_id".cast("string"))
+        val frames = t(s, dir, "events").select(
+          when($"event_id" % 97 === 0, lit("corrupt {"))
+            .otherwise(to_json(struct(
+              sid.as("stream_id"),
+              $"event_id".as("chunk_index"),
+              date_format($"ts", "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
+              when($"event_id" % 5 === 0, lit(null)).otherwise($"event_id" * 1000).as("size_bytes"),
+              when($"event_id" % 3 === 0, lit(null)).otherwise(floor($"value" * 1000)).as("duration_ms"))))
+            .as("value"),
+          $"ts".as("kafka_timestamp"))
+        graft.streaming.ChunkEvents.valid(
+            graft.streaming.ChunkEvents.decode(frames, liveDefaults = true))
+          .select($"stream_id", $"chunk_index", $"sequence_number", $"event_ts",
+            $"size_bytes", $"stream_type", $"status", $"duration_ms",
+            $"audio_track_id")
+          .orderBy($"stream_id", $"chunk_index")
+      },
+      Some("""SELECT 'user-' || CAST(user_id AS VARCHAR) AS stream_id,
+        event_id AS chunk_index,
+        event_id AS sequence_number,
+        date_trunc('second', CAST(ts AS TIMESTAMP)) AS event_ts,
+        CASE WHEN event_id % 5 = 0 THEN 1000000 ELSE event_id * 1000 END AS size_bytes,
+        'live' AS stream_type,
+        'received' AS status,
+        CASE WHEN event_id % 3 = 0 THEN 3000 ELSE CAST(floor(value * 1000) AS BIGINT) END AS duration_ms,
+        'audio-user-' || CAST(user_id AS VARCHAR) AS audio_track_id
+        FROM events WHERE event_id % 97 <> 0
+        ORDER BY stream_id, chunk_index""")),
+
     // ---------------------------------------------------------------- q27
     QueryDef("q27_dvr_manifest",
       (s, dir) => {

@@ -89,8 +89,12 @@ object ChunkEvents {
       coalesce(col("parsed.resolution"), lit("1920x1080")).as("resolution"),
       coalesce(col("parsed.raw_path"), lit("")).as("raw_path"),
       checksumOk(sid, idx).as("checksum_ok"))
-      .filter(!col("corrupt")) // dead-letter path: corrupt rows counted upstream via observe
   }
+
+  /** Drop corrupt rows AFTER any `observe()` has counted them (P6) —
+    * `Pipelines` attaches a `decode_metrics` observation with
+    * `count_if(corrupt)` so dead-lettered rows are visible, never fatal. */
+  def valid(decoded: DataFrame): DataFrame = decoded.filter(!col("corrupt"))
 
   /** Typed view used by the keyed stateful processors. */
   final case class Chunk(

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, TimeMode, Trigger}
+
+import graft.streaming.Processors.{LiveProcessor, LiveResult, VodProcessor, VodResult}
+import graft.streaming.Sinks.{MetadataSink, ObjectStore}
+
+/** The two-query streaming topology (reference
+  * spark_job/spark_streaming.py:606-628): one VOD query on a 5 s trigger,
+  * one live query on a 1 s trigger, independent checkpoints, both running
+  * on one session until `awaitAnyTermination`.
+  *
+  * Dataflow per query (all distributed — no collect(), T10):
+  *   frames (Kafka-shaped) -> decode (from_json + defaults, observe corrupt)
+  *   -> groupByKey(stream_id) -> transformWithState (RocksDB keyed state)
+  *   -> observe(chunk/gap/checksum counts) -> foreachBatch sinks.
+  */
+object Pipelines {
+
+  /** transformWithState requires the RocksDB state store provider. */
+  def configureStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Decode + keyed live state; pure transform, shared by tests and the
+    * production topology. */
+  def liveResults(frames: DataFrame, windowSize: Int = 10): Dataset[LiveResult] = {
+    import Processors.liveResultEncoder
+    val decoded = ChunkEvents.decode(frames, liveDefaults = true)
+      .observe("decode_metrics", count_if(col("corrupt")).as("corrupt_rows"))
+    ChunkEvents.toChunks(ChunkEvents.valid(decoded))
+      .groupByKey(_.stream_id)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new LiveProcessor(windowSize), TimeMode.None(), OutputMode.Update())
+  }
+
+  def vodResults(frames: DataFrame): Dataset[VodResult] = {
+    import Processors.vodResultEncoder
+    val decoded = ChunkEvents.decode(frames, liveDefaults = false)
+      .observe("vod_decode_metrics", count_if(col("corrupt")).as("corrupt_rows"))
+    ChunkEvents.toChunks(ChunkEvents.valid(decoded))
+      .groupByKey(_.stream_id)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new VodProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Start the live query: 1 s processing-time trigger, its own checkpoint
+    * (spark_streaming.py:616-624). */
+  def startLive(
+      frames: DataFrame,
+      objects: ObjectStore,
+      meta: MetadataSink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      windowSize: Int = 10,
+      queryName: String = "live"): StreamingQuery = {
+    configureStateStore(frames.sparkSession)
+    liveResults(frames, windowSize)
+      .observe("live_metrics",
+        count(lit(1)).as("chunks"),
+        sum(col("gap_size")).as("gap_chunks"),
+        count_if(!col("checksum_ok")).as("checksum_failures"))
+      .writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch(Sinks.liveBatch(objects, meta) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Start the VOD query: 5 s trigger (spark_streaming.py:606-613). */
+  def startVod(
+      frames: DataFrame,
+      objects: ObjectStore,
+      meta: MetadataSink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      queryName: String = "vod"): StreamingQuery = {
+    configureStateStore(frames.sparkSession)
+    vodResults(frames)
+      .observe("vod_metrics",
+        count(lit(1)).as("chunks"),
+        count_if(!col("checksum_ok")).as("checksum_failures"))
+      .writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch(Sinks.vodBatch(objects, meta) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The full two-query topology; caller blocks with
+    * `spark.streams.awaitAnyTermination()` (T7). */
+  def startTopology(
+      spark: SparkSession,
+      vodFrames: DataFrame,
+      liveFrames: DataFrame,
+      objects: ObjectStore,
+      meta: MetadataSink,
+      checkpointRoot: String): (StreamingQuery, StreamingQuery) = {
+    spark.streams.addListener(new Metrics.ProgressListener)
+    val vod = startVod(vodFrames, objects, meta, s"$checkpointRoot/vod")
+    val live = startLive(liveFrames, objects, meta, s"$checkpointRoot/live")
+    (vod, live)
+  }
+}

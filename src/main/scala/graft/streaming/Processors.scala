@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.functions.ManifestFunctions
+import graft.functions.ManifestFunctions.Segment
+
+/** Keyed streaming state (transformWithState / RocksDB) reproducing the
+  * reference's driver-side per-stream state distributedly:
+  *
+  *  - gap detection (spark_job/spark_streaming.py:348-350,378-385): a gap
+  *    fires only on a forward jump `seq > last+1`, sized `seq-last-1`; the
+  *    stored seq is then updated UNCONDITIONALLY, so a late (smaller) seq
+  *    silently resets the baseline — the reference's T4 quirk, preserved.
+  *  - DVR last-N window + manifest (:398-456): append segment, keep last N,
+  *    MEDIA-SEQUENCE = max(0, chunk_index - N + 1) computed from the chunk
+  *    index, NOT window contents.
+  *  - VOD manifest append (:276-316): header fixed by the first chunk's
+  *    duration, then one EXTINF line per chunk, ENDLIST semantics deferred
+  *    to stream end.
+  *
+  * Deviation (documented): the reference processes rows in single-threaded
+  * Kafka arrival order; here rows within a micro-batch are processed in
+  * (sequence_number, chunk_index) order per key so results are deterministic
+  * under distributed, multi-partition input (SURVEY.md §7.4.2).
+  */
+object Processors {
+
+  /** Everything the live sinks need for one chunk — mirrors the Mongo doc
+    * of spark_streaming.py:463-486 plus the manifest/placeholder payloads. */
+  final case class LiveResult(
+      stream_id: String,
+      chunk_index: Long,
+      sequence_number: Long,
+      event_ts: Timestamp,
+      size_bytes: Long,
+      status: String,
+      checksum: String,
+      duration_ms: Long,
+      keyframe_aligned: Boolean,
+      audio_track_id: String,
+      video_track_id: String,
+      checksum_ok: Boolean,
+      gap_size: Long,
+      chunk_path: String,
+      manifest_path: String,
+      manifest: String,
+      dvr_window_start: Long)
+
+  /** VOD outcome for one chunk: the status machine collapsed to its final
+    * "ready" document (A8), with the transitions as audit columns. */
+  final case class VodResult(
+      stream_id: String,
+      chunk_index: Long,
+      event_ts: Timestamp,
+      size_bytes: Long,
+      status: String,
+      checksum: String,
+      duration_ms: Long,
+      resolution: String,
+      checksum_ok: Boolean,
+      raw_path: String,
+      variant_paths: Seq[String],
+      manifest_path: String,
+      manifest: String,
+      title: String)
+
+  val QualityVariants: Seq[String] = Seq("1080p", "720p", "480p", "360p")
+
+  private def sortedBySeq(rows: Iterator[ChunkEvents.Chunk]): Iterator[ChunkEvents.Chunk] =
+    rows.toSeq.sortBy(c => (c.sequence_number, c.chunk_index)).iterator
+
+  /** Live fast path: gap detection + DVR window + manifest, one state
+    * partition per stream_id (serializes read-modify-write per key without
+    * a driver bottleneck — SURVEY.md §7.4.3). */
+  final class LiveProcessor(windowSize: Int = ManifestFunctions.DefaultDvrWindowSize)
+      extends StatefulProcessor[String, ChunkEvents.Chunk, LiveResult] {
+
+    @transient private var lastSeq: ValueState[Long] = _
+    @transient private var window: ListState[Segment] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeq = getHandle.getValueState[Long]("lastSeq", Encoders.scalaLong, TTLConfig.NONE)
+      window = getHandle.getListState[Segment]("window", Encoders.product[Segment], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        streamId: String,
+        rows: Iterator[ChunkEvents.Chunk],
+        timerValues: TimerValues): Iterator[LiveResult] = {
+      var segments = window.get().toVector
+      val out = Vector.newBuilder[LiveResult]
+      sortedBySeq(rows).foreach { c =>
+        val gap =
+          if (lastSeq.exists() && c.sequence_number > lastSeq.get() + 1)
+            c.sequence_number - lastSeq.get() - 1
+          else 0L
+        lastSeq.update(c.sequence_number) // unconditional: late seq resets (T4)
+
+        val uri = ManifestFunctions.chunkUri(streamId, c.chunk_index)
+        segments = ManifestFunctions
+          .slideWindow(segments :+ Segment(c.duration_ms / 1000.0, uri), windowSize)
+          .toVector
+        val manifest =
+          ManifestFunctions.buildLiveManifest(segments, c.chunk_index, windowSize)
+
+        out += LiveResult(
+          stream_id = streamId,
+          chunk_index = c.chunk_index,
+          sequence_number = c.sequence_number,
+          event_ts = c.event_ts,
+          size_bytes = c.size_bytes,
+          status = "live",
+          checksum = c.checksum,
+          duration_ms = c.duration_ms,
+          keyframe_aligned = true,
+          audio_track_id = c.audio_track_id,
+          video_track_id = c.video_track_id,
+          checksum_ok = c.checksum_ok,
+          gap_size = gap,
+          chunk_path = s"live-streams/$uri",
+          manifest_path = s"manifests/$streamId/live_manifest.m3u8",
+          manifest = manifest,
+          dvr_window_start = math.max(0L, c.chunk_index - windowSize + 1))
+      }
+      window.put(segments.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** VOD path: status-machine fold + append-only manifest. The manifest
+    * header's TARGETDURATION is pinned by the FIRST chunk (the reference
+    * initializes the header once and re-reads it afterwards,
+    * spark_streaming.py:285-301). */
+  final class VodProcessor
+      extends StatefulProcessor[String, ChunkEvents.Chunk, VodResult] {
+
+    @transient private var targetDur: ValueState[Long] = _
+    @transient private var segments: ListState[Segment] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      targetDur = getHandle.getValueState[Long]("targetDur", Encoders.scalaLong, TTLConfig.NONE)
+      segments = getHandle.getListState[Segment]("segments", Encoders.product[Segment], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        streamId: String,
+        rows: Iterator[ChunkEvents.Chunk],
+        timerValues: TimerValues): Iterator[VodResult] = {
+      var segs = segments.get().toVector
+      val out = Vector.newBuilder[VodResult]
+      sortedBySeq(rows).foreach { c =>
+        val durSec = c.duration_ms / 1000.0
+        if (!targetDur.exists()) targetDur.update(durSec.toLong + 1)
+        val uri = s"$streamId/1080p/${c.chunk_index}.ts"
+        segs = segs :+ Segment(durSec, uri)
+
+        val manifest = {
+          val sb = new StringBuilder
+          sb ++= "#EXTM3U\n#EXT-X-VERSION:3\n"
+          sb ++= s"#EXT-X-TARGETDURATION:${targetDur.get()}\n"
+          sb ++= "#EXT-X-PLAYLIST-TYPE:VOD\n"
+          segs.foreach(s => sb ++= ManifestFunctions.segmentLine(s.durationSeconds, s.uri))
+          sb.toString
+        }
+
+        out += VodResult(
+          stream_id = streamId,
+          chunk_index = c.chunk_index,
+          event_ts = c.event_ts,
+          size_bytes = c.size_bytes,
+          status = "ready",
+          checksum = c.checksum,
+          duration_ms = c.duration_ms,
+          resolution = c.resolution,
+          checksum_ok = c.checksum_ok,
+          raw_path = s"vod-raw/$streamId/raw/${c.chunk_index}.ts",
+          variant_paths = QualityVariants.map(q => s"vod-variants/$streamId/$q/${c.chunk_index}.ts"),
+          manifest_path = s"manifests/$streamId/vod_manifest.m3u8",
+          manifest = manifest,
+          title = c.title)
+      }
+      segments.put(segs.toArray)
+      out.result().iterator
+    }
+  }
+
+  implicit val liveResultEncoder: Encoder[LiveResult] = Encoders.product[LiveResult]
+  implicit val vodResultEncoder: Encoder[VodResult] = Encoders.product[VodResult]
+}

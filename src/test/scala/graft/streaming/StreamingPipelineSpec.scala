@@ -1,0 +1,236 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.functions.ManifestFunctions
+import graft.functions.ManifestFunctions.Segment
+import graft.streaming.Processors.LiveResult
+
+/** Drives MemoryStream JSON -> decode -> transformWithState (RocksDB keyed
+  * state) -> sinks, and pins:
+  *  - gap/manifest/upsert results equal to the batch (q21/q22/q27-shaped)
+  *    window-function forms over the same chunks,
+  *  - the reference's late-seq reset quirk (T4, spark_streaming.py:378-385),
+  *  - corrupt-row isolation (P6) with an observe()d dead-letter count,
+  *  - sink idempotency under micro-batch replay (T2 exactly-once story).
+  */
+class StreamingPipelineSpec extends SparkSpec {
+
+  private def eventJson(streamId: String, idx: Long, seq: Long, durationMs: Long): String =
+    s"""{"stream_id":"$streamId","chunk_index":$idx,"sequence_number":$seq,""" +
+      s""""timestamp":"2026-01-01T00:00:00+00:00","size_bytes":${500000 + idx},""" +
+      s""""stream_type":"live","status":"received","checksum":"c$idx",""" +
+      s""""duration_ms":$durationMs,"keyframe_aligned":true,""" +
+      s""""audio_track_id":"aud","video_track_id":"vid"}"""
+
+  private def dur(i: Long): Long = 2000 + (i * 37) % 2000
+
+  test("live pipeline: streaming state matches batch window-function semantics") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t1-obj")
+    Sinks.InMemoryMetadataSink.clear("t1-meta")
+    val objects = new Sinks.InMemoryObjectStore("t1-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t1-meta")
+
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-live1").toString
+
+    // stream-a: indexes 0..6,9..19 (missing 7,8 -> one gap of 2)
+    // stream-b: indexes 0..14, contiguous
+    val aIdx = (0L to 6L) ++ (9L to 19L)
+    val bIdx = 0L to 14L
+    val eventsA = aIdx.map(i => eventJson("stream-a", i, i, dur(i)))
+    val eventsB = bIdx.map(i => eventJson("stream-b", i, i, dur(i)))
+
+    val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t1")
+    try {
+      // two micro-batches to prove state persists across batches
+      stream.addData(eventsA.take(9) ++ eventsB.take(7))
+      q.processAllAvailable()
+      stream.addData(eventsA.drop(9) ++ eventsB.drop(7))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // -- upsert sink: one doc per (stream, chunk), all fields present
+    assert(meta.count("live_metadata") === (aIdx.size + bIdx.size).toLong)
+    val doc = meta.find("live_metadata", "stream-a", 9L).get
+    assert(doc("sequence_number") === "9")
+    assert(doc("chunk_path") === "live-streams/stream-a/chunks/9.ts")
+    assert(doc("dvr_window_start") === "0")
+
+    // -- placeholder objects: one per chunk
+    assert(objects.keys("live-streams").size === aIdx.size + bIdx.size)
+
+    // -- gap metric == batch q21 semantics (sum of seq jumps) == 2
+    val batchDf = (aIdx.map(("stream-a", _)) ++ bIdx.map(("stream-b", _)))
+      .toDF("stream_id", "chunk_index")
+    val w = Window.partitionBy($"stream_id").orderBy($"chunk_index")
+    val batchMissing = batchDf
+      .withColumn("prev", lag($"chunk_index", 1).over(w))
+      .filter($"prev".isNotNull && $"chunk_index" > $"prev" + 1)
+      .agg(coalesce(sum($"chunk_index" - $"prev" - 1), lit(0L)))
+      .head.getLong(0)
+    assert(batchMissing === 2L)
+    assert(Metrics.counter("live_chunk_gaps_total") === batchMissing)
+
+    // -- final manifest == batch q22/q27 semantics (last-10 by chunk_index)
+    for ((sid, idxs) <- Seq("stream-a" -> aIdx, "stream-b" -> bIdx)) {
+      val last10 = idxs.takeRight(10)
+      val expected = ManifestFunctions.buildLiveManifest(
+        last10.map(i => Segment(dur(i) / 1000.0, s"$sid/chunks/$i.ts")),
+        latestChunkIndex = idxs.last)
+      assert(objects.getString("manifests", s"$sid/live_manifest.m3u8").get === expected,
+        s"manifest mismatch for $sid")
+    }
+
+    // -- checksum metric matches the deterministic flag over all chunks
+    // (computed via the same expression decode uses)
+    val flagged = batchDf.select(count_if(!ChunkEvents.checksumOk($"stream_id", $"chunk_index"))).head.getLong(0)
+    assert(Metrics.counter("chunk_checksum_failures_total{stream_type=live}") === flagged)
+    assert(Metrics.activeLiveStreams === 2)
+    assert(Metrics.counter("spark_live_chunks_processed_total") === (aIdx.size + bIdx.size).toLong)
+  }
+
+  test("late-seq reset quirk (T4): smaller seq resets state without a gap") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t2-obj")
+    Sinks.InMemoryMetadataSink.clear("t2-meta")
+    val objects = new Sinks.InMemoryObjectStore("t2-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t2-meta")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-live2").toString
+    val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t2")
+    try {
+      // one event per micro-batch: arrival order is exactly seq order below
+      // seqs: 0,1,2,5 (gap 2), 3 (late -> silent reset), 7 (gap 3 vs reset base)
+      Seq(0L, 1L, 2L, 5L, 3L, 7L).foreach { s =>
+        stream.addData(eventJson("stream-c", s, s, 3000))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(Metrics.counter("live_chunk_gaps_total") === 5L) // 2 + 3, none for the late row
+    // manifest keeps arrival order; MEDIA-SEQUENCE from the LAST chunk_index (7)
+    val expected = ManifestFunctions.buildLiveManifest(
+      Seq(0L, 1L, 2L, 5L, 3L, 7L).map(i => Segment(3.0, s"stream-c/chunks/$i.ts")),
+      latestChunkIndex = 7L)
+    assert(objects.getString("manifests", "stream-c/live_manifest.m3u8").get === expected)
+  }
+
+  test("corrupt rows are isolated (P6), counted via observe, never fatal") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t3-obj")
+    Sinks.InMemoryMetadataSink.clear("t3-meta")
+    val objects = new Sinks.InMemoryObjectStore("t3-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t3-meta")
+    val listener = new Metrics.ProgressListener
+    spark.streams.addListener(listener)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-live3").toString
+    val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t3")
+    try {
+      stream.addData(Seq(
+        eventJson("stream-d", 0, 0, 3000),
+        "this is not json {{{",
+        eventJson("stream-d", 1, 1, 3000)))
+      q.processAllAvailable()
+      // listener bus is async — poll for the observed metric
+      val deadline = System.currentTimeMillis() + 10000
+      while (Metrics.counter("decode_metrics.corrupt_rows") < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+
+    assert(meta.count("live_metadata") === 2L) // both valid rows survived
+    assert(Metrics.counter("decode_metrics.corrupt_rows") === 1L)
+  }
+
+  test("sink replay is idempotent: delivering the same batch twice leaves identical state") {
+    Sinks.InMemoryObjectStore.clear("t4-obj")
+    Sinks.InMemoryMetadataSink.clear("t4-meta")
+    val objects = new Sinks.InMemoryObjectStore("t4-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t4-meta")
+    val ts = Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val rows = (0L to 2L).map { i =>
+      LiveResult("stream-r", i, i, ts, 1000, "live", s"c$i", 3000, true,
+        "aud", "vid", checksum_ok = true, gap_size = 0,
+        chunk_path = s"live-streams/stream-r/chunks/$i.ts",
+        manifest_path = "manifests/stream-r/live_manifest.m3u8",
+        manifest = s"#EXTM3U\nfake-$i\n", dvr_window_start = 0)
+    }
+    Sinks.deliverLive(rows.iterator, objects, meta)
+    val snapMeta = (0L to 2L).map(i => meta.find("live_metadata", "stream-r", i))
+    val snapManifest = objects.getString("manifests", "stream-r/live_manifest.m3u8")
+    val snapKeys = objects.keys("live-streams")
+
+    Sinks.deliverLive(rows.iterator, objects, meta) // replay the whole batch
+    assert((0L to 2L).map(i => meta.find("live_metadata", "stream-r", i)) === snapMeta)
+    assert(objects.getString("manifests", "stream-r/live_manifest.m3u8") === snapManifest)
+    assert(objects.keys("live-streams") === snapKeys)
+    assert(meta.count("live_metadata") === 3L)
+  }
+
+  test("vod pipeline: status fold to ready, variants, append-only manifest") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t5-obj")
+    Sinks.InMemoryMetadataSink.clear("t5-meta")
+    val objects = new Sinks.InMemoryObjectStore("t5-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t5-meta")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    def vodJson(idx: Long, durMs: Long): String =
+      s"""{"stream_id":"vod-1","chunk_index":$idx,"timestamp":"2026-01-01T00:00:00+00:00",""" +
+        s""""size_bytes":123,"stream_type":"vod","status":"uploaded","checksum":"x",""" +
+        s""""duration_ms":$durMs,"title":"Ep $idx","resolution":"1920x1080"}"""
+
+    val ckpt = Files.createTempDirectory("ckpt-vod1").toString
+    val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "vod-t5")
+    try {
+      stream.addData(vodJson(0, 4000))
+      q.processAllAvailable()
+      stream.addData(Seq(vodJson(1, 2500), vodJson(2, 3999)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(meta.count("vod_metadata") === 3L)
+    val doc = meta.find("vod_metadata", "vod-1", 2L).get
+    assert(doc("status") === "ready")
+    assert(doc("variant_paths").split(",").length === 4)
+    assert(doc("raw_path") === "vod-raw/vod-1/raw/2.ts")
+
+    // raw + 4 variants per chunk
+    assert(objects.keys("vod-raw").size === 3)
+    assert(objects.keys("vod-variants").size === 12)
+    assert(Metrics.counter("spark_vod_variants_generated_total") === 12L)
+    assert(Metrics.counter("spark_vod_chunks_processed_total") === 3L)
+
+    // manifest: header pinned by FIRST chunk (int(4.0)+1 = 5), three EXTINF lines
+    val manifest = objects.getString("manifests", "vod-1/vod_manifest.m3u8").get
+    val expected =
+      "#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:5\n#EXT-X-PLAYLIST-TYPE:VOD\n" +
+        "#EXTINF:4.000,\nvod-1/1080p/0.ts\n" +
+        "#EXTINF:2.500,\nvod-1/1080p/1.ts\n" +
+        "#EXTINF:3.999,\nvod-1/1080p/2.ts\n"
+    assert(manifest === expected)
+  }
+}
