@@ -32,25 +32,40 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Deterministic pseudo-random hyperplane sign for LSH bucketing:
-    * sign derived from a 64-bit avalanche hash of (plane, dim) — reproducible
-    * across engines and runs without RNG state. */
-  def hyperplaneSign(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** SplitMix64 avalanche — deterministic hyperplane signs computed at PLAN
+    * TIME on the driver, so per-row evaluation does zero hashing (the
+    * previous form re-derived nPlanes x dim xxhash64 signs per row). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
-  /** Signed projection of a vector onto deterministic hyperplane `plane`:
-    * sum_i sign(plane, i) * v[i]. */
-  def planeProjection(vec: Column, plane: Int): Column =
+  /** +-1 signs of deterministic hyperplane (`table`, `plane`) over `dim`
+    * dimensions. `table` seeds independent LSH hash tables for multi-table
+    * banding (recall grows with tables at linear cost). */
+  def planeSigns(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      if ((splitmix64((table.toLong << 40) ^ (plane.toLong << 20) ^ i.toLong) & 1L) == 0L)
+        1.0 else -1.0
+    }
+
+  /** Signed projection of a vector onto hyperplane (`table`, `plane`): the
+    * signs are a literal array baked into the plan. */
+  def planeProjection(vec: Column, table: Int, plane: Int, dim: Int): Column =
     aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") * hyperplaneSign(plane, i)),
+      zip_with(vec, lit(planeSigns(table, plane, dim)), (x, s) => x.cast("double") * s),
       lit(0.0),
       (acc, x) => acc + x)
 
   /** LSH bucket id from `nPlanes` sign bits (random-hyperplane / SimHash
-    * family — approximates cosine similarity neighborhoods). */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
+    * family — approximates cosine similarity neighborhoods). Bucket count is
+    * 2^nPlanes: callers must scale nPlanes with corpus size (see
+    * Similarity.autoPlanes) or the within-bucket join degenerates to
+    * O(n^2 / constant). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
-      when(planeProjection(vec, p) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      when(planeProjection(vec, table, p, dim) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

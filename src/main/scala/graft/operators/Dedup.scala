@@ -29,8 +29,14 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: for each of `k` hash seeds, the minimum xxhash64
-    * over the document's distinct shingles. Returns array<bigint> of length k. */
+  /** MinHash signature as a per-row column: for each of `k` hash seeds, the
+    * minimum xxhash64 over the document's distinct shingles. Returns
+    * array<bigint> of length k.
+    *
+    * NOTE: higher-order `aggregate` folds are interpreted (not codegen'd)
+    * and re-walk the shingle array once per seed — fine for ad-hoc use on
+    * one column, wrong for a corpus scan. The corpus-scale path is
+    * [[minhashSignatureTable]] (identical values, explode + hash-aggregate). */
   def minhashSignature(text: Column, k: Int, shingle: Int = 3): Column = {
     val shingles = TextFunctions.distinctShingles(text, shingle)
     // array of k min-hashes; each is a fold over the shingle array
@@ -41,23 +47,52 @@ object Dedup {
     array(mins: _*)
   }
 
+  /** MinHash signatures for a whole corpus: one explode pass over shingles,
+    * k codegen'd `min(xxhash64(seed, shingle))` aggregates with map-side
+    * partial aggregation, one shuffle on the doc id. Linear in total shingle
+    * count regardless of k's fan-out — the 100 TB-safe form of
+    * [[minhashSignature]] (bit-identical output, incl. Long.MaxValue slots
+    * for shingle-less docs). Returns (id, sig: array<bigint>). */
+  def minhashSignatureTable(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 16,
+      shingle: Int = 3): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"))
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
+      .select(col("id") +: (0 until k).map(seed =>
+        xxhash64(lit(seed), col("sh")).as(s"h$seed")): _*)
+    val aggd = hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    ids.join(aggd, Seq("id"), "left")
+      .select(col("id"),
+        array((0 until k).map(i => coalesce(col(s"h$i"), lit(Long.MaxValue))): _*).as("sig"))
+  }
+
   /** MinHash + LSH banding: emits candidate near-duplicate pairs (a < b).
     *
     * @param bands  number of LSH bands; each band hashes `k/bands` signature
     *               slots into one bucket key. Pairs agreeing on any band are
     *               candidates. P(candidate) = 1-(1-j^r)^b for Jaccard j.
+    *               Default k=16/bands=8 gives r=2 rows per band — candidate
+    *               threshold ~(1/8)^(1/2) ~= 0.35, robust for j >= 0.5 even
+    *               on small shingle sets where signature agreement has high
+    *               variance (r=4 demonstrably misses j=0.9 pairs with ~10
+    *               shingles).
     */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 16,
-      bands: Int = 4,
+      bands: Int = 8,
       shingle: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, shingle).as("sig"))
+    val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
     // one row per (band, bucket): bucket = hash of the band's signature slice
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -80,7 +115,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 16,
-      bands: Int = 4,
+      bands: Int = 8,
       shingle: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
     val sh = docs.select(col(idCol).as("sid"),
@@ -94,7 +129,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
-    * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)). */
+    * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)).
+    * Per-row column form; corpus scans should use [[simhashTable]]
+    * (identical values, one token hash per token instead of 64 interpreted
+    * folds per row). */
   def simhash(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
     val bitSums = (0 until 64).map { bit =>
@@ -102,10 +140,64 @@ object Dedup {
         (acc, tk) => acc + when(
           (shiftright(xxhash64(tk), bit).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L))
     }
+    simhashFromBitSums(bitSums)
+  }
+
+  private def simhashFromBitSums(bitSums: Seq[Column]): Column =
     (0 until 64).map { bit =>
       when(bitSums(bit) > 0L, lit(if (bit == 63) Long.MinValue else 1L << bit))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** SimHash for a whole corpus: explode tokens, hash each token ONCE, 64
+    * codegen'd conditional-sum aggregates (map-side combined), one shuffle
+    * on the doc id — the scale form of [[simhash]], bit-identical output.
+    * Returns (id, simhash: bigint). */
+  def simhashTable(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tk"))
+      .select(col("id"), xxhash64(col("tk")).as("h"))
+    val bitAggs = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b$bit")
+    }
+    val aggd = hashed.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = simhashFromBitSums((0 until 64).map(bit => col(s"b$bit")))
+    docs.select(col(idCol).as("id")).join(aggd, Seq("id"), "left")
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash candidates refined with exact shingle-Jaccard — the SimHash
+    * analogue of [[minhashNearDups]]. The Jaccard join touches only pairs
+    * that agreed on a fingerprint block; `blocks` bounds guaranteed recall
+    * (hamming <= blocks-1 always shares a block, by pigeonhole). blocks=6
+    * catches hamming <= 5, which covers near-dup fingerprint drift on short
+    * documents where 4 blocks demonstrably miss. */
+  def simhashNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      blocks: Int = 6,
+      shingle: Int = 3): DataFrame = {
+    // A shared block only GUARANTEES capture up to hamming blocks-1, so
+    // filtering candidates at that bound loses nothing the operator promises
+    // — and it removes virtually all random block collisions (hamming ~32
+    // for unrelated 64-bit fingerprints) before the expensive shingle join.
+    val cands = simhashCandidates(docs, textCol, idCol, blocks)
+      .filter(col("hamming") <= blocks - 1)
+      .select(col("id_a"), col("id_b"))
+    val sh = docs.select(col(idCol).as("sid"),
+      TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Near-dup candidates by SimHash block match: split the 64-bit fingerprint
@@ -117,7 +209,7 @@ object Dedup {
       idCol: String = "doc_id",
       blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
-    val withSim = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val withSim = simhashTable(docs, textCol, idCol).withColumnRenamed("simhash", "sim")
     val banded = withSim.select(col("id"), col("sim"), posexplode(
       array((0 until blocks).map { b =>
         shiftrightunsigned(col("sim"), b * width)

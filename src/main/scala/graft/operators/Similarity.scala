@@ -52,26 +52,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Approximate k-NN join via random-hyperplane LSH: corpus and queries are
-    * bucketed by `nPlanes` deterministic sign bits; candidates are pairs
-    * sharing a bucket, so the join is hash-partitioned by bucket id instead
-    * of a cartesian product. Recall trades off with nPlanes (fewer planes =
-    * bigger buckets = higher recall, more work). */
+  /** Planes scaled so expected bucket occupancy ~= targetBucketSize:
+    * buckets ~= n / target, so the within-bucket join stays LINEAR in n
+    * (n * target pairs) instead of O(n^2 / 2^constant). */
+  def autoPlanes(corpusSize: Long, targetBucketSize: Int = 64): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
+  /** One (table, bucket) row per input vector per hash table. Multi-table
+    * banding: a true neighbor missed by one table's buckets is caught by
+    * another — recall grows with `tables` at linear (not quadratic) cost. */
+  private def bucketed(
+      df: DataFrame, idAs: String, vecAs: String, vecCol: String, idCol: String,
+      nPlanes: Int, dim: Int, tables: Int): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs), posexplode(
+      array((0 until tables).map(t => lshBucket(col(vecCol), nPlanes, dim, t)): _*))
+      .as(Seq("tbl", "bucket")))
+
+  /** Approximate k-NN join via random-hyperplane LSH: candidates are pairs
+    * sharing a (table, bucket), so the join is hash-partitioned by bucket id
+    * instead of a cartesian product. nPlanes <= 0 auto-scales bucket count
+    * to the corpus (see [[autoPlanes]]). */
   def lshKnnJoin(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      nPlanes: Int = 8,
+      nPlanes: Int = 0,
+      tables: Int = 2,
+      targetBucketSize: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val scored = cb.join(qb, "bucket")
+    val dim = vecDim(corpus, vecCol)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucketSize)
+    val cb = bucketed(corpus, "neighbor_id", "corpus_vec", vecCol, idCol, planes, dim, tables)
+    val qb = bucketed(queries, "query_id", "query_vec", vecCol, idCol, planes, dim, tables)
+    val scored = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("corpus_vec"), col("query_vec")), 6).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id") // pair may collide in >1 table
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -79,20 +101,26 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
-    * LSH so the pair join never goes cartesian. Pairs are (a < b). */
+    * multi-table LSH so the pair join never goes cartesian and bucket count
+    * grows with the corpus. Pairs are (a < b). */
   def embeddingNearDups(
       corpus: DataFrame,
       threshold: Double,
-      nPlanes: Int = 6,
+      nPlanes: Int = 0,
+      tables: Int = 2,
+      targetBucketSize: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val dim = vecDim(corpus, vecCol)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucketSize)
+    val b = bucketed(corpus, "id", "vec", vecCol, idCol, planes, dim, tables)
     val l = b.as("l")
     val r = b.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+    l.join(r, col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+              col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(cosine(col("l.vec"), col("r.vec")), 6).as("sim"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("sim") >= threshold)
   }
 }

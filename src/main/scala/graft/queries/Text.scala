@@ -142,30 +142,82 @@ object Text extends QueryModule {
         ORDER BY id_a""")),
 
     // ---------------------------------------------------------------- q37
-    // MinHash signatures (xxhash64-based — no DuckDB equivalent: rows-only).
-    // Emitted as a comma-joined string, not array<bigint>: the driver's
-    // pandas-based compare cannot sort/hash array columns.
+    // MinHash signatures via the corpus-scale explode + hash-aggregate form
+    // (xxhash64-based — no DuckDB equivalent: rows-only). Emitted as a
+    // comma-joined string, not array<bigint>: the driver's pandas-based
+    // compare cannot sort/hash array columns.
     QueryDef("q37_minhash_signature",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
-          .select($"doc_id",
-            array_join(Dedup.minhashSignature($"text", k = 16).cast("array<string>"), ",")
-              .as("sig"))
+        Dedup.minhashSignatureTable(t(s, dir, "documents"), k = 16)
+          .select($"id".as("doc_id"),
+            array_join($"sig".cast("array<string>"), ",").as("sig"))
           .orderBy($"doc_id")
       },
       None),
 
     // ---------------------------------------------------------------- q38
-    // SimHash fingerprints (rows-only; near-dup banding tested in DedupSpec).
+    // SimHash fingerprints via the corpus-scale explode form (rows-only;
+    // near-dup banding tested in DedupSpec).
     QueryDef("q38_simhash",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
-          .select($"doc_id", Dedup.simhash($"text").as("simhash"))
+        Dedup.simhashTable(t(s, dir, "documents"))
+          .select($"id".as("doc_id"), $"simhash")
           .orderBy($"doc_id")
       },
       None),
+
+    // ---------------------------------------------------------------- q46
+    // The flagship near-dup pipeline: MinHash banding -> candidate pairs ->
+    // exact-Jaccard refinement. The banding is xxhash64-based, but the
+    // REFINED output is fully checkable: the fixture's pair-similarity
+    // distribution is bimodal (true dups j>=0.9, everything else j<0.07),
+    // so at threshold 0.5 banding recall is exactly 1 and the result equals
+    // DuckDB's exhaustive all-pairs Jaccard — verified empirically at
+    // sf0.01/sf0.001. Scale story: candidates join only within
+    // (band, bucket); the O(n^2) all-pairs scan exists ONLY on the oracle
+    // side.
+    QueryDef("q46_minhash_neardups",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) AS jaccard
+        FROM pairs
+        WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q47
+    // Same contract through the SimHash block-match path: 64-bit fingerprint
+    // blocks -> candidates -> exact-Jaccard refinement; same exhaustive
+    // oracle (block-match recall is 1 on the fixture's j>=0.9 pairs —
+    // hamming <= blocks-1 guarantees a shared block).
+    QueryDef("q47_simhash_neardups",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashNearDups(t(s, dir, "documents"), threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) AS jaccard
+        FROM pairs
+        WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5
+        ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,

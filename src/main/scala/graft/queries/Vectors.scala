@@ -91,26 +91,27 @@ object Vectors extends QueryModule {
 
     // ---------------------------------------------------------------- q44
     // LSH-bucketed approximate k-NN (the 100 TB scale path: hash-partitioned
-    // bucket join, no cartesian). xxhash64 planes — rows-only check.
+    // multi-table bucket join, no cartesian; bucket count auto-scales with
+    // the corpus so within-bucket work stays linear). Rows-only check;
+    // recall pinned in SimilaritySpec.
     QueryDef("q44_lsh_knn",
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        Similarity.lshKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3, nPlanes = 4)
+        Similarity.lshKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3)
           .orderBy($"query_id", $"rank")
       },
       None),
 
     // ---------------------------------------------------------------- q45
-    // Embedding-cosine near-duplicate pairs via LSH buckets (rows-only).
-    // Threshold calibrated to the fixture's cosine distribution (max pairwise
-    // sim at sf0.01 is ~0.513, p99.9 ~0.377): 0.35 yields a meaningful but
-    // selective near-dup set.
+    // Embedding-cosine near-duplicate pairs via corpus-scaled LSH buckets
+    // (rows-only). Threshold calibrated to the fixture's cosine distribution
+    // (max pairwise sim at sf0.01 is ~0.513, p99.9 ~0.377): 0.35 yields a
+    // meaningful but selective near-dup set.
     QueryDef("q45_embedding_neardups",
       (s, dir) => {
         import s.implicits._
-        Similarity.embeddingNearDups(t(s, dir, "embeddings"),
-            threshold = 0.35, nPlanes = 4)
+        Similarity.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
           .orderBy($"id_a", $"id_b")
       },
       None))

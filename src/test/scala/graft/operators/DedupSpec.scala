@@ -65,6 +65,34 @@ class DedupSpec extends SparkSpec {
     assert(cands((1L, 3L)) < 12)
   }
 
+  test("minhashSignatureTable == per-row minhashSignature (scale form parity)") {
+    val col = docs.select($"doc_id".as("id"),
+      Dedup.minhashSignature($"text", k = 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val tbl = Dedup.minhashSignatureTable(docs, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tbl === col)
+  }
+
+  test("simhashTable == per-row simhash (scale form parity)") {
+    val col = docs.select($"doc_id".as("id"), Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tbl = Dedup.simhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tbl === col)
+  }
+
+  test("empty/short docs get the MaxValue signature in both forms") {
+    val d = Seq((1L, ""), (2L, "one two"), (3L, "a b c d")).toDF("doc_id", "text")
+    val tbl = Dedup.minhashSignatureTable(d, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val col = d.select($"doc_id", Dedup.minhashSignature($"text", k = 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tbl === col)
+    assert(tbl(1L).forall(_ == Long.MaxValue)) // no 3-shingles
+    assert(tbl(2L).forall(_ == Long.MaxValue))
+  }
+
   test("determinism: signatures identical across independent evaluations") {
     val a = docs.select(Dedup.minhashSignature($"text", 8).as("s")).collect().toSeq
     val b = docs.repartition(3).select(Dedup.minhashSignature($"text", 8).as("s"))
