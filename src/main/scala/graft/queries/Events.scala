@@ -158,6 +158,58 @@ object Events extends QueryModule {
           AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS purchase_value
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---------------------------------------------------------------- q49
+    // The same tumbling aggregation as q23 but through the event-time
+    // window() function (A7's real streaming form; epoch-aligned 1-day
+    // windows coincide with UTC date_trunc).
+    QueryDef("q49_window_fn",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("day"), $"event_type", $"n")
+          .orderBy($"day", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        count(*) AS n FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ---------------------------------------------------------------- q50
+    // Sessionization via the native session_window() (T6's event-time form;
+    // q24 is the explicit window-function build of the same semantics).
+    // session end = last event + gap. Boundary note: session_window treats
+    // windows as [start, end), so an event at EXACTLY prev+gap starts a new
+    // session while the lag-based oracle merges it — unobservable on
+    // microsecond-random fixture timestamps.
+    QueryDef("q50_session_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", $"session_window.start".as("sess_start"),
+            $"session_window.end".as("sess_end"), $"n_events")
+          .orderBy($"user_id", $"sess_start")
+      },
+      Some("""WITH lagged AS (
+          SELECT user_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN prev IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev AS TIMESTAMP))
+                      > 1800000000 THEN 1 ELSE 0 END AS nf
+          FROM lagged),
+        sess AS (
+          SELECT user_id, ts, sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS sess_start,
+          CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS sess_end,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
+
     // ---------------------------------------------------------------- q28
     // The streaming decode layer (P2 from_json / P3 per-field defaults / P6
     // corrupt isolation) run as a batch query the oracle can check: chunk

@@ -145,6 +145,23 @@ object Relational extends QueryModule {
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
 
+    // ---------------------------------------------------------------- q29
+    // Right outer join (J1 completes the join surface: q05 covers left).
+    QueryDef("q29_right_outer",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right_outer")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(count($"o_orderkey").as("order_cnt"),
+               max($"o_orderdate").as("last_order"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+        max(o_orderdate) AS last_order
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
     // ---------------------------------------------------------------- q06
     // Left-semi join = EXISTS.
     QueryDef("q06_semi_join",
@@ -364,6 +381,33 @@ object Relational extends QueryModule {
         concat_ws('/', c_mktsegment, c_name) AS seg_path,
         md5(c_name) AS name_md5,
         regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_norm
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q48
+    // Id/serialization scalars (reference F2 uuid+substring, F9 to_json,
+    // F10 initcap). uuid() is inherently non-deterministic, so the checked
+    // columns are its SHAPE (length, hex-grammar, the reference's
+    // vod-{hex12} id format), which pin the expression without pinning RNG.
+    QueryDef("q48_scalar_ids",
+      (s, dir) => {
+        import s.implicits._
+        val u = expr("uuid()")
+        t(s, dir, "customer")
+          .select($"c_custkey",
+            length(u).cast("int").as("uuid_len"),
+            u.rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+              .as("uuid_shape"),
+            concat(lit("vod-"), substring(regexp_replace(expr("uuid()"), "-", ""), 1, 12))
+              .rlike("^vod-[0-9a-f]{12}$").as("vod_id_shape"),
+            initcap(lower($"c_name")).as("name_title"),
+            to_json(struct($"c_custkey".as("k"), $"c_mktsegment".as("seg"))).as("j"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        36 AS uuid_len, true AS uuid_shape, true AS vod_id_shape,
+        array_to_string(list_transform(string_split(lower(c_name), ' '),
+          w -> upper(w[1]) || w[2:]), ' ') AS name_title,
+        to_json(struct_pack(k := c_custkey, seg := c_mktsegment)) AS j
         FROM customer ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- q18

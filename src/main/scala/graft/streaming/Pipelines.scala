@@ -59,7 +59,9 @@ object Pipelines {
       .observe("live_metrics",
         count(lit(1)).as("chunks"),
         sum(col("gap_size")).as("gap_chunks"),
-        count_if(!col("checksum_ok")).as("checksum_failures"))
+        count_if(!col("checksum_ok")).as("checksum_failures"),
+        // A4: the reference's active-streams gauge via HLL sketch
+        approx_count_distinct(col("stream_id")).as("active_streams_batch"))
       .writeStream
       .queryName(queryName)
       .outputMode("update")

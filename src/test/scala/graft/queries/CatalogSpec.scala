@@ -24,4 +24,16 @@ class CatalogSpec extends SparkSpec {
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("approx_count_distinct (A4) stays within 5% of exact at fixture scale") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf001, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx")).head
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
 }
