@@ -93,6 +93,44 @@ object Pipelines {
       .start()
   }
 
+  /** Event-time tumbling chunk-rate aggregation with a watermark (the
+    * streaming form of A7, and the T3 late-data policy the reference lacks:
+    * events later than `watermark` past the max seen event time are
+    * dropped from their window instead of corrupting emitted results). */
+  def chunkRates(
+      frames: DataFrame,
+      windowLength: String = "1 minute",
+      watermark: String = "30 seconds"): DataFrame =
+    ChunkEvents.valid(ChunkEvents.decode(frames, liveDefaults = true))
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLength), col("stream_id"))
+      .agg(count(lit(1)).as("chunks"), sum(col("size_bytes")).as("bytes"))
+      .select(col("window.start").as("window_start"), col("stream_id"),
+        col("chunks"), col("bytes"))
+
+  /** Stream-stream keyed correlation (J2): decoded live chunks inner-joined
+    * to a control-event stream (`stream_id`, `control_ts: timestamp`, ...)
+    * on stream_id within +-`skew` event time. Watermarks on both sides
+    * bound the join state (the reference correlates the same key spaces
+    * only implicitly through Mongo, api/main.py:394-406 vs
+    * spark_streaming.py:463-486). */
+  def correlateWithControl(
+      liveFrames: DataFrame,
+      control: DataFrame,
+      skew: String = "1 minute",
+      watermark: String = "30 seconds"): DataFrame = {
+    val chunks = ChunkEvents.valid(ChunkEvents.decode(liveFrames, liveDefaults = true))
+      .withWatermark("event_ts", watermark)
+      .alias("c")
+    val ctrl = control.withWatermark("control_ts", watermark).alias("k")
+    chunks.join(ctrl,
+      expr(s"c.stream_id = k.stream_id AND " +
+        s"c.event_ts BETWEEN k.control_ts - INTERVAL $skew AND k.control_ts + INTERVAL $skew"))
+      .select(col("c.stream_id").as("stream_id"), col("c.chunk_index").as("chunk_index"),
+        col("c.event_ts").as("event_ts"), col("k.control_ts").as("control_ts"),
+        col("k.action").as("action"))
+  }
+
   /** The full two-query topology; caller blocks with
     * `spark.streams.awaitAnyTermination()` (T7). */
   def startTopology(

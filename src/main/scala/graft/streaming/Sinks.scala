@@ -42,6 +42,10 @@ object Sinks {
     def upsert(table: String, streamId: String, chunkIndex: Long,
         doc: Map[String, String]): Unit
     def find(table: String, streamId: String, chunkIndex: Long): Option[Map[String, String]]
+    /** Highest-chunk_index doc for a stream that satisfies `pred` — the
+      * reference's `find_one(..., sort=[("chunk_index", -1)])` (W1). */
+    def findLatest(table: String, streamId: String,
+        pred: Map[String, String] => Boolean = _ => true): Option[Map[String, String]]
     def count(table: String): Long
   }
 
@@ -72,6 +76,12 @@ object Sinks {
       data.merge((table, streamId, chunkIndex), doc, (old, nw) => old ++ nw)
     override def find(table: String, streamId: String, chunkIndex: Long): Option[Map[String, String]] =
       Option(data.get((table, streamId, chunkIndex)))
+    override def findLatest(table: String, streamId: String,
+        pred: Map[String, String] => Boolean): Option[Map[String, String]] =
+      data.entrySet().asScala.toSeq
+        .filter(e => e.getKey._1 == table && e.getKey._2 == streamId && pred(e.getValue))
+        .sortBy(-_.getKey._3)
+        .headOption.map(_.getValue)
     override def count(table: String): Long =
       data.keySet().asScala.count(_._1 == table).toLong
   }

@@ -56,4 +56,62 @@ object StreamSources {
   def frames(values: DataFrame): DataFrame =
     if (values.columns.contains("kafka_timestamp")) values
     else values.select(col("value"), current_timestamp().as("kafka_timestamp"))
+
+  // ------------------------------------------------------------------ K1
+  /** Kafka producer framing: every column JSON-serialized into `value`
+    * (reference api/main.py:112-118 / producer.py:108-116 do
+    * json.dumps(dict); here it's codegen'd to_json(struct(*))). */
+  def toKafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Kafka producer sink (K1): acks=all like the reference producers. */
+  def writeKafka(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    toKafkaValue(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("kafka.acks", "all")
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  // ------------------------------------------------------------------ S5
+  /** Deterministic synthetic live-chunk generator over any (value: long)
+    * base — `spark.readStream.format("rate")` in production, a batch
+    * `spark.range` in tests. Mirrors the reference producer's shape
+    * (producer/producer.py:283-307): round-robin streams, monotonic chunk
+    * index per stream, sizes 500KB-2MB, durations 2-4s, and one injected
+    * sequence gap per ~200 chunks (producer.py:269,276-281) — but keyed on
+    * a stable hash instead of RNG so every run generates the same stream. */
+  def syntheticLiveEvents(base: DataFrame, nStreams: Int = 2): DataFrame = {
+    val withTs =
+      if (base.columns.contains("timestamp")) base
+      else base.withColumn("timestamp", current_timestamp())
+    val v = col("value")
+    val sid = concat(lit("live-"), pmod(v, lit(nStreams)).cast("string"))
+    val idx = (v / nStreams).cast("long")
+    val h = abs(xxhash64(sid, idx))
+    val gap = (pmod(h, lit(200)) === 0L).cast("long") * (lit(1L) + pmod(h, lit(3)))
+    withTs.select(
+      to_json(struct(
+        sid.as("stream_id"),
+        idx.as("chunk_index"),
+        (idx + gap).as("sequence_number"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
+        (lit(500000L) + pmod(h, lit(1500000L))).as("size_bytes"),
+        lit("live").as("stream_type"),
+        lit("received").as("status"),
+        md5(concat_ws(":", sid, idx.cast("string"))).as("checksum"),
+        (lit(2000L) + pmod(h, lit(2000L))).as("duration_ms"),
+        lit(true).as("keyframe_aligned"),
+        concat(lit("audio-"), sid).as("audio_track_id"),
+        concat(lit("video-"), sid).as("video_track_id"))).as("value"),
+      col("timestamp").as("kafka_timestamp"))
+  }
+
+  /** Rate-source wiring for [[syntheticLiveEvents]]. */
+  def syntheticLiveSource(spark: SparkSession, rowsPerSecond: Int, nStreams: Int = 2): DataFrame =
+    syntheticLiveEvents(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load(),
+      nStreams)
 }

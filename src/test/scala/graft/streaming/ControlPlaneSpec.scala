@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.time.Instant
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+import graft.streaming.ControlPlane.{StreamStartRequest, VodUploadRequest}
+
+/** Control-plane semantics (api/main.py:205-307, 360-462, read paths) with
+  * deterministic clock/ids, including the upload -> Kafka event -> Spark
+  * decode round trip and the exactly-once ENDLIST append. */
+class ControlPlaneSpec extends SparkSpec {
+
+  private def fixture() = {
+    val n = s"cp-${System.nanoTime()}"
+    val objects = new Sinks.InMemoryObjectStore(n)
+    val meta = new Sinks.InMemoryMetadataSink(n)
+    val published = mutable.Buffer[(String, String)]()
+    val api = new ControlPlane.Api(objects, meta,
+      publish = (t, v) => published += ((t, v)),
+      now = () => Instant.parse("2026-03-01T10:00:00Z"),
+      newId = () => "deadbeefcafe0123456789ab")
+    (objects, meta, published, api)
+  }
+
+  test("uploadVod: placeholder + uploaded doc + decodable Kafka event") {
+    val (objects, meta, published, api) = fixture()
+    val id = api.uploadVod(VodUploadRequest("Grand Final", durationSeconds = 4.5,
+      fileSizeBytes = 123456))
+    assert(id === "vod-deadbeefcafe")
+
+    // placeholder object (api/main.py:233-245)
+    assert(objects.get("vod-raw", s"$id/raw/0.ts").get.isEmpty)
+
+    // status=uploaded doc (api/main.py:252-273)
+    val doc = meta.find("vod_metadata", id, 0L).get
+    assert(doc("status") === "uploaded")
+    assert(doc("duration_ms") === "4500")
+    assert(doc("title") === "Grand Final")
+    assert(doc("audio_track_id") === s"audio-$id")
+    assert(doc("raw_path") === s"vod-raw/$id/raw/0.ts")
+
+    // published event decodes through the SAME schema the pipeline uses
+    assert(published.map(_._1) === Seq("vod-chunks"))
+    import spark.implicits._
+    val frames = Seq(published.head._2).toDF("value")
+    val row = ChunkEvents.decode(frames, liveDefaults = false).head
+    assert(!row.getAs[Boolean]("corrupt"))
+    assert(row.getAs[String]("stream_id") === id)
+    assert(row.getAs[Long]("duration_ms") === 4500L)
+    assert(row.getAs[String]("title") === "Grand Final")
+    assert(row.getAs[String]("status") === "uploaded")
+    assert(row.getAs[java.sql.Timestamp]("event_ts").toInstant.toString
+      === "2026-03-01T10:00:00Z")
+  }
+
+  test("startStream: pre-warm manifest golden string + live doc") {
+    val (objects, meta, _, api) = fixture()
+    val id = api.startStream(StreamStartRequest("Home", "Away", "League",
+      matchId = Some("match-42")))
+    assert(id === "match-42")
+    assert(objects.getString("manifests", "match-42/live_manifest.m3u8").get
+      === ControlPlane.EmptyLiveManifest)
+    val doc = api.streamMetadata("match-42").get
+    assert(doc("status") === "live")
+    assert(doc("home_team") === "Home")
+    assert(doc("chunk_count") === "0")
+  }
+
+  test("endStream appends ENDLIST exactly once and folds status to vod") {
+    val (objects, meta, _, api) = fixture()
+    val id = api.startStream(StreamStartRequest("H", "A", "C"))
+    assert(api.endStream(id))
+    assert(api.endStream(id)) // idempotent second call
+    val manifest = objects.getString("manifests", s"$id/live_manifest.m3u8").get
+    assert(manifest.sliding("#EXT-X-ENDLIST".length).count(_ == "#EXT-X-ENDLIST") === 1)
+    val doc = api.streamMetadata(id).get
+    assert(doc("status") === "vod")
+    assert(doc("ended_at") === "2026-03-01T10:00:00Z")
+    assert(!api.endStream("nonexistent"))
+  }
+
+  test("read path: vod manifest URL picks the LATEST chunk with a manifest (W1)") {
+    val (_, meta, _, api) = fixture()
+    meta.upsert("vod_metadata", "v1", 0L, Map("manifest_path" -> "manifests/v1/a.m3u8"))
+    meta.upsert("vod_metadata", "v1", 2L, Map("manifest_path" -> "manifests/v1/c.m3u8"))
+    meta.upsert("vod_metadata", "v1", 1L, Map("manifest_path" -> "manifests/v1/b.m3u8"))
+    meta.upsert("vod_metadata", "v1", 3L, Map("status" -> "processing")) // no manifest yet
+    assert(api.vodManifestUrl("v1").get === "https://cdn.local/manifests/v1/c.m3u8?expires=3600")
+    assert(api.vodManifestUrl("missing").isEmpty)
+  }
+
+  test("full loop: uploadVod event drives the VOD pipeline to status=ready") {
+    val (objects, meta, published, api) = fixture()
+    val id = api.uploadVod(VodUploadRequest("Ep 1", 3.0, 999))
+
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-cp").toString
+    val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0), queryName = "cp-vod")
+    try {
+      stream.addData(published.head._2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val doc = meta.find("vod_metadata", id, 0L).get
+    assert(doc("status") === "ready") // uploaded -> ... -> ready (A8 fold)
+    assert(doc("variant_paths").split(",").length === 4)
+    assert(api.vodManifestUrl(id).get.contains(s"manifests/$id/vod_manifest.m3u8"))
+  }
+}
