@@ -93,6 +93,16 @@ object Pipelines {
       .start()
   }
 
+  /** Streaming dedup upstream of the sinks (T11): drops re-delivered
+    * (stream_id, chunk_index) chunks inside the watermark horizon, so the
+    * idempotent upsert is the second — not the only — line of defense.
+    * The reference relies on upsert alone (spark_streaming.py:459-465). */
+  def dedupedChunks(frames: DataFrame, watermark: String = "30 seconds",
+      liveDefaults: Boolean = true): DataFrame =
+    ChunkEvents.valid(ChunkEvents.decode(frames, liveDefaults))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("stream_id", "chunk_index")
+
   /** Event-time tumbling chunk-rate aggregation with a watermark (the
     * streaming form of A7, and the T3 late-data policy the reference lacks:
     * events later than `watermark` past the max seen event time are

@@ -187,6 +187,69 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(meta.count("live_metadata") === 3L)
   }
 
+  test("checkpoint restart: keyed state survives, sinks see no duplicates (T2/T5)") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t6-obj")
+    Sinks.InMemoryMetadataSink.clear("t6-meta")
+    val objects = new Sinks.InMemoryObjectStore("t6-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t6-meta")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-restart").toString
+
+    // run 1: seqs 0..4
+    val q1 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t6a")
+    try {
+      stream.addData((0L to 4L).map(i => eventJson("stream-r", i, i, 3000)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(meta.count("live_metadata") === 5L)
+    assert(Metrics.counter("live_chunk_gaps_total") === 0L)
+
+    // run 2: SAME checkpoint — RocksDB state must resume at lastSeq=4, so
+    // seq 7 fires a gap of exactly 2 (5,6) and no chunk is re-delivered.
+    val q2 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t6b")
+    try {
+      stream.addData(Seq(eventJson("stream-r", 7, 7, 3000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(Metrics.counter("live_chunk_gaps_total") === 2L,
+      "gap vs pre-restart state proves the state store survived the restart")
+    assert(meta.count("live_metadata") === 6L, "no chunk re-delivered to the sink")
+    // manifest window carried across the restart: all six chunks, in order
+    val expected = ManifestFunctions.buildLiveManifest(
+      (Seq(0L, 1L, 2L, 3L, 4L, 7L)).map(i => Segment(3.0, s"stream-r/chunks/$i.ts")),
+      latestChunkIndex = 7L)
+    assert(objects.getString("manifests", "stream-r/live_manifest.m3u8").get === expected)
+  }
+
+  test("dedupedChunks drops re-delivered (stream_id, chunk_index) within watermark (T11)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val deduped = Pipelines.dedupedChunks(StreamSources.frames(stream.toDF()))
+    val q = deduped.select($"stream_id", $"chunk_index").writeStream
+      .format("memory").queryName("dedup_t").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(Seq(
+        eventJson("s1", 0, 0, 3000),
+        eventJson("s1", 0, 0, 3000), // duplicate in the same batch
+        eventJson("s1", 1, 1, 3000)))
+      q.processAllAvailable()
+      stream.addData(Seq(eventJson("s1", 1, 1, 3000))) // duplicate across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(rows.toSeq === Seq(("s1", 0L), ("s1", 1L)))
+  }
+
   test("vod pipeline: status fold to ready, variants, append-only manifest") {
     Metrics.reset()
     Sinks.InMemoryObjectStore.clear("t5-obj")
