@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Streaming suites share one SparkSession and the process-wide Metrics
+// registry; parallel suites race on both (observed flake: a counter
+// asserted by one suite incremented by another's pipeline).
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
