@@ -74,6 +74,12 @@ object Dedup {
 
   /** MinHash + LSH banding: emits candidate near-duplicate pairs (a < b).
     *
+    * Scale note: the banded self-join expands the signature-table subtree on
+    * both sides of the plan, i.e. the corpus text is scanned and hashed
+    * twice. At bench scale that is cheaper than caching; for repeated or
+    * very large runs, materialize [[minhashSignatureTable]] once (persist or
+    * write to parquet) and band over the materialized table.
+    *
     * @param bands  number of LSH bands; each band hashes `k/bands` signature
     *               slots into one bucket key. Pairs agreeing on any band are
     *               candidates. P(candidate) = 1-(1-j^r)^b for Jaccard j.

@@ -22,7 +22,10 @@ class StreamSourcesSpec extends SparkSpec {
   }
 
   test("syntheticLiveEvents: deterministic, round-robin streams, monotonic idx, decodable (S5)") {
+    // pin the timestamp: without one the generator stamps evaluation time,
+    // which differs between the two collects below
     val base = spark.range(0, 100).toDF("value")
+      .withColumn("timestamp", to_timestamp(lit("2026-01-01 00:00:00")))
     val a = StreamSources.syntheticLiveEvents(base, nStreams = 2).collect().map(_.getString(0))
     val b = StreamSources.syntheticLiveEvents(base, nStreams = 2).collect().map(_.getString(0))
     assert(a.toSeq === b.toSeq, "same base -> same events")
