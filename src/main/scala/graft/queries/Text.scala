@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 
 /** Text-analysis + dedup surface over the `documents` fixture (the
   * training-data-pipeline operators from BASELINE.json's north star).
@@ -218,6 +218,44 @@ object Text extends QueryModule {
         FROM pairs
         WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5
         ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q51
+    // Multimodal frame sampling: one row per 256-byte slice of the binary
+    // content column (the per-frame explode shape of a video pipeline).
+    // ASCII fixture => byte offsets == char offsets, so DuckDB replicates
+    // the slicing over the text itself.
+    QueryDef("q51_multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.sampleFrames(Multimodal.assetize(t(s, dir, "documents")))
+          .orderBy($"asset_id", $"frame_no")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id AS asset_id, text,
+            unnest(range(CAST(ceil(length(text) / 256.0) AS BIGINT))) AS frame_no
+          FROM documents)
+        SELECT asset_id, frame_no,
+          md5(substring(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS frame_md5
+        FROM f ORDER BY asset_id, frame_no""")),
+
+    // ---------------------------------------------------------------- q52
+    // The mapPartitions decode plumbing with the STUB codec: width/height
+    // derived from the content MD5 (deterministic; the oracle derives the
+    // same values from md5(text)). Real decoders replace one function body.
+    QueryDef("q52_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeStub(Multimodal.assetize(t(s, dir, "documents")))
+          .toDF()
+          .orderBy($"asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        CAST(64 + CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 448 AS INTEGER) AS width,
+        CAST(64 + (CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) // 448) % 448 AS INTEGER) AS height,
+        md5(text) AS content_md5
+        FROM documents ORDER BY asset_id""")),
 
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,

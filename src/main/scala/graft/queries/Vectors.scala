@@ -103,6 +103,19 @@ object Vectors extends QueryModule {
       },
       None),
 
+    // ---------------------------------------------------------------- q53
+    // IVF approximate k-NN (rows-only; recall pinned in SimilaritySpec):
+    // coarse-quantizer cells + nProbe probing — candidates shrink to
+    // ~ corpus * nProbe / sqrt(n) instead of the whole corpus.
+    QueryDef("q53_ivf_knn",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3, nProbe = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
     // ---------------------------------------------------------------- q45
     // Embedding-cosine near-duplicate pairs via corpus-scaled LSH buckets
     // (rows-only). Threshold calibrated to the fixture's cosine distribution

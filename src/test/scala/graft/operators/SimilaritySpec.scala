@@ -46,6 +46,27 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("ivfKnnJoin: deterministic, no self-matches, recall comparable to probing fraction") {
+    val k = 10
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.knnJoin(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfKnnJoin(emb, queries, k, nProbe = 3)
+    val rows = ivf.collect()
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    val approx = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 500 vectors, ~23 cells, 3 probes -> each query scores ~13% of the
+    // corpus; on the uniform-random fixture recall tracks that fraction.
+    // This pins WIRING (deterministic cells, candidate containment), not
+    // recall tuning.
+    assert(recall > 0.08, s"recall $recall")
+    // determinism across evaluations
+    val again = Similarity.ivfKnnJoin(emb, queries, k, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again === approx)
+  }
+
   test("embeddingNearDups: pairs ordered, above threshold, subset of brute-force truth") {
     val thr = 0.30
     val nd = Similarity.embeddingNearDups(emb, threshold = thr, nPlanes = 2).collect()
