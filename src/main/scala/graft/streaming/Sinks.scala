@@ -158,12 +158,20 @@ object Sinks {
       Metrics.markVodChunk(r.checksum_ok)
     }
 
-  /** foreachBatch body for the live query (empty-batch short-circuit = P5). */
+  /** foreachBatch body for the live query.
+    *
+    * Deliberately NO `batch.isEmpty` pre-check: in foreachBatch every
+    * action re-executes the micro-batch plan, so `isEmpty` +
+    * `foreachPartition` runs the stateful pipeline twice per epoch —
+    * double-counting `observe()` metrics and re-applying state updates.
+    * The reference's empty-batch short-circuit (P5) is subsumed: an empty
+    * batch reaches `deliverLive` with empty partition iterators and does
+    * zero sink work. */
   def liveBatch(objects: ObjectStore, meta: MetadataSink)(
       batch: Dataset[LiveResult], epochId: Long): Unit =
-    if (!batch.isEmpty) batch.foreachPartition(deliverLive(_: Iterator[LiveResult], objects, meta))
+    batch.foreachPartition(deliverLive(_: Iterator[LiveResult], objects, meta))
 
   def vodBatch(objects: ObjectStore, meta: MetadataSink)(
       batch: Dataset[VodResult], epochId: Long): Unit =
-    if (!batch.isEmpty) batch.foreachPartition(deliverVod(_: Iterator[VodResult], objects, meta))
+    batch.foreachPartition(deliverVod(_: Iterator[VodResult], objects, meta))
 }

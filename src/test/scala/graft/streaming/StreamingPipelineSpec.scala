@@ -228,6 +228,49 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(objects.getString("manifests", "stream-r/live_manifest.m3u8").get === expected)
   }
 
+  test("two-query topology (T7): vod + live run concurrently; observe metrics land (K5/A6)") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t7-obj")
+    Sinks.InMemoryMetadataSink.clear("t7-meta")
+    val objects = new Sinks.InMemoryObjectStore("t7-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t7-meta")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val liveStream = MemoryStream[String]
+    val vodStream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-topo").toString
+
+    val (vodQ, liveQ) = Pipelines.startTopology(spark,
+      StreamSources.frames(vodStream.toDF()),
+      StreamSources.frames(liveStream.toDF()),
+      objects, meta, ckpt)
+    try {
+      liveStream.addData((0L to 4L).map(i => eventJson("topo-l", i, i, 3000)))
+      vodStream.addData(
+        """{"stream_id":"topo-v","chunk_index":0,"duration_ms":4000,""" +
+          """"timestamp":"2026-01-01T00:00:00+00:00","title":"T"}""")
+      // startTopology uses the reference triggers (1s/5s) — wait for both
+      liveQ.processAllAvailable()
+      vodQ.processAllAvailable()
+    } finally { liveQ.stop(); vodQ.stop() }
+
+    assert(meta.count("live_metadata") === 5L)
+    assert(meta.count("vod_metadata") === 1L)
+    assert(meta.find("vod_metadata", "topo-v", 0L).get("status") === "ready")
+
+    // A6: every live chunk landed one latency observation
+    val histo = Metrics.latencyHistogram("live")
+    assert(histo.last._1.isPosInfinity && histo.last._2 === 5L)
+    // K5: the listener captured the observe()d per-batch metrics
+    val deadline = System.currentTimeMillis() + 10000
+    while (Metrics.counter("live_metrics.chunks") < 5 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Metrics.counter("live_metrics.chunks") === 5L)
+    assert(Metrics.counter("live_metrics.gap_chunks") === 0L)
+    assert(Metrics.counter("vod_metrics.chunks") === 1L)
+  }
+
   test("dedupedChunks drops re-delivered (stream_id, chunk_index) within watermark (T11)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
