@@ -10,7 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Dot product — the native codegen expression (FloatDot);
+    * same index-ordered double arithmetic as [[dotHof]], compiled instead of
+    * interpreted per element. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.floatDot(a, b)
+
+  /** The declarative higher-order form (kept for the parity test and for
+    * inputs that are not array<float>). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

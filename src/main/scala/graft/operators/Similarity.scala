@@ -26,9 +26,12 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(query.select(col(vecCol).as("query_vec")))
+    val q = broadcast(query.select(col(vecCol).as("query_vec"),
+      norm(col(vecCol)).as("query_nrm")))
     corpus.crossJoin(q)
-      .select(col(idCol), round(cosine(col(vecCol), col("query_vec")), 6).as("sim"))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("query_vec")) / (norm(col(vecCol)) * col("query_nrm")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -41,11 +44,15 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
-    val scored = corpus.crossJoin(q)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      norm(col(vecCol)).as("query_nrm")))
+    val scored = corpus
+      .withColumn("corpus_nrm", norm(col(vecCol))) // once per corpus row, not per pair
+      .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(cosine(col(vecCol), col("query_vec")), 6).as("sim"))
+        round(dot(col(vecCol), col("query_vec")) / (col("corpus_nrm") * col("query_nrm")), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -68,9 +75,11 @@ object Similarity {
   private def bucketed(
       df: DataFrame, idAs: String, vecAs: String, vecCol: String, idCol: String,
       nPlanes: Int, dim: Int, tables: Int): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs), posexplode(
-      array((0 until tables).map(t => lshBucket(col(vecCol), nPlanes, dim, t)): _*))
-      .as(Seq("tbl", "bucket")))
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      norm(col(vecCol)).as(s"${vecAs}_nrm"), // norm once per vector, not per pair
+      posexplode(
+        array((0 until tables).map(t => lshBucket(col(vecCol), nPlanes, dim, t)): _*))
+        .as(Seq("tbl", "bucket")))
 
   /** Approximate k-NN join via random-hyperplane LSH: candidates are pairs
     * sharing a (table, bucket), so the join is hash-partitioned by bucket id
@@ -92,7 +101,8 @@ object Similarity {
     val scored = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("corpus_vec"), col("query_vec")), 6).as("sim"))
+        round(dot(col("corpus_vec"), col("query_vec")) /
+          (col("corpus_vec_nrm") * col("query_vec_nrm")), 6).as("sim"))
       .dropDuplicates("query_id", "neighbor_id") // pair may collide in >1 table
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -151,17 +161,20 @@ object Similarity {
     val corpusCells = typedCorpus.mapPartitions(_.map { case (id, v) =>
       (nearestCells(v, 1).head, id, v)
     }).toDF("cell", "neighbor_id", "corpus_vec")
+      .withColumn("corpus_nrm", norm(col("corpus_vec")))
 
     val queryCells = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
         nearestCells(v, nProbe).map(cell => (cell, id, v))
       }).toDF("cell", "query_id", "query_vec")
+      .withColumn("query_nrm", norm(col("query_vec")))
 
     val scored = corpusCells.join(queryCells, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("corpus_vec"), col("query_vec")), 6).as("sim"))
+        round(dot(col("corpus_vec"), col("query_vec")) /
+          (col("corpus_nrm") * col("query_nrm")), 6).as("sim"))
       .dropDuplicates("query_id", "neighbor_id") // a pair may meet in >1 probed cell
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -188,7 +201,8 @@ object Similarity {
     l.join(r, col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(cosine(col("l.vec"), col("r.vec")), 6).as("sim"))
+        round(dot(col("l.vec"), col("r.vec")) /
+          (col("l.vec_nrm") * col("r.vec_nrm")), 6).as("sim"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("sim") >= threshold)
   }

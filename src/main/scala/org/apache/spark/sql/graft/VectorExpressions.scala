@@ -1,0 +1,70 @@
+// Hosted under org.apache.spark.sql: ExpectsInputTypes.inputTypes returns
+// the private[sql] AbstractDataType, and the Expression->Column bridge
+// (classic.ExpressionUtils) is private[sql] too — the standard packaging
+// for third-party native expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path. The higher-order
+  * `aggregate`/`zip_with` forms in [[VectorFunctions]] are interpreted per
+  * element; a dot product over `array<float>` is the single most executed
+  * kernel in the similarity operators, so it gets a real expression with
+  * whole-stage codegen (SURVEY.md §2.8: custom Expression where built-ins
+  * don't fit; preference (b) on the custom-operator ladder).
+  *
+  * Semantics match the HOF form bit-for-bit on equal-length arrays with
+  * non-null elements (index-ordered sum of double products — the same
+  * contract the DuckDB oracles replicate). Length mismatch: the HOF form
+  * yields NULL via zip_with padding; this expression uses the shorter
+  * length. The embedding fixtures are fixed-dim, non-null.
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column wrapper for [[FloatDot]]. */
+  def floatDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -10,6 +10,19 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = Tables(spark, sf0001, "embeddings").cache()
 
+  test("native FloatDot == higher-order dot, bit-exact, in codegen and interpreted paths") {
+    import graft.functions.VectorFunctions
+    val pairs = emb.as("a").join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 7)
+    val rows = pairs.select(
+      VectorFunctions.dot(col("a.embedding"), col("b.embedding")).as("native"),
+      VectorFunctions.dotHof(col("a.embedding"), col("b.embedding")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "bit-exact parity")
+    }
+  }
+
   test("bruteForceTopK: query vector itself ranks first with sim 1.0") {
     val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 7), k = 5)
       .collect()
