@@ -249,6 +249,36 @@ object Events extends QueryModule {
         FROM events WHERE event_id % 97 <> 0
         ORDER BY stream_id, chunk_index""")),
 
+    // ---------------------------------------------------------------- q54
+    // q27's DVR manifest through the typed ManifestAggregator UDAF instead
+    // of window + collect_list: the aggregation buffer is BOUNDED at N
+    // segments per group (map-side combined), the scale-correct shape for
+    // unbounded chunk histories. Same oracle as q27.
+    QueryDef("q54_manifest_agg",
+      (s, dir) => {
+        import s.implicits._
+        val agg = graft.operators.ManifestAggregator.manifestAgg(N)
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(agg($"event_id", $"value",
+            format_string("user-%d/chunks/%d.ts", $"user_id", $"event_id"))
+            .as("manifest"))
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH lastn AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events)
+        SELECT user_id,
+          '#EXTM3U' || e'\\n' || '#EXT-X-VERSION:3' || e'\\n' ||
+          '#EXT-X-TARGETDURATION:' || CAST(CAST(floor(max(value)) AS BIGINT) + 1 AS VARCHAR) || e'\\n' ||
+          '#EXT-X-PLAYLIST-TYPE:EVENT' || e'\\n' ||
+          '#EXT-X-MEDIA-SEQUENCE:' || CAST(greatest(0, max(event_id) - ${N - 1}) AS VARCHAR) || e'\\n' ||
+          string_agg(printf('#EXTINF:%.3f,', value) || e'\\n' ||
+                     printf('user-%d/chunks/%d.ts', user_id, event_id) || e'\\n',
+                     '' ORDER BY event_id) AS manifest
+        FROM lastn WHERE rn <= $N GROUP BY user_id ORDER BY user_id""")),
+
     // ---------------------------------------------------------------- q27
     QueryDef("q27_dvr_manifest",
       (s, dir) => {
