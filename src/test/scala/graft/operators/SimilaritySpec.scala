@@ -23,6 +23,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("float_dot is SQL-callable via GraftExtensions registration") {
+    org.apache.spark.sql.graft.GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .head.getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("bruteForceTopK: query vector itself ranks first with sim 1.0") {
     val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 7), k = 5)
       .collect()
