@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming throughput/latency bench: drives the live pipeline from the
+  * synthetic rate source for a fixed window and prints one JSON line with
+  * chunks/s and micro-batch duration percentiles. Comparable to the
+  * reference's operational numbers (BASELINE.md: 1.32 chunks/s sustained,
+  * live processing p99 ~2,000 ms on its 4-CPU setup; target <500 ms/batch).
+  *
+  * `runMain graft.streaming.StreamBench [seconds] [rowsPerSecond]`
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val seconds = args.headOption.map(_.toInt).getOrElse(30)
+    val rps = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val batchMs = new ConcurrentLinkedQueue[Long]()
+    val rowsPerBatch = new ConcurrentLinkedQueue[Long]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        if (e.progress.numInputRows > 0) {
+          // triggerExecution is the end-to-end micro-batch time; the other
+          // durationMs entries are its sub-phases (summing would double-count).
+          Option(e.progress.durationMs.get("triggerExecution"))
+            .foreach(ms => batchMs.add(ms.toLong))
+          rowsPerBatch.add(e.progress.numInputRows)
+        }
+      }
+    })
+
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("sbench")
+    Sinks.InMemoryMetadataSink.clear("sbench")
+    val objects = new Sinks.InMemoryObjectStore("sbench")
+    val meta = new Sinks.InMemoryMetadataSink("sbench")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-ckpt").toString
+
+    val t0 = System.nanoTime()
+    val q = Pipelines.startLive(
+      StreamSources.syntheticLiveSource(spark, rowsPerSecond = rps, nStreams = 16),
+      objects, meta, ckpt)
+    spark.streams.awaitAnyTermination(seconds * 1000L)
+    q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val processed = Metrics.counter("spark_live_chunks_processed_total")
+    val durations = batchMs.asScala.toSeq.sorted
+    def pct(p: Double): Long =
+      if (durations.isEmpty) 0L
+      else durations(math.min(durations.size - 1, (p * durations.size).toInt))
+    val json =
+      s"""{"metric":"stream_throughput","chunks_per_sec":${"%.1f".format(processed / wallSec)},""" +
+        s""""chunks":$processed,"wall_sec":${"%.1f".format(wallSec)},""" +
+        s""""batches":${durations.size},"batch_ms_p50":${pct(0.5)},""" +
+        s""""batch_ms_p95":${pct(0.95)},"batch_ms_p99":${pct(0.99)},""" +
+        s""""gaps":${Metrics.counter("live_chunk_gaps_total")},""" +
+        s""""active_streams":${Metrics.activeLiveStreams}}"""
+    println(json)
+    spark.stop()
+  }
+}
