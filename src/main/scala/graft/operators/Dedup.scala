@@ -59,26 +59,30 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 16,
       shingle: Int = 3): DataFrame = {
-    val ids = docs.select(col(idCol).as("id"))
+    // explode_outer keeps shingle-less docs as a single null-shingle row, so
+    // no second scan + join-back is needed to preserve them; the guarded
+    // hash leaves their mins null -> coalesced to the Long.MaxValue sentinel
+    // (bit-identical to the former ids-join form, one corpus scan cheaper).
     val hashed = docs
       .select(col(idCol).as("id"),
-        explode(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
+        explode_outer(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
       .select(col("id") +: (0 until k).map(seed =>
-        xxhash64(lit(seed), col("sh")).as(s"h$seed")): _*)
-    val aggd = hashed.groupBy(col("id"))
+        when(col("sh").isNotNull, xxhash64(lit(seed), col("sh"))).as(s"h$seed")): _*)
+    hashed.groupBy(col("id"))
       .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-    ids.join(aggd, Seq("id"), "left")
       .select(col("id"),
         array((0 until k).map(i => coalesce(col(s"h$i"), lit(Long.MaxValue))): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: emits candidate near-duplicate pairs (a < b).
     *
-    * Scale note: the banded self-join expands the signature-table subtree on
-    * both sides of the plan, i.e. the corpus text is scanned and hashed
-    * twice. At bench scale that is cheaper than caching; for repeated or
-    * very large runs, materialize [[minhashSignatureTable]] once (persist or
-    * write to parquet) and band over the materialized table.
+    * Scale note: the self-join would otherwise expand the signature-table
+    * subtree on both sides of the plan (corpus scanned + hashed twice), so
+    * the signature table — one tiny (id, k longs) row per doc, ~1e-3 of
+    * corpus bytes — is persisted MEMORY_AND_DISK and computed once. The
+    * shingle arrays for the Jaccard refinement are NOT cached: they are
+    * corpus-sized, and re-scanning columnar parquet twice beats spilling a
+    * corpus-sized cache at scale.
     *
     * @param bands  number of LSH bands; each band hashes `k/bands` signature
     *               slots into one bucket key. Pairs agreeing on any band are
@@ -99,6 +103,7 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per (band, bucket): bucket = hash of the band's signature slice
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -163,17 +168,19 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // explode_outer + guarded hash keep token-less docs without a second
+    // scan + join-back (see minhashSignatureTable); their null hash rows sum
+    // each bit to -1 -> fingerprint 0, exactly what the join form produced.
     val hashed = docs
-      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tk"))
-      .select(col("id"), xxhash64(col("tk")).as("h"))
+      .select(col(idCol).as("id"), explode_outer(TextFunctions.tokens(col(textCol))).as("tk"))
+      .select(col("id"), when(col("tk").isNotNull, xxhash64(col("tk"))).as("h"))
     val bitAggs = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"b$bit")
     }
     val aggd = hashed.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
     val fp = simhashFromBitSums((0 until 64).map(bit => col(s"b$bit")))
-    docs.select(col(idCol).as("id")).join(aggd, Seq("id"), "left")
-      .select(col("id"), fp.as("simhash"))
+    aggd.select(col("id"), fp.as("simhash"))
   }
 
   /** SimHash candidates refined with exact shingle-Jaccard — the SimHash
@@ -215,7 +222,10 @@ object Dedup {
       idCol: String = "doc_id",
       blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
+    // Persisted for the same reason as minhashCandidates' signature table:
+    // one (id, long) row per doc, computed once instead of on both join sides.
     val withSim = simhashTable(docs, textCol, idCol).withColumnRenamed("simhash", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("sim"), posexplode(
       array((0 until blocks).map { b =>
         shiftrightunsigned(col("sim"), b * width)
