@@ -479,5 +479,32 @@ object Relational extends QueryModule {
           (SELECT CAST(avg(spend) AS DECIMAL(38,6)) FROM (
              SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS spend
              FROM orders GROUP BY o_custkey)) * 1.5
-        ORDER BY o_custkey""")))
+        ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------------- q55
+    // Skew-safe join: the salted form (operators.JoinStrategies.saltedJoin)
+    // spreads each join key over `salts` shuffle partitions — the manual
+    // remedy for a single key too large for one executor, where AQE's
+    // skew-split can't help (it only splits the probe side). The result is
+    // identical to the plain join, which is exactly what the oracle checks.
+    QueryDef("q55_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val lineitem = t(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_orderkey", $"l_quantity")
+        val supplier = t(s, dir, "supplier")
+          .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+        graft.operators.JoinStrategies
+          .saltedJoin(lineitem, supplier, key = "l_suppkey",
+            rowKey = "l_orderkey", salts = 8)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("line_cnt"),
+               sum($"l_quantity".cast("decimal(30,6)")).cast("decimal(38,6)")
+                 .cast("double").as("sum_qty"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS line_cnt,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")))
 }
