@@ -339,4 +339,82 @@ class StreamingPipelineSpec extends SparkSpec {
         "#EXTINF:3.999,\nvod-1/1080p/2.ts\n"
     assert(manifest === expected)
   }
+
+  private def jsonAt(streamId: String, idx: Long, iso: String): String =
+    s"""{"stream_id":"$streamId","chunk_index":$idx,"sequence_number":$idx,""" +
+      s""""timestamp":"$iso","size_bytes":${500000 + idx},""" +
+      s""""stream_type":"live","status":"received","checksum":"c$idx",""" +
+      s""""duration_ms":2000,"keyframe_aligned":true,""" +
+      s""""audio_track_id":"aud","video_track_id":"vid"}"""
+
+  test("chunkRates (A7/T3): tumbling event-time windows drop data later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-rates").toString
+
+    val q = Pipelines.chunkRates(StreamSources.frames(stream.toDF()),
+        windowLength = "1 minute", watermark = "30 seconds")
+      .writeStream.queryName("rates_t6").outputMode("append").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // three chunks inside the [00:00, 00:01) window
+      stream.addData(Seq(
+        jsonAt("stream-r", 0, "2026-01-01T00:00:05+00:00"),
+        jsonAt("stream-r", 1, "2026-01-01T00:00:15+00:00"),
+        jsonAt("stream-r", 2, "2026-01-01T00:00:45+00:00")))
+      q.processAllAvailable()
+      // advances the watermark to 00:01:30 -> the first window closes+emits
+      stream.addData(jsonAt("stream-r", 3, "2026-01-01T00:02:00+00:00"))
+      q.processAllAvailable()
+      // LATE: event time 00:00:20 is behind the 00:01:30 watermark -> dropped,
+      // the already-emitted first window is not revised (append correctness)
+      stream.addData(jsonAt("stream-r", 4, "2026-01-01T00:00:20+00:00"))
+      q.processAllAvailable()
+      // flush: closes the [00:02, 00:03) window
+      stream.addData(jsonAt("stream-r", 5, "2026-01-01T00:04:00+00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("rates_t6")
+      .select($"window_start".cast("string"), $"chunks").as[(String, Long)]
+      .collect().toMap
+    assert(rows("2026-01-01 00:00:00") === 3L,
+      "late event must not be added to its closed window")
+    assert(rows("2026-01-01 00:02:00") === 1L)
+    assert(!rows.valuesIterator.contains(4L), "no window may contain the late row")
+  }
+
+  test("correlateWithControl (J2): stream-stream join matches chunks to control events by key and time") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val chunks = MemoryStream[String]
+    val control = MemoryStream[(String, Timestamp, String)]
+    val ckpt = Files.createTempDirectory("ckpt-corr").toString
+
+    val q = Pipelines.correlateWithControl(
+        StreamSources.frames(chunks.toDF()),
+        control.toDF().toDF("stream_id", "control_ts", "action"),
+        skew = "1 minute", watermark = "30 seconds")
+      .writeStream.queryName("corr_t7").outputMode("append").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      chunks.addData(Seq(
+        jsonAt("stream-a", 0, "2026-01-01T00:00:10+00:00"),
+        jsonAt("stream-a", 1, "2026-01-01T00:05:00+00:00"), // outside ±1m of any control
+        jsonAt("stream-b", 0, "2026-01-01T00:00:20+00:00"))) // key matches no control
+      control.addData(("stream-a", Timestamp.valueOf("2026-01-01 00:00:40"), "quality_change"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("corr_t7")
+      .select($"stream_id", $"chunk_index", $"action").as[(String, Long, String)]
+      .collect().toSet
+    // only stream-a chunk 0 is within ±1 minute of the control event
+    assert(rows === Set(("stream-a", 0L, "quality_change")))
+  }
 }
