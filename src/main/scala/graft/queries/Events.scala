@@ -316,5 +316,36 @@ object Events extends QueryModule {
           string_agg(printf('#EXTINF:%.3f,', value) || e'\\n' ||
                      printf('user-%d/chunks/%d.ts', user_id, event_id) || e'\\n',
                      '' ORDER BY event_id) AS manifest
-        FROM lastn WHERE rn <= $N GROUP BY user_id ORDER BY user_id""")))
+        FROM lastn WHERE rn <= $N GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q56
+    // A6 latency histogram, batch form: cumulative bucket counts over the
+    // reference's Prometheus buckets (graft.streaming.Metrics.LatencyBuckets,
+    // spark_streaming.py:95). Latency is derived deterministically from
+    // event_id so every bucket including +Inf is exercised. Single scan,
+    // conditional aggregation — one partial-agg shuffle of one row.
+    QueryDef("q56_latency_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val latS = pmod($"event_id", lit(2000L)) / lit(100.0)
+        val buckets = graft.streaming.Metrics.LatencyBuckets
+        val cols =
+          buckets.map(b => count_if(latS <= b).as(bucketCol(b))) ++
+            Seq(count(lit(1)).as("le_inf"),
+                sum(floor(latS * 1000.0)).cast("long").as("sum_ms"))
+        t(s, dir, "events").agg(cols.head, cols.tail: _*)
+      },
+      Some {
+        val buckets = graft.streaming.Metrics.LatencyBuckets
+        val latSql = "(event_id % 2000) / 100.0"
+        s"""SELECT
+          ${buckets.map(b => s"count(*) FILTER ($latSql <= $b) AS ${bucketCol(b)},").mkString(" ")}
+          count(*) AS le_inf,
+          CAST(sum(floor($latSql * 1000.0)) AS BIGINT) AS sum_ms
+          FROM events"""
+      }))
+
+  /** Column-safe bucket name: le_0_25 for the 0.25 s bucket. */
+  private def bucketCol(b: Double): String =
+    "le_" + (if (b == b.floor) b.toLong.toString else b.toString.replace('.', '_'))
 }
