@@ -203,7 +203,10 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(dot(col("l.vec"), col("r.vec")) /
           (col("l.vec_nrm") * col("r.vec_nrm")), 6).as("sim"))
-      .dropDuplicates("id_a", "id_b")
+      // threshold BEFORE the pair-dedup: sim is deterministic per pair, so
+      // the dedup shuffle carries only the (rare) near-dup pairs instead of
+      // every multi-table candidate collision.
       .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }
