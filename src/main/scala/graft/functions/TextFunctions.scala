@@ -46,7 +46,10 @@ object TextFunctions {
     val joined = (1 until n).foldLeft(ws) { (acc, k) =>
       zip_with(acc, shifted(k), (a, b) => concat(a, lit(" "), b))
     }
-    filter(joined, _.isNotNull)
+    // NULL text propagates a null array through zip_with/filter; the
+    // contract is "no shingles" = empty array (pinned in TextFunctionsSpec),
+    // so null docs don't surface null jaccard/signature rows downstream.
+    coalesce(filter(joined, _.isNotNull), array().cast("array<string>"))
   }
 
   def distinctShingles(text: Column, n: Int): Column =

@@ -79,26 +79,38 @@ object Dedup {
     * Scale note: the self-join would otherwise expand the signature-table
     * subtree on both sides of the plan (corpus scanned + hashed twice), so
     * the signature table — one tiny (id, k longs) row per doc, ~1e-3 of
-    * corpus bytes — is persisted MEMORY_AND_DISK and computed once. The
-    * shingle arrays for the Jaccard refinement are NOT cached: they are
-    * corpus-sized, and re-scanning columnar parquet twice beats spilling a
-    * corpus-sized cache at scale.
+    * corpus bytes — is persisted MEMORY_AND_DISK and computed once, and the
+    * candidate pairs (orders of magnitude smaller still at these parameters)
+    * are eagerly materialized via localCheckpoint so the signature cache is
+    * released before this returns: repeated calls don't pin per-call storage
+    * for the session lifetime, and checkpoint blocks are freed by Spark's
+    * ContextCleaner once the returned frame is unreferenced. The shingle
+    * arrays for the Jaccard refinement are NOT cached: they are corpus-sized,
+    * and re-scanning columnar parquet twice beats spilling a corpus-sized
+    * cache at scale.
     *
-    * @param bands  number of LSH bands; each band hashes `k/bands` signature
-    *               slots into one bucket key. Pairs agreeing on any band are
-    *               candidates. P(candidate) = 1-(1-j^r)^b for Jaccard j.
-    *               Default k=16/bands=8 gives r=2 rows per band — candidate
-    *               threshold ~(1/8)^(1/2) ~= 0.35, robust for j >= 0.5 even
-    *               on small shingle sets where signature agreement has high
-    *               variance (r=4 demonstrably misses j=0.9 pairs with ~10
-    *               shingles).
+    * @param bands  number of LSH bands; each band hashes `r = k/bands`
+    *               signature slots into one bucket key. Pairs agreeing on any
+    *               band are candidates. P(candidate) = 1-(1-j^r)^b for
+    *               Jaccard j. Default k=64/bands=16 gives r=4 rows per band —
+    *               candidate threshold (1/16)^(1/4) ~= 0.5, with
+    *               false-candidate rate ~ b*j^r ~= 16*(0.05)^4 = 1e-4 at the
+    *               j~=0.05 background similarity typical of boilerplate-heavy
+    *               web corpora, so the candidate set stays sub-quadratic at
+    *               100 TB. (r=2 banding admits background pairs at
+    *               1-(1-j^2)^b ~= 2%, an O(n^2/50) candidate set — a scale
+    *               liability.) Signature variance on short docs is handled by
+    *               MORE HASHES (k=64, 16 independent band chances), not fewer
+    *               rows per band: a j=0.9 pair misses a 4-row band with
+    *               p=1-0.9^4~=0.34, but misses all 16 with p~=3e-8 (pinned in
+    *               DedupSpec's short-doc test).
     */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 16,
-      bands: Int = 8,
+      k: Int = 64,
+      bands: Int = 16,
       shingle: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
@@ -112,10 +124,14 @@ object Dedup {
     // self-join within (band, bucket); dedupe pairs that collide in >1 band
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-              col("l.id") < col("r.id"))
+    val cands = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+      .localCheckpoint(true) // eager: lets sig be unpersisted before return
+    sig.unpersist(blocking = false)
+    cands
   }
 
   /** Candidate pairs refined with exact shingle-Jaccard, keeping pairs at or
@@ -125,8 +141,8 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 16,
-      bands: Int = 8,
+      k: Int = 64,
+      bands: Int = 16,
       shingle: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
     val sh = docs.select(col(idCol).as("sid"),
@@ -222,8 +238,10 @@ object Dedup {
       idCol: String = "doc_id",
       blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
-    // Persisted for the same reason as minhashCandidates' signature table:
-    // one (id, long) row per doc, computed once instead of on both join sides.
+    // Persisted for the same reason as minhashCandidates' signature table
+    // (computed once instead of on both join sides), and released the same
+    // way: candidates are eagerly materialized, then the cache is dropped so
+    // repeated calls don't pin storage for the session lifetime.
     val withSim = simhashTable(docs, textCol, idCol).withColumnRenamed("simhash", "sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("sim"), posexplode(
@@ -233,12 +251,16 @@ object Dedup {
       }: _*)).as(Seq("block", "key")))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
-              col("l.id") < col("r.id"))
+    val cands = l.join(r,
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .drop("sim_a", "sim_b")
+      .localCheckpoint(true) // eager: lets the simhash cache be released
+    withSim.unpersist(blocking = false)
+    cands
   }
 }

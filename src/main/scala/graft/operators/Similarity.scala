@@ -69,6 +69,14 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head.getInt(0)
 
+  // Callers that invoke an ANN operator repeatedly should pass corpusSize /
+  // dim explicitly: the auto-detection below is cheap (a count over parquet
+  // footers + a 1-row head) but each is still an extra Spark job per call.
+  private def sizeOf(df: DataFrame, given: Long): Long =
+    if (given > 0) given else df.count()
+  private def dimOf(df: DataFrame, vecCol: String, given: Int): Int =
+    if (given > 0) given else vecDim(df, vecCol)
+
   /** One (table, bucket) row per input vector per hash table. Multi-table
     * banding: a true neighbor missed by one table's buckets is caught by
     * another — recall grows with `tables` at linear (not quadratic) cost. */
@@ -93,11 +101,14 @@ object Similarity {
       tables: Int = 2,
       targetBucketSize: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val dim = vecDim(corpus, vecCol)
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucketSize)
-    val cb = bucketed(corpus, "neighbor_id", "corpus_vec", vecCol, idCol, planes, dim, tables)
-    val qb = bucketed(queries, "query_id", "query_vec", vecCol, idCol, planes, dim, tables)
+      vecCol: String = "embedding",
+      corpusSize: Long = -1,
+      dim: Int = -1): DataFrame = {
+    val d = dimOf(corpus, vecCol, dim)
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(sizeOf(corpus, corpusSize), targetBucketSize)
+    val cb = bucketed(corpus, "neighbor_id", "corpus_vec", vecCol, idCol, planes, d, tables)
+    val qb = bucketed(queries, "query_id", "query_vec", vecCol, idCol, planes, d, tables)
     val scored = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -110,20 +121,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Default IVF centroid-count cap. Real IVF fixes the coarse-quantizer
+    * size INDEPENDENT of n (FAISS-style nlist), so cell assignment is
+    * O(n * C * d) with constant C — not the O(n^1.5 * d) a sqrt(n) quantizer
+    * costs at billion-vector scale. 4096 centroids * 1e3 dims * 4B = 16 MB
+    * broadcast, and assignment is 4096 dot products/row worst case. */
+  val DefaultMaxCentroids = 4096
+
+  /** Deterministic IVF coarse quantizer: the `c` corpus vectors with the
+    * smallest xxhash64(id) — a stable pseudo-random sample, computed as a
+    * TakeOrdered (no full sort materialized). Collecting C * d floats to the
+    * driver is the standard, bounded IVF pattern (<= 16 MB at the default
+    * cap). Exposed so repeated [[ivfKnnJoin]] calls against the same corpus
+    * can train once and reuse. */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nCentroids: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+  }
+
   /** IVF (inverted-file) approximate k-NN — the second ANN scale path
-    * beside LSH. A deterministic coarse quantizer (centroids = the
-    * ~sqrt(n) corpus vectors with the smallest xxhash64(id), i.e. a stable
-    * pseudo-random sample) partitions the corpus into cells; each query
-    * probes its `nProbe` nearest cells, so scored candidates are
-    * ~ |corpus| * nProbe / C instead of the full corpus.
+    * beside LSH. A deterministic coarse quantizer ([[ivfCentroids]])
+    * partitions the corpus into cells; each query probes its `nProbe`
+    * nearest cells, so scored candidates are ~ |corpus| * nProbe / C
+    * instead of the full corpus.
+    *
+    * Cost model: assignment is O(n * C * d) with C capped at
+    * [[DefaultMaxCentroids]] (fixed, independent of n — pass `nCentroids`
+    * to override); the per-row cell selection keeps a running top-`probes`
+    * (probes is 1 for corpus rows, nProbe for queries), not a full C-sort.
     *
     * Cell assignment runs as a mapPartitions loop over the broadcast
     * centroid array — C dot products per row in tight JVM code. This is
     * the deliberate mapPartitions case: per-row argmin against a broadcast
     * array is imperative, not relational, and a crossJoin would blow the
-    * row count to n*C. Centroid table size is the driver bound:
-    * sqrt(1e9) * 64 dims * 4B ~= 8 MB at billion-vector scale — standard
-    * IVF practice. */
+    * row count to n*C.
+    *
+    * @param centroids  precomputed quantizer from [[ivfCentroids]] — pass it
+    *                   when calling repeatedly so training runs once.
+    * @param corpusSize amortization: skips the sizing count() when >0 and
+    *                   `nCentroids`/`centroids` are not given. */
   def ivfKnnJoin(
       corpus: DataFrame,
       queries: DataFrame,
@@ -131,31 +177,52 @@ object Similarity {
       nCentroids: Int = 0,
       nProbe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      centroids: Array[Array[Float]] = null,
+      corpusSize: Long = -1): DataFrame = {
     import corpus.sparkSession.implicits._
     val typedCorpus = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-    val c = if (nCentroids > 0) nCentroids
-      else math.max(2, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
-
-    val centroids: Array[Array[Float]] = corpus
-      .select(col(idCol), col(vecCol).cast("array<float>"))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(c)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2)
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val cents: Array[Array[Float]] =
+      if (centroids != null) centroids
+      else {
+        // cells sized for ~64-vector occupancy on small corpora, hard-capped
+        // at DefaultMaxCentroids so C never scales with n
+        val c = if (nCentroids > 0) nCentroids
+          else math.min(DefaultMaxCentroids,
+            math.max(2, math.ceil(sizeOf(corpus, corpusSize).toDouble / 64).toInt))
+        ivfCentroids(corpus, c, idCol, vecCol)
+      }
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
 
     def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    def nearestCells(v: Array[Float], probes: Int): Seq[Int] = {
+    // Running top-`probes` by (score desc, index asc) — O(C * probes) per
+    // row with probes ~ 1..4, vs O(C log C) for the former full sort.
+    def nearestCells(v: Array[Float], probes: Int): Array[Int] = {
       val cs = bc.value
-      cs.indices.map(ci => ci -> cosineLocal(v, cs(ci))).sortBy(x => (-x._2, x._1))
-        .take(probes).map(_._1)
+      val n = math.min(probes, cs.length)
+      if (n == 0) return Array.empty[Int]
+      val topIdx = new Array[Int](n)
+      val topScore = new Array[Double](n)
+      var filled = 0
+      var ci = 0
+      while (ci < cs.length) {
+        val s = cosineLocal(v, cs(ci))
+        if (filled < n || s > topScore(filled - 1)) {
+          var pos = math.min(filled, n - 1)
+          while (pos > 0 && topScore(pos - 1) < s) {
+            topIdx(pos) = topIdx(pos - 1); topScore(pos) = topScore(pos - 1); pos -= 1
+          }
+          topIdx(pos) = ci; topScore(pos) = s
+          if (filled < n) filled += 1
+        }
+        ci += 1
+      }
+      java.util.Arrays.copyOf(topIdx, filled)
     }
 
     val corpusCells = typedCorpus.mapPartitions(_.map { case (id, v) =>
@@ -192,10 +259,13 @@ object Similarity {
       tables: Int = 2,
       targetBucketSize: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val dim = vecDim(corpus, vecCol)
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucketSize)
-    val b = bucketed(corpus, "id", "vec", vecCol, idCol, planes, dim, tables)
+      vecCol: String = "embedding",
+      corpusSize: Long = -1,
+      dim: Int = -1): DataFrame = {
+    val d = dimOf(corpus, vecCol, dim)
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(sizeOf(corpus, corpusSize), targetBucketSize)
+    val b = bucketed(corpus, "id", "vec", vecCol, idCol, planes, d, tables)
     val l = b.as("l")
     val r = b.as("r")
     l.join(r, col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&

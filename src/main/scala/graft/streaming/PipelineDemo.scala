@@ -28,11 +28,14 @@ object PipelineDemo {
     // Control plane: one VOD upload feeding the VOD topic via a MemoryStream
     // stand-in is overkill here — the demo drives the LIVE path with the
     // synthetic generator and prints the metric surface.
-    val live = StreamSources.syntheticLiveSource(spark, rowsPerSecond = 50, nStreams = 3)
+    // gapEvery=40: the demo horizon (~seconds*50 rows over 3 streams) must
+    // cross several gap points so the gap counters are exercised.
+    val live = StreamSources.syntheticLiveSource(spark, rowsPerSecond = 50, nStreams = 3,
+      gapEvery = 40)
     val vod = StreamSources.syntheticLiveEvents(
       spark.readStream.format("rate").option("rowsPerSecond", "2").load(), nStreams = 1)
 
-    spark.streams.addListener(new Metrics.ProgressListener)
+    Pipelines.registerProgressListener(spark)
     val vodQ = Pipelines.startVod(vod, objects, meta, s"$ckpt/vod")
     val liveQ = Pipelines.startLive(live, objects, meta, s"$ckpt/live")
 

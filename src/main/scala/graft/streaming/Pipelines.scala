@@ -141,6 +141,28 @@ object Pipelines {
         col("k.action").as("action"))
   }
 
+  // One ProgressListener per session, registered at most once: a second
+  // startTopology on the same session must not double-count every observe()d
+  // metric into the process-wide registry.
+  private val progressListeners =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Metrics.ProgressListener]()
+
+  /** Idempotently attach the metrics ProgressListener to `spark`; returns
+    * the (single) registered instance so callers can removeListener on
+    * shutdown. */
+  def registerProgressListener(spark: SparkSession): Metrics.ProgressListener =
+    progressListeners.computeIfAbsent(spark, s => {
+      val l = new Metrics.ProgressListener
+      s.streams.addListener(l)
+      l
+    })
+
+  /** Detach and forget the session's ProgressListener (test teardown). */
+  def unregisterProgressListener(spark: SparkSession): Unit = {
+    val l = progressListeners.remove(spark)
+    if (l != null) spark.streams.removeListener(l)
+  }
+
   /** The full two-query topology; caller blocks with
     * `spark.streams.awaitAnyTermination()` (T7). */
   def startTopology(
@@ -150,7 +172,7 @@ object Pipelines {
       objects: ObjectStore,
       meta: MetadataSink,
       checkpointRoot: String): (StreamingQuery, StreamingQuery) = {
-    spark.streams.addListener(new Metrics.ProgressListener)
+    registerProgressListener(spark)
     val vod = startVod(vodFrames, objects, meta, s"$checkpointRoot/vod")
     val live = startLive(liveFrames, objects, meta, s"$checkpointRoot/live")
     (vod, live)

@@ -80,9 +80,18 @@ object StreamSources {
     * `spark.range` in tests. Mirrors the reference producer's shape
     * (producer/producer.py:283-307): round-robin streams, monotonic chunk
     * index per stream, sizes 500KB-2MB, durations 2-4s, and one injected
-    * sequence gap per ~200 chunks (producer.py:269,276-281) — but keyed on
-    * a stable hash instead of RNG so every run generates the same stream. */
-  def syntheticLiveEvents(base: DataFrame, nStreams: Int = 2): DataFrame = {
+    * sequence gap per 200 chunks (producer.py:269,276-281) — but keyed on
+    * a stable formula instead of RNG so every run generates the same stream.
+    *
+    * Gap injection is CUMULATIVE like the reference's
+    * `sequence_number += skipped` (producer.py:280): the m-th gap point of a
+    * stream (chunk index ≡ 199 mod 200) skips `1 + m%3` sequence slots and
+    * every later chunk keeps the offset, so seq is monotone non-decreasing
+    * and a gap never triggers the T4 late-seq reset on the following chunk.
+    * The prefix sum of skip sizes has the closed form
+    * `m + 3*floor(m/3) + (m%3==2 ? 1 : 0)` (full 1+2+3 cycles plus the
+    * started cycle), so the generator stays a pure column expression. */
+  def syntheticLiveEvents(base: DataFrame, nStreams: Int = 2, gapEvery: Int = 200): DataFrame = {
     val withTs =
       if (base.columns.contains("timestamp")) base
       else base.withColumn("timestamp", current_timestamp())
@@ -90,12 +99,16 @@ object StreamSources {
     val sid = concat(lit("live-"), pmod(v, lit(nStreams)).cast("string"))
     val idx = (v / nStreams).cast("long")
     val h = abs(xxhash64(sid, idx))
-    val gap = (pmod(h, lit(200)) === 0L).cast("long") * (lit(1L) + pmod(h, lit(3)))
+    // m = number of gap points at chunk indices <= idx; cumGap = sum of the
+    // cycling skip sizes (1,2,3,1,2,...) over those m points.
+    val m = floor((idx + 1L) / gapEvery.toLong).cast("long")
+    val cumGap = m + lit(3L) * floor(m / 3L).cast("long") +
+      when(pmod(m, lit(3L)) === 2L, 1L).otherwise(0L)
     withTs.select(
       to_json(struct(
         sid.as("stream_id"),
         idx.as("chunk_index"),
-        (idx + gap).as("sequence_number"),
+        (idx + cumGap).as("sequence_number"),
         date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
         (lit(500000L) + pmod(h, lit(1500000L))).as("size_bytes"),
         lit("live").as("stream_type"),
@@ -109,9 +122,10 @@ object StreamSources {
   }
 
   /** Rate-source wiring for [[syntheticLiveEvents]]. */
-  def syntheticLiveSource(spark: SparkSession, rowsPerSecond: Int, nStreams: Int = 2): DataFrame =
+  def syntheticLiveSource(spark: SparkSession, rowsPerSecond: Int, nStreams: Int = 2,
+      gapEvery: Int = 200): DataFrame =
     syntheticLiveEvents(
       spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSecond.toString).load(),
-      nStreams)
+      nStreams, gapEvery)
 }

@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -23,9 +23,15 @@ import org.apache.spark.sql.types._
   * contract the DuckDB oracles replicate). Length mismatch: the HOF form
   * yields NULL via zip_with padding; this expression uses the shorter
   * length. The embedding fixtures are fixed-dim, non-null.
+  *
+  * ImplicitCastInputTypes keeps the public `dot()` input domain of the old
+  * HOF form: array<double>/array<int> inputs are implicitly cast to
+  * array<float> at analysis instead of failing. Note the cast is to SINGLE
+  * precision — callers needing full-double accumulation over array<double>
+  * should use [[graft.functions.VectorFunctions.dotHof]].
   */
 case class FloatDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))

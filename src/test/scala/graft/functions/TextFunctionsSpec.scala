@@ -36,6 +36,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[collection.Seq[String]](TextFunctions.wordShingles($"t", 3), "a b").isEmpty)
   }
 
+  test("wordShingles of NULL text is an empty array, not null") {
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("sh"),
+        TextFunctions.distinctShingles($"t", 3).as("dsh")).collect().head
+    assert(!r.isNullAt(0) && r.getSeq[String](0).isEmpty)
+    assert(!r.isNullAt(1) && r.getSeq[String](1).isEmpty)
+  }
+
   test("jaccard of shingle sets") {
     val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
     val j = df.select(TextFunctions.jaccard(

@@ -34,17 +34,38 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH candidates include the near-dup pair, not the unrelated one") {
-    val pairs = Dedup.minhashCandidates(docs, k = 16, bands = 8)
+    val pairs = Dedup.minhashCandidates(docs) // production defaults k=64/b=16/r=4
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)), s"expected (1,3) in $pairs")
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
   }
 
   test("minhashNearDups refines with exact jaccard threshold") {
-    val nd = Dedup.minhashNearDups(docs, threshold = 0.5, k = 16, bands = 8)
+    val nd = Dedup.minhashNearDups(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nd.contains((1L, 3L)))
     assert(nd.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("r=4 banding still catches j~0.9 SHORT docs (the k=16/r=4 regression case)") {
+    // ~19 distinct 3-shingles, one token changed at the end -> jaccard ~ 0.9;
+    // with only ~19 shingles each signature slot has high variance, which is
+    // what sank k=16/r=4 in round 2. k=64/b=16 gives 16 independent 4-row
+    // band chances: idealized miss probability (1-0.9^4)^16 ~= 3e-8.
+    val short1 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform"
+    val short2 = short1.replace("uniform", "victor")
+    val d = Seq((10L, short1), (11L, short2)).toDF("doc_id", "text")
+    val j = d.as("a").crossJoin(d.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select(graft.functions.TextFunctions.jaccard(
+        graft.functions.TextFunctions.distinctShingles($"a.text", 3),
+        graft.functions.TextFunctions.distinctShingles($"b.text", 3)).as("j"))
+      .head().getDouble(0)
+    assert(j >= 0.85 && j < 1.0, s"fixture jaccard $j should be ~0.9")
+    val pairs = Dedup.minhashCandidates(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"short-doc near-dup pair missed: $pairs")
   }
 
   test("simhash: near-dups have small hamming distance, unrelated large") {

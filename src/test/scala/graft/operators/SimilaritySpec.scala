@@ -23,6 +23,13 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dot() accepts array<double>/array<int> via implicit cast (old HOF input domain)") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Seq(1.0, 2.0), Seq(3, 4))).toDF("d", "i")
+    val r = df.select(VectorFunctions.dot($"d", $"i").as("dot")).head.getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("float_dot is SQL-callable via GraftExtensions registration") {
     org.apache.spark.sql.graft.GraftExtensions.registerInto(spark)
     val r = spark.sql(
