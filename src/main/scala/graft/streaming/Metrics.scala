@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
@@ -18,19 +17,36 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *   chunk_processing_latency_seconds (histogram, reference buckets),
   *   spark_vod_variants_generated_total, spark_active_live_streams (gauge).
   *
-  * Counters are incremented from sink delivery, matching the reference's
-  * increment-during-processing semantics (a replayed batch re-increments —
-  * the reference has the same property). The listener additionally captures
-  * `observe()`d per-batch metrics (e.g. corrupt-row counts from decode) and
-  * Spark-level progress rows.
+  * CLUSTER-CORRECT CHANNEL: every official counter is fed exclusively by
+  * [[ProgressListener]] from `observe()`d per-batch aggregates — computed on
+  * executors, delivered to the DRIVER via query progress, accumulated here
+  * in the driver JVM. This registry is therefore correct on a real
+  * multi-executor cluster, not just local[k] (executor-side increments into
+  * a process-local map — the previous design — fragment per JVM). Replayed
+  * batches re-increment, matching the reference's increment-during-
+  * processing semantics (spark_streaming.py:339,488 — same property).
+  *
+  * The gauge follows the reference's `active_live_streams.set(
+  * len(_live_last_seq))` (spark_streaming.py:489): the count of distinct
+  * stream ids ever seen, accumulated driver-side from an observed
+  * `collect_set(stream_id)` (stream-id cardinality is bounded by the live
+  * channel count, so the per-batch set is small).
+  *
+  * Latency histogram: the reference observes per chunk during foreachBatch
+  * delivery (spark_streaming.py:460-461). Here each chunk is banded into
+  * the reference buckets by an executor-side `count_if` over
+  * (batch timestamp - event timestamp) — one observation per chunk, with
+  * the batch's trigger timestamp standing in for per-row delivery time.
   */
 object Metrics {
 
   val LatencyBuckets: Seq[Double] = Seq(0.1, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
 
   private val counters = new ConcurrentHashMap[String, LongAdder]()
-  private val activeStreams = ConcurrentHashMap.newKeySet[String]()
-  // histogram: per stream_type -> (bucket cumulative counts, sum-ms, count)
+  private val gauges = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val knownStreams = ConcurrentHashMap.newKeySet[String]()
+  // histogram: per stream_type -> per-band (non-cumulative) counts; band i
+  // holds counts in (bucket(i-1), bucket(i)], band n holds > bucket(n-1).
   private val histoCounts = new ConcurrentHashMap[String, Array[LongAdder]]()
   private val histoSumMs = new ConcurrentHashMap[String, LongAdder]()
 
@@ -39,53 +55,59 @@ object Metrics {
 
   def inc(name: String, n: Long = 1L): Unit = adder(name).add(n)
   def counter(name: String): Long = Option(counters.get(name)).map(_.sum).getOrElse(0L)
-  def activeLiveStreams: Int = activeStreams.size
+  def setGauge(name: String, v: Long): Unit =
+    gauges.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong).set(v)
+  def gauge(name: String): Long = Option(gauges.get(name)).map(_.get).getOrElse(0L)
+  def activeLiveStreams: Long = gauge("spark_active_live_streams")
 
-  def observeLatency(streamType: String, latencyMs: Double): Unit = {
-    val bs = histoCounts.computeIfAbsent(streamType,
+  private def bands(streamType: String): Array[LongAdder] =
+    histoCounts.computeIfAbsent(streamType,
       _ => Array.fill(LatencyBuckets.size + 1)(new LongAdder))
+
+  /** Add `n` observations to histogram band `i` of `streamType` (band
+    * indexing as in the class doc). Called by the listener with per-batch
+    * band counts. */
+  def observeLatencyBand(streamType: String, band: Int, n: Long): Unit =
+    if (band >= 0 && band <= LatencyBuckets.size) bands(streamType)(band).add(n)
+
+  def addLatencySumMs(streamType: String, ms: Long): Unit =
+    histoSumMs.computeIfAbsent(streamType, _ => new LongAdder).add(ms)
+
+  /** Single-observation form (used by unit tests / ad-hoc local callers). */
+  def observeLatency(streamType: String, latencyMs: Double): Unit = {
     val sec = latencyMs / 1000.0
     var i = 0
     while (i < LatencyBuckets.size && sec > LatencyBuckets(i)) i += 1
-    bs(i).increment() // per-bucket count; cumulative view via latencyHistogram
-    histoSumMs.computeIfAbsent(streamType, _ => new LongAdder).add(latencyMs.toLong)
+    observeLatencyBand(streamType, i, 1L)
+    addLatencySumMs(streamType, latencyMs.toLong)
   }
 
   /** Cumulative histogram (le=bucket -> count), Prometheus-style. */
   def latencyHistogram(streamType: String): Seq[(Double, Long)] = {
-    val bs = Option(histoCounts.get(streamType))
-      .getOrElse(Array.fill(LatencyBuckets.size + 1)(new LongAdder))
-    val raw = bs.map(_.sum)
+    val raw = bands(streamType).map(_.sum)
     LatencyBuckets.zipWithIndex.map { case (b, i) => b -> raw.take(i + 1).sum } :+
       (Double.PositiveInfinity -> raw.sum)
   }
 
-  def markLiveChunk(streamId: String, eventTs: Timestamp, gapSize: Long,
-      checksumOk: Boolean): Unit = {
-    inc("spark_live_chunks_processed_total")
-    if (gapSize > 0) inc("live_chunk_gaps_total", gapSize)
-    if (!checksumOk) inc("chunk_checksum_failures_total{stream_type=live}")
-    observeLatency("live", (System.currentTimeMillis() - eventTs.getTime).toDouble)
-    activeStreams.add(streamId)
-  }
-
-  def markVodChunk(checksumOk: Boolean): Unit = {
-    inc("spark_vod_chunks_processed_total")
-    inc("spark_vod_variants_generated_total", Processors.QualityVariants.size.toLong)
-    if (!checksumOk) inc("chunk_checksum_failures_total{stream_type=vod}")
-  }
+  def latencySumMs(streamType: String): Long =
+    Option(histoSumMs.get(streamType)).map(_.sum).getOrElse(0L)
 
   def reset(): Unit = {
-    counters.clear(); activeStreams.clear(); histoCounts.clear(); histoSumMs.clear()
+    counters.clear(); gauges.clear(); knownStreams.clear()
+    histoCounts.clear(); histoSumMs.clear()
   }
 
   def snapshot: Map[String, Long] =
-    counters.asScala.map { case (k, v) => k -> v.sum }.toMap +
-      ("spark_active_live_streams" -> activeStreams.size.toLong)
+    counters.asScala.map { case (k, v) => k -> v.sum }.toMap ++
+      gauges.asScala.map { case (k, v) => k -> v.get }.toMap
 
-  /** Captures `observe()`d metrics (corrupt-row counts etc.) into the
-    * registry: an observed column named `m` on observation `o` lands under
-    * counter name `o.m`. */
+  // -------------------------------------------------------------- listener
+
+  /** Observation-field -> official-metric translation plus generic capture:
+    * an observed column `m` on observation `o` lands under counter `o.m`;
+    * the known `live_metrics` / `vod_metrics` fields additionally feed the
+    * reference-named registry entries above (the cluster-correct channel —
+    * this listener runs in the driver). */
   final class ProgressListener extends StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -99,7 +121,114 @@ object Metrics {
             case _ => ()
           }
         }
+        def long(f: String): Long = row.getAs[Any](f) match {
+          case n: java.lang.Number => n.longValue()
+          case _ => 0L
+        }
+        obsName match {
+          case "live_metrics" =>
+            inc("spark_live_chunks_processed_total", long("chunks"))
+            inc("live_chunk_gaps_total", long("gap_chunks"))
+            inc("chunk_checksum_failures_total{stream_type=live}",
+              long("checksum_failures"))
+            (0 to LatencyBuckets.size).foreach { i =>
+              observeLatencyBand("live", i, long(s"lat_band_$i"))
+            }
+            addLatencySumMs("live", long("lat_sum_ms"))
+            row.getAs[Any]("stream_ids") match {
+              case ids: collection.Seq[_] =>
+                ids.foreach(id => knownStreams.add(String.valueOf(id)))
+                setGauge("spark_active_live_streams", knownStreams.size.toLong)
+              case _ => ()
+            }
+          case "vod_metrics" =>
+            inc("spark_vod_chunks_processed_total", long("chunks"))
+            inc("spark_vod_variants_generated_total",
+              long("chunks") * Processors.QualityVariants.size)
+            inc("chunk_checksum_failures_total{stream_type=vod}",
+              long("checksum_failures"))
+            (0 to LatencyBuckets.size).foreach { i =>
+              observeLatencyBand("vod", i, long(s"lat_band_$i"))
+            }
+            addLatencySumMs("vod", long("lat_sum_ms"))
+          case _ => ()
+        }
       }
     }
+  }
+
+  // ------------------------------------------------------------ exposition
+
+  private val Help: Seq[(String, String, String)] = Seq(
+    // (family, TYPE, HELP) — names and help text match the reference
+    // definitions scraped by monitoring/prometheus.yml
+    ("spark_vod_chunks_processed_total", "counter", "Total VOD chunks processed by Spark"),
+    ("spark_live_chunks_processed_total", "counter", "Total live chunks processed by Spark"),
+    ("live_chunk_gaps_total", "counter", "Live chunks with detected sequence number gaps"),
+    ("chunk_checksum_failures_total", "counter", "Chunk checksum validation failures"),
+    ("chunk_processing_latency_seconds", "histogram",
+      "Time between event timestamp and processing completion"),
+    ("spark_vod_variants_generated_total", "counter",
+      "Total quality variants generated for VOD chunks"),
+    ("spark_active_live_streams", "gauge", "Number of live streams currently active"))
+
+  private def fmtLe(b: Double): String =
+    if (b.isPosInfinity) "+Inf"
+    else if (b == b.toLong.toDouble) s"${b.toLong}.0"
+    else b.toString
+
+  /** Prometheus text exposition format 0.0.4 over the official metric
+    * surface (reference `start_http_server`, spark_streaming.py:548). Only
+    * the 7 reference families are exposed; generic `observation.field`
+    * counters are registry/debug-only. */
+  def exposition: String = {
+    val sb = new StringBuilder
+    Help.foreach { case (family, typ, help) =>
+      sb.append(s"# HELP $family $help\n# TYPE $family $typ\n")
+      typ match {
+        case "histogram" =>
+          histoCounts.keySet().asScala.toSeq.sorted.foreach { st =>
+            latencyHistogram(st).foreach { case (le, n) =>
+              sb.append(s"""${family}_bucket{stream_type="$st",le="${fmtLe(le)}"} $n""")
+              sb.append('\n')
+            }
+            sb.append(s"""${family}_sum{stream_type="$st"} ${latencySumMs(st) / 1000.0}""")
+            sb.append('\n')
+            sb.append(s"""${family}_count{stream_type="$st"} ${latencyHistogram(st).last._2}""")
+            sb.append('\n')
+          }
+        case "gauge" =>
+          sb.append(s"$family ${gauge(family)}\n")
+        case _ =>
+          val labelled = counters.asScala.keys.filter(_.startsWith(family + "{")).toSeq.sorted
+          if (labelled.nonEmpty)
+            labelled.foreach { k =>
+              // stored flat as name{k=v}; exposition quotes the value
+              val rendered = k.replaceAll("\\{(\\w+)=([^}]*)\\}", "{$1=\"$2\"}")
+              sb.append(s"$rendered ${counter(k)}\n")
+            }
+          else sb.append(s"$family ${counter(family)}\n")
+      }
+    }
+    sb.toString
+  }
+
+  /** Serve [[exposition]] on `/metrics` (reference default port 8766,
+    * SPARK_JOB_METRICS_PORT). JDK built-in server — no dependencies; runs
+    * in the driver like the reference's prometheus_client. Returns the
+    * server; call `.stop(0)` to shut down. */
+  def startHttpServer(port: Int = 8766): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/metrics", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val body = exposition.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      exchange.sendResponseHeaders(200, body.length.toLong)
+      val os = exchange.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    server.start()
+    server
   }
 }

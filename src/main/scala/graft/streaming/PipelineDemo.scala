@@ -49,6 +49,8 @@ object PipelineDemo {
       Metrics.latencyHistogram("live").map { case (b, n) => s"$b:$n" }.mkString(" "))
     println(s"live_metadata rows: ${meta.count("live_metadata")}")
     println(s"manifests: ${objects.keys("manifests").size}")
+    println("=== prometheus exposition (/metrics) ===")
+    print(Metrics.exposition)
     spark.stop()
   }
 }

@@ -24,6 +24,27 @@ object Pipelines {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Per-batch latency-histogram aggregates for the reference buckets
+    * (A6, spark_streaming.py:460-461): each chunk is banded by
+    * (batch trigger timestamp - event timestamp) into non-cumulative bands
+    * lat_band_0..lat_band_N (band N = overflow), plus the millisecond sum.
+    * `current_timestamp()` resolves to the micro-batch timestamp, standing
+    * in for the reference's per-row `time.time()` at delivery. Delivered to
+    * the driver registry by Metrics.ProgressListener — the cluster-correct
+    * metric channel. */
+  private def latencyBandAggs(eventTs: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val latMs = unix_millis(current_timestamp()) - unix_millis(eventTs)
+    val sec = latMs.cast("double") / lit(1000.0)
+    val bs = Metrics.LatencyBuckets
+    (0 to bs.size).map { i =>
+      val cond =
+        if (i == 0) sec <= bs.head
+        else if (i == bs.size) sec > bs.last
+        else sec > bs(i - 1) && sec <= bs(i)
+      count_if(cond).as(s"lat_band_$i")
+    } :+ sum(latMs).as("lat_sum_ms")
+  }
+
   /** Decode + keyed live state; pure transform, shared by tests and the
     * production topology. */
   def liveResults(frames: DataFrame, windowSize: Int = 10): Dataset[LiveResult] = {
@@ -55,13 +76,19 @@ object Pipelines {
       windowSize: Int = 10,
       queryName: String = "live"): StreamingQuery = {
     configureStateStore(frames.sparkSession)
+    val aggs = Seq(
+      count(lit(1)).as("chunks"),
+      sum(col("gap_size")).as("gap_chunks"),
+      count_if(!col("checksum_ok")).as("checksum_failures"),
+      // A4: per-batch distinct via HLL sketch (kept for dashboards) plus the
+      // exact id set for the reference gauge semantics: len(_live_last_seq)
+      // is "streams ever seen" (spark_streaming.py:489), accumulated by the
+      // listener. Live-channel cardinality bounds the set size.
+      approx_count_distinct(col("stream_id")).as("active_streams_batch"),
+      collect_set(col("stream_id")).as("stream_ids")) ++
+      latencyBandAggs(col("event_ts"))
     liveResults(frames, windowSize)
-      .observe("live_metrics",
-        count(lit(1)).as("chunks"),
-        sum(col("gap_size")).as("gap_chunks"),
-        count_if(!col("checksum_ok")).as("checksum_failures"),
-        // A4: the reference's active-streams gauge via HLL sketch
-        approx_count_distinct(col("stream_id")).as("active_streams_batch"))
+      .observe("live_metrics", aggs.head, aggs.tail: _*)
       .writeStream
       .queryName(queryName)
       .outputMode("update")
@@ -80,10 +107,12 @@ object Pipelines {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       queryName: String = "vod"): StreamingQuery = {
     configureStateStore(frames.sparkSession)
+    val aggs = Seq(
+      count(lit(1)).as("chunks"),
+      count_if(!col("checksum_ok")).as("checksum_failures")) ++
+      latencyBandAggs(col("event_ts"))
     vodResults(frames)
-      .observe("vod_metrics",
-        count(lit(1)).as("chunks"),
-        count_if(!col("checksum_ok")).as("checksum_failures"))
+      .observe("vod_metrics", aggs.head, aggs.tail: _*)
       .writeStream
       .queryName(queryName)
       .outputMode("update")

@@ -51,7 +51,14 @@ object Processors {
       dvr_window_start: Long)
 
   /** VOD outcome for one chunk: the status machine collapsed to its final
-    * "ready" document (A8), with the transitions as audit columns. */
+    * "ready" document (A8), with the reference's three observable
+    * transitions (uploaded→processing→transcoding→ready,
+    * spark_streaming.py:221-224,239-242,323-333) preserved as ordered audit
+    * timestamps — processing_started_at <= transcoding_started_at <=
+    * completed_at, captured at the corresponding points of the per-chunk
+    * fold (no transcode sleep is simulated, so they are typically
+    * milliseconds apart; the reference's now_iso() stamps are equally
+    * wall-clock). */
   final case class VodResult(
       stream_id: String,
       chunk_index: Long,
@@ -66,7 +73,10 @@ object Processors {
       variant_paths: Seq[String],
       manifest_path: String,
       manifest: String,
-      title: String)
+      title: String,
+      processing_started_at: Timestamp,
+      transcoding_started_at: Timestamp,
+      completed_at: Timestamp)
 
   val QualityVariants: Seq[String] = Seq("1080p", "720p", "480p", "360p")
 
@@ -153,10 +163,16 @@ object Processors {
       var segs = segments.get().toVector
       val out = Vector.newBuilder[VodResult]
       sortedBySeq(rows).foreach { c =>
+        // A8 audit trail: stamp each status transition of the fold
+        // (uploaded->processing here; ->transcoding after the segment is
+        // prepared; ->ready at emit). Successive calls guarantee ordering.
+        val processingAt = new Timestamp(System.currentTimeMillis())
         val durSec = c.duration_ms / 1000.0
         if (!targetDur.exists()) targetDur.update(durSec.toLong + 1)
         val uri = s"$streamId/1080p/${c.chunk_index}.ts"
         segs = segs :+ Segment(durSec, uri)
+        val transcodingAt = new Timestamp(
+          math.max(System.currentTimeMillis(), processingAt.getTime))
 
         val manifest = {
           val sb = new StringBuilder
@@ -181,7 +197,11 @@ object Processors {
           variant_paths = QualityVariants.map(q => s"vod-variants/$streamId/$q/${c.chunk_index}.ts"),
           manifest_path = s"manifests/$streamId/vod_manifest.m3u8",
           manifest = manifest,
-          title = c.title)
+          title = c.title,
+          processing_started_at = processingAt,
+          transcoding_started_at = transcodingAt,
+          completed_at = new Timestamp(
+            math.max(System.currentTimeMillis(), transcodingAt.getTime)))
       }
       segments.put(segs.toArray)
       out.result().iterator

@@ -25,6 +25,11 @@ import graft.streaming.Processors.{LiveResult, VodResult}
   * MongoDB, honest in local[k] where all executors share the JVM. On a real
   * cluster, implement ObjectStore/MetadataSink with an S3/Mongo client held
   * in a per-partition lazy singleton; the pipeline code does not change.
+  *
+  * Sinks do NOT touch the metrics registry: delivery runs on executors,
+  * where process-local increments would fragment per JVM on a real cluster.
+  * All official metrics flow through the `observe()` aggregates on the
+  * queries + Metrics.ProgressListener (driver-side) — see Metrics.
   */
 object Sinks {
 
@@ -91,6 +96,139 @@ object Sinks {
     def clear(name: String): Unit = Option(registry.get(name)).foreach(_.clear())
   }
 
+  // ------------------------------------------------------- durable stores
+
+  /** Filesystem-backed ObjectStore (java.nio): objects live at
+    * `root/bucket/key` with content-type + metadata in a `.graftmeta` JSON
+    * sidecar. Durable across JVM restarts and shared across processes —
+    * proves the ObjectStore seam works outside one JVM (the in-memory form
+    * is process-local); an S3A client implementation slots in the same way.
+    * Writes are temp-file + atomic move, so replays overwrite whole objects
+    * and never expose partial content (same idempotency contract the
+    * replay/restart specs pin for the in-memory store). */
+  final class FileObjectStore(root: String) extends ObjectStore {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+    private def path(bucket: String, key: String): Path = {
+      val p = Paths.get(root, bucket, key).normalize()
+      require(p.startsWith(Paths.get(root).normalize()), s"key escapes root: $key")
+      p
+    }
+    private def metaPath(bucket: String, key: String): Path =
+      path(bucket, key + ".graftmeta")
+
+    private def atomicWrite(p: Path, body: Array[Byte]): Unit = {
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, "." + p.getFileName.toString, ".tmp")
+      Files.write(tmp, body)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    override def put(bucket: String, key: String, body: Array[Byte],
+        contentType: String, metadata: Map[String, String]): Unit = {
+      atomicWrite(path(bucket, key), body)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val doc = new java.util.LinkedHashMap[String, String]()
+      doc.put("content-type", contentType)
+      metadata.foreach { case (k, v) => doc.put(k, v) }
+      atomicWrite(metaPath(bucket, key), om.writeValueAsBytes(doc))
+    }
+
+    override def get(bucket: String, key: String): Option[Array[Byte]] = {
+      val p = path(bucket, key)
+      if (Files.isRegularFile(p)) Some(Files.readAllBytes(p)) else None
+    }
+
+    override def keys(bucket: String): Seq[String] = {
+      val base = Paths.get(root, bucket)
+      if (!Files.isDirectory(base)) Seq.empty
+      else {
+        val s = Files.walk(base)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".graftmeta"))
+          .map(p => base.relativize(p).toString)
+          .toSeq.sorted
+        finally s.close()
+      }
+    }
+
+    def contentType(bucket: String, key: String): Option[String] = {
+      val mp = metaPath(bucket, key)
+      if (!Files.isRegularFile(mp)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val m = om.readValue(Files.readAllBytes(mp), classOf[java.util.Map[String, String]])
+        Option(m.get("content-type"))
+      }
+    }
+  }
+
+  /** Filesystem-backed MetadataSink: one JSON document per
+    * (table, stream_id, chunk_index) at `root/table/streamId/chunkIndex
+    * .json`, $set-merged on upsert and written temp-file + atomic move.
+    * Durable across JVM restarts; per-key write serialization is provided
+    * upstream by the keyed state partitioning (same contract the in-memory
+    * `merge` relies on). A Mongo client implementation slots into the same
+    * trait. The document layout is deliberately Spark-readable: a recursive
+    * `spark.read.json` over `root/table` gives the metadata table back as a
+    * DataFrame for batch/SQL post-processing. */
+  final class FileMetadataSink(root: String) extends MetadataSink {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+    private def om = new com.fasterxml.jackson.databind.ObjectMapper()
+    private def docPath(table: String, streamId: String, chunkIndex: Long): Path =
+      Paths.get(root, table, streamId, s"$chunkIndex.json")
+
+    private def readDoc(p: Path): Option[Map[String, String]] =
+      if (!Files.isRegularFile(p)) None
+      else Some(om.readValue(Files.readAllBytes(p),
+        classOf[java.util.Map[String, String]]).asScala.toMap)
+
+    override def upsert(table: String, streamId: String, chunkIndex: Long,
+        doc: Map[String, String]): Unit = {
+      val p = docPath(table, streamId, chunkIndex)
+      Files.createDirectories(p.getParent)
+      val merged = readDoc(p).getOrElse(Map.empty) ++ doc
+      val out = new java.util.LinkedHashMap[String, String]()
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => out.put(k, v) }
+      val tmp = Files.createTempFile(p.getParent, s".$chunkIndex", ".tmp")
+      Files.write(tmp, om.writeValueAsBytes(out))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    override def find(table: String, streamId: String,
+        chunkIndex: Long): Option[Map[String, String]] =
+      readDoc(docPath(table, streamId, chunkIndex))
+
+    override def findLatest(table: String, streamId: String,
+        pred: Map[String, String] => Boolean): Option[Map[String, String]] = {
+      val dir = Paths.get(root, table, streamId)
+      if (!Files.isDirectory(dir)) None
+      else {
+        val s = Files.list(dir)
+        val idxs =
+          try s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".json"))
+            .map(_.stripSuffix(".json").toLong)
+            .toSeq.sorted(Ordering[Long].reverse)
+          finally s.close()
+        idxs.iterator.flatMap(i => readDoc(docPath(table, streamId, i))).find(pred)
+      }
+    }
+
+    override def count(table: String): Long = {
+      val dir = Paths.get(root, table)
+      if (!Files.isDirectory(dir)) 0L
+      else {
+        val s = Files.walk(dir)
+        try s.iterator().asScala.count(p =>
+          Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json")).toLong
+        finally s.close()
+      }
+    }
+  }
+
   private val ManifestContentType = "application/vnd.apple.mpegurl"
 
   /** Deliver one partition of live results, in emitted (per-key sequential)
@@ -121,7 +259,6 @@ object Sinks {
         "chunk_path" -> r.chunk_path,
         "manifest_path" -> r.manifest_path,
         "dvr_window_start" -> r.dvr_window_start.toString))
-      Metrics.markLiveChunk(r.stream_id, r.event_ts, r.gap_size, r.checksum_ok)
     }
 
   /** Deliver one partition of VOD results: raw + 4 variant placeholders,
@@ -154,8 +291,12 @@ object Sinks {
         "variant_paths" -> r.variant_paths.mkString(","),
         "raw_path" -> r.raw_path,
         "manifest_path" -> r.manifest_path,
-        "keyframe_aligned" -> "true"))
-      Metrics.markVodChunk(r.checksum_ok)
+        "keyframe_aligned" -> "true",
+        // A8 audit trail (spark_streaming.py:223,241,331): the three status
+        // transitions as ordered timestamps
+        "processing_started_at" -> r.processing_started_at.toInstant.toString,
+        "transcoding_started_at" -> r.transcoding_started_at.toInstant.toString,
+        "completed_at" -> r.completed_at.toInstant.toString))
     }
 
   /** foreachBatch body for the live query.

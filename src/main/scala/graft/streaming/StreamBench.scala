@@ -46,6 +46,7 @@ object StreamBench {
     })
 
     Metrics.reset()
+    Pipelines.registerProgressListener(spark) // official totals arrive driver-side
     Sinks.InMemoryObjectStore.clear("sbench")
     Sinks.InMemoryMetadataSink.clear("sbench")
     val objects = new Sinks.InMemoryObjectStore("sbench")
@@ -60,7 +61,14 @@ object StreamBench {
     q.stop()
     val wallSec = (System.nanoTime() - t0) / 1e9
 
-    val processed = Metrics.counter("spark_live_chunks_processed_total")
+    // listener bus is async — let the final progress events drain
+    var prev = -1L
+    var cur = Metrics.counter("spark_live_chunks_processed_total")
+    while (cur != prev) {
+      prev = cur; Thread.sleep(300)
+      cur = Metrics.counter("spark_live_chunks_processed_total")
+    }
+    val processed = cur
     val durations = batchMs.asScala.toSeq.sorted
     def pct(p: Double): Long =
       if (durations.isEmpty) 0L

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.functions.ManifestFunctions
+import graft.functions.ManifestFunctions.Segment
+import graft.streaming.Processors.LiveResult
+
+/** The durable (filesystem) ObjectStore/MetadataSink implementations run
+  * through the SAME contracts the in-memory stores are pinned by: replay
+  * idempotency and checkpoint-restart with no duplicate delivery — proving
+  * the Sinks trait seam holds for a store that outlives the JVM
+  * (DEVIATIONS #8's promise). Plus durability itself: a second store
+  * instance over the same root sees the first instance's writes. */
+class DurableSinksSpec extends SparkSpec {
+
+  private def eventJson(streamId: String, idx: Long, seq: Long, durationMs: Long): String =
+    s"""{"stream_id":"$streamId","chunk_index":$idx,"sequence_number":$seq,""" +
+      s""""timestamp":"2026-01-01T00:00:00+00:00","size_bytes":${500000 + idx},""" +
+      s""""stream_type":"live","status":"received","checksum":"c$idx",""" +
+      s""""duration_ms":$durationMs,"keyframe_aligned":true,""" +
+      s""""audio_track_id":"aud","video_track_id":"vid"}"""
+
+  test("FileObjectStore: put/get/keys round-trip, sidecars hidden, content-type kept") {
+    val root = Files.createTempDirectory("graft-fos").toString
+    val store = new Sinks.FileObjectStore(root)
+    store.put("bucket-a", "s1/chunks/0.ts", "body0".getBytes, "video/mp2t",
+      Map("stream_id" -> "s1"))
+    store.put("bucket-a", "s1/manifest.m3u8", "#EXTM3U\n".getBytes,
+      "application/vnd.apple.mpegurl", Map.empty)
+    assert(new String(store.get("bucket-a", "s1/chunks/0.ts").get) === "body0")
+    assert(store.get("bucket-a", "missing").isEmpty)
+    assert(store.keys("bucket-a") === Seq("s1/chunks/0.ts", "s1/manifest.m3u8"))
+    assert(store.keys("no-such-bucket").isEmpty)
+    assert(store.contentType("bucket-a", "s1/manifest.m3u8").get ===
+      "application/vnd.apple.mpegurl")
+    // overwrite is idempotent and total
+    store.put("bucket-a", "s1/chunks/0.ts", "body0".getBytes, "video/mp2t",
+      Map("stream_id" -> "s1"))
+    assert(store.keys("bucket-a").size === 2)
+    // durability: a fresh handle over the same root sees everything
+    val again = new Sinks.FileObjectStore(root)
+    assert(new String(again.get("bucket-a", "s1/chunks/0.ts").get) === "body0")
+  }
+
+  test("FileMetadataSink: $set-merge upsert, find/findLatest/count, durable across handles") {
+    val root = Files.createTempDirectory("graft-fms").toString
+    val sink = new Sinks.FileMetadataSink(root)
+    sink.upsert("live_metadata", "s1", 0L, Map("status" -> "received", "a" -> "1"))
+    sink.upsert("live_metadata", "s1", 0L, Map("status" -> "live")) // $set semantics
+    sink.upsert("live_metadata", "s1", 3L, Map("status" -> "live", "has_manifest" -> "y"))
+    sink.upsert("live_metadata", "s2", 9L, Map("status" -> "live"))
+    assert(sink.find("live_metadata", "s1", 0L).get ===
+      Map("status" -> "live", "a" -> "1"))
+    assert(sink.find("live_metadata", "s1", 7L).isEmpty)
+    assert(sink.findLatest("live_metadata", "s1").get("has_manifest") === "y")
+    assert(sink.findLatest("live_metadata", "s1",
+      _.contains("a")).get("status") === "live")
+    assert(sink.count("live_metadata") === 3L)
+    assert(sink.count("vod_metadata") === 0L)
+    val again = new Sinks.FileMetadataSink(root)
+    assert(again.count("live_metadata") === 3L)
+  }
+
+  test("replay idempotency holds for the file stores (same contract as in-memory)") {
+    val objects = new Sinks.FileObjectStore(Files.createTempDirectory("graft-fos-r").toString)
+    val meta = new Sinks.FileMetadataSink(Files.createTempDirectory("graft-fms-r").toString)
+    val ts = Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val rows = (0L to 2L).map { i =>
+      LiveResult("stream-r", i, i, ts, 1000, "live", s"c$i", 3000, true,
+        "aud", "vid", checksum_ok = true, gap_size = 0,
+        chunk_path = s"live-streams/stream-r/chunks/$i.ts",
+        manifest_path = "manifests/stream-r/live_manifest.m3u8",
+        manifest = s"#EXTM3U\nfake-$i\n", dvr_window_start = 0)
+    }
+    Sinks.deliverLive(rows.iterator, objects, meta)
+    val snapMeta = (0L to 2L).map(i => meta.find("live_metadata", "stream-r", i))
+    val snapManifest = objects.getString("manifests", "stream-r/live_manifest.m3u8")
+    val snapKeys = objects.keys("live-streams")
+
+    Sinks.deliverLive(rows.iterator, objects, meta) // replay the whole batch
+    assert((0L to 2L).map(i => meta.find("live_metadata", "stream-r", i)) === snapMeta)
+    assert(objects.getString("manifests", "stream-r/live_manifest.m3u8") === snapManifest)
+    assert(objects.keys("live-streams") === snapKeys)
+    assert(meta.count("live_metadata") === 3L)
+  }
+
+  test("checkpoint restart against file stores: state survives, no duplicate delivery") {
+    val metaRoot = Files.createTempDirectory("graft-fms-c").toString
+    val objects = new Sinks.FileObjectStore(Files.createTempDirectory("graft-fos-c").toString)
+    val meta = new Sinks.FileMetadataSink(metaRoot)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-file-restart").toString
+
+    val q1 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-fs-a")
+    try {
+      stream.addData((0L to 4L).map(i => eventJson("stream-f", i, i, 3000)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(meta.count("live_metadata") === 5L)
+
+    val q2 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-fs-b")
+    try {
+      stream.addData(Seq(eventJson("stream-f", 7, 7, 3000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(meta.count("live_metadata") === 6L, "no chunk re-delivered to the sink")
+    assert(meta.find("live_metadata", "stream-f", 7L).get("sequence_number") === "7")
+    // manifest window carried across the restart: all six chunks, in order
+    val expected = ManifestFunctions.buildLiveManifest(
+      Seq(0L, 1L, 2L, 3L, 4L, 7L).map(i => Segment(3.0, s"stream-f/chunks/$i.ts")),
+      latestChunkIndex = 7L)
+    assert(objects.getString("manifests", "stream-f/live_manifest.m3u8").get === expected)
+    // and the metadata table is Spark-readable for batch post-processing
+    import spark.implicits._
+    val df = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$metaRoot/live_metadata")
+    assert(df.count() === 6L)
+    assert(df.select($"chunk_index".cast("long")).as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L, 4L, 7L))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Prometheus text-exposition surface (format 0.0.4) name-for-name
+  * against the reference's scrape targets (spark_streaming.py:74-104,
+  * monitoring/prometheus.yml) — counters, labelled counters, the gauge, and
+  * the cumulative latency histogram with the reference bucket edges.
+  *
+  * NOT a SparkSpec: the registry is plain JVM state; keeping this suite
+  * Spark-free avoids ordering coupling with the streaming suites that
+  * share the process-wide registry (each test here resets it).
+  */
+class MetricsSpec extends AnyFunSuite {
+
+  test("exposition renders the full reference surface for a known sequence") {
+    Metrics.reset()
+    // the sequence: 3 live chunks (one 2-missing gap, one checksum failure),
+    // 2 vod chunks (8 variants), latencies 0.05s/0.3s/20s live + 1.5s vod
+    Metrics.inc("spark_live_chunks_processed_total", 3)
+    Metrics.inc("live_chunk_gaps_total", 2)
+    Metrics.inc("chunk_checksum_failures_total{stream_type=live}", 1)
+    Metrics.inc("spark_vod_chunks_processed_total", 2)
+    Metrics.inc("spark_vod_variants_generated_total", 8)
+    Metrics.observeLatency("live", 50.0)
+    Metrics.observeLatency("live", 300.0)
+    Metrics.observeLatency("live", 20000.0)
+    Metrics.observeLatency("vod", 1500.0)
+    Metrics.setGauge("spark_active_live_streams", 2)
+
+    val expected =
+      """# HELP spark_vod_chunks_processed_total Total VOD chunks processed by Spark
+        |# TYPE spark_vod_chunks_processed_total counter
+        |spark_vod_chunks_processed_total 2
+        |# HELP spark_live_chunks_processed_total Total live chunks processed by Spark
+        |# TYPE spark_live_chunks_processed_total counter
+        |spark_live_chunks_processed_total 3
+        |# HELP live_chunk_gaps_total Live chunks with detected sequence number gaps
+        |# TYPE live_chunk_gaps_total counter
+        |live_chunk_gaps_total 2
+        |# HELP chunk_checksum_failures_total Chunk checksum validation failures
+        |# TYPE chunk_checksum_failures_total counter
+        |chunk_checksum_failures_total{stream_type="live"} 1
+        |# HELP chunk_processing_latency_seconds Time between event timestamp and processing completion
+        |# TYPE chunk_processing_latency_seconds histogram
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="0.1"} 1
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="0.25"} 1
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="0.5"} 2
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="1.0"} 2
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="2.0"} 2
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="4.0"} 2
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="8.0"} 2
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="16.0"} 2
+        |chunk_processing_latency_seconds_bucket{stream_type="live",le="+Inf"} 3
+        |chunk_processing_latency_seconds_sum{stream_type="live"} 20.35
+        |chunk_processing_latency_seconds_count{stream_type="live"} 3
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="0.1"} 0
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="0.25"} 0
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="0.5"} 0
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="1.0"} 0
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="2.0"} 1
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="4.0"} 1
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="8.0"} 1
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="16.0"} 1
+        |chunk_processing_latency_seconds_bucket{stream_type="vod",le="+Inf"} 1
+        |chunk_processing_latency_seconds_sum{stream_type="vod"} 1.5
+        |chunk_processing_latency_seconds_count{stream_type="vod"} 1
+        |# HELP spark_vod_variants_generated_total Total quality variants generated for VOD chunks
+        |# TYPE spark_vod_variants_generated_total counter
+        |spark_vod_variants_generated_total 8
+        |# HELP spark_active_live_streams Number of live streams currently active
+        |# TYPE spark_active_live_streams gauge
+        |spark_active_live_streams 2
+        |""".stripMargin
+    assert(Metrics.exposition === expected)
+    Metrics.reset()
+  }
+
+  test("/metrics HTTP endpoint serves the exposition with the 0.0.4 content type") {
+    Metrics.reset()
+    Metrics.inc("spark_live_chunks_processed_total", 7)
+    val server = Metrics.startHttpServer(port = 0) // ephemeral port
+    try {
+      val port = server.getAddress.getPort
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      assert(conn.getContentType === "text/plain; version=0.0.4; charset=utf-8")
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(body === Metrics.exposition)
+      assert(body.contains("spark_live_chunks_processed_total 7"))
+    } finally { server.stop(0); Metrics.reset() }
+  }
+
+  test("latency banding matches the cumulative-histogram contract at bucket edges") {
+    Metrics.reset()
+    // exactly-at-edge goes into the bucket (le semantics), just-above into the next
+    Metrics.observeLatency("t", 100.0)   // = 0.1s  -> le=0.1
+    Metrics.observeLatency("t", 100.001) // > 0.1s  -> le=0.25
+    Metrics.observeLatency("t", 16000.0) // = 16s   -> le=16
+    Metrics.observeLatency("t", 16000.1) // > 16s   -> +Inf only
+    val h = Metrics.latencyHistogram("t").toMap
+    assert(h(0.1) === 1L)
+    assert(h(0.25) === 2L)
+    assert(h(16.0) === 3L)
+    assert(h(Double.PositiveInfinity) === 4L)
+    Metrics.reset()
+  }
+}

@@ -32,6 +32,21 @@ class StreamingPipelineSpec extends SparkSpec {
 
   private def dur(i: Long): Long = 2000 + (i * 37) % 2000
 
+  /** Official metrics flow ONLY through the driver-side listener now; tests
+    * attach one per test and remove it so suites can't double-register. */
+  private def withListener[T](body: => T): T = {
+    val l = new Metrics.ProgressListener
+    spark.streams.addListener(l)
+    try body finally spark.streams.removeListener(l)
+  }
+
+  /** Listener bus is async — poll until `name` reaches `expected`. */
+  private def awaitCounter(name: String, expected: Long): Unit = {
+    val deadline = System.currentTimeMillis() + 15000
+    while (Metrics.counter(name) < expected && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+
   test("live pipeline: streaming state matches batch window-function semantics") {
     Metrics.reset()
     Sinks.InMemoryObjectStore.clear("t1-obj")
@@ -51,15 +66,18 @@ class StreamingPipelineSpec extends SparkSpec {
     val eventsA = aIdx.map(i => eventJson("stream-a", i, i, dur(i)))
     val eventsB = bIdx.map(i => eventJson("stream-b", i, i, dur(i)))
 
-    val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
-      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t1")
-    try {
-      // two micro-batches to prove state persists across batches
-      stream.addData(eventsA.take(9) ++ eventsB.take(7))
-      q.processAllAvailable()
-      stream.addData(eventsA.drop(9) ++ eventsB.drop(7))
-      q.processAllAvailable()
-    } finally q.stop()
+    withListener {
+      val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+        ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t1")
+      try {
+        // two micro-batches to prove state persists across batches
+        stream.addData(eventsA.take(9) ++ eventsB.take(7))
+        q.processAllAvailable()
+        stream.addData(eventsA.drop(9) ++ eventsB.drop(7))
+        q.processAllAvailable()
+        awaitCounter("spark_live_chunks_processed_total", (aIdx.size + bIdx.size).toLong)
+      } finally q.stop()
+    }
 
     // -- upsert sink: one doc per (stream, chunk), all fields present
     assert(meta.count("live_metadata") === (aIdx.size + bIdx.size).toLong)
@@ -112,16 +130,19 @@ class StreamingPipelineSpec extends SparkSpec {
     import spark.implicits._
     val stream = MemoryStream[String]
     val ckpt = Files.createTempDirectory("ckpt-live2").toString
-    val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
-      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t2")
-    try {
-      // one event per micro-batch: arrival order is exactly seq order below
-      // seqs: 0,1,2,5 (gap 2), 3 (late -> silent reset), 7 (gap 3 vs reset base)
-      Seq(0L, 1L, 2L, 5L, 3L, 7L).foreach { s =>
-        stream.addData(eventJson("stream-c", s, s, 3000))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withListener {
+      val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+        ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t2")
+      try {
+        // one event per micro-batch: arrival order is exactly seq order below
+        // seqs: 0,1,2,5 (gap 2), 3 (late -> silent reset), 7 (gap 3 vs reset base)
+        Seq(0L, 1L, 2L, 5L, 3L, 7L).foreach { s =>
+          stream.addData(eventJson("stream-c", s, s, 3000))
+          q.processAllAvailable()
+        }
+        awaitCounter("live_chunk_gaps_total", 5L)
+      } finally q.stop()
+    }
 
     assert(Metrics.counter("live_chunk_gaps_total") === 5L) // 2 + 3, none for the late row
     // manifest keeps arrival order; MEDIA-SEQUENCE from the LAST chunk_index (7)
@@ -199,24 +220,28 @@ class StreamingPipelineSpec extends SparkSpec {
     val stream = MemoryStream[String]
     val ckpt = Files.createTempDirectory("ckpt-restart").toString
 
-    // run 1: seqs 0..4
-    val q1 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
-      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t6a")
-    try {
-      stream.addData((0L to 4L).map(i => eventJson("stream-r", i, i, 3000)))
-      q1.processAllAvailable()
-    } finally q1.stop()
-    assert(meta.count("live_metadata") === 5L)
-    assert(Metrics.counter("live_chunk_gaps_total") === 0L)
+    withListener {
+      // run 1: seqs 0..4
+      val q1 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+        ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t6a")
+      try {
+        stream.addData((0L to 4L).map(i => eventJson("stream-r", i, i, 3000)))
+        q1.processAllAvailable()
+        awaitCounter("spark_live_chunks_processed_total", 5L)
+      } finally q1.stop()
+      assert(meta.count("live_metadata") === 5L)
+      assert(Metrics.counter("live_chunk_gaps_total") === 0L)
 
-    // run 2: SAME checkpoint — RocksDB state must resume at lastSeq=4, so
-    // seq 7 fires a gap of exactly 2 (5,6) and no chunk is re-delivered.
-    val q2 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
-      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t6b")
-    try {
-      stream.addData(Seq(eventJson("stream-r", 7, 7, 3000)))
-      q2.processAllAvailable()
-    } finally q2.stop()
+      // run 2: SAME checkpoint — RocksDB state must resume at lastSeq=4, so
+      // seq 7 fires a gap of exactly 2 (5,6) and no chunk is re-delivered.
+      val q2 = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+        ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-t6b")
+      try {
+        stream.addData(Seq(eventJson("stream-r", 7, 7, 3000)))
+        q2.processAllAvailable()
+        awaitCounter("live_chunk_gaps_total", 2L)
+      } finally q2.stop()
+    }
 
     assert(Metrics.counter("live_chunk_gaps_total") === 2L,
       "gap vs pre-restart state proves the state store survived the restart")
@@ -253,22 +278,33 @@ class StreamingPipelineSpec extends SparkSpec {
       // startTopology uses the reference triggers (1s/5s) — wait for both
       liveQ.processAllAvailable()
       vodQ.processAllAvailable()
-    } finally { liveQ.stop(); vodQ.stop() }
+      awaitCounter("spark_live_chunks_processed_total", 5L)
+      awaitCounter("spark_vod_chunks_processed_total", 1L)
+    } finally {
+      liveQ.stop(); vodQ.stop()
+      Pipelines.unregisterProgressListener(spark) // don't leak into later tests
+    }
 
     assert(meta.count("live_metadata") === 5L)
     assert(meta.count("vod_metadata") === 1L)
     assert(meta.find("vod_metadata", "topo-v", 0L).get("status") === "ready")
 
-    // A6: every live chunk landed one latency observation
+    // The official totals arrived EXCLUSIVELY via the listener channel (the
+    // executor-side sinks no longer touch the registry) — the cluster-
+    // correct path produces the same numbers the reference increments.
+    assert(Metrics.counter("spark_live_chunks_processed_total") === 5L)
+    assert(Metrics.counter("spark_vod_chunks_processed_total") === 1L)
+    assert(Metrics.counter("spark_vod_variants_generated_total") === 4L)
+    // A6: every chunk landed one latency observation (banded per batch)
     val histo = Metrics.latencyHistogram("live")
     assert(histo.last._1.isPosInfinity && histo.last._2 === 5L)
-    // K5: the listener captured the observe()d per-batch metrics
-    val deadline = System.currentTimeMillis() + 10000
-    while (Metrics.counter("live_metrics.chunks") < 5 &&
-           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Metrics.latencyHistogram("vod").last._2 === 1L)
+    // K5: the generic observation capture still lands
     assert(Metrics.counter("live_metrics.chunks") === 5L)
     assert(Metrics.counter("live_metrics.gap_chunks") === 0L)
     assert(Metrics.counter("vod_metrics.chunks") === 1L)
+    // gauge: distinct live streams ever seen (reference gauge semantics)
+    assert(Metrics.activeLiveStreams === 1L)
   }
 
   test("dedupedChunks drops re-delivered (stream_id, chunk_index) within watermark (T11)") {
@@ -309,20 +345,28 @@ class StreamingPipelineSpec extends SparkSpec {
         s""""duration_ms":$durMs,"title":"Ep $idx","resolution":"1920x1080"}"""
 
     val ckpt = Files.createTempDirectory("ckpt-vod1").toString
-    val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta,
-      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "vod-t5")
-    try {
-      stream.addData(vodJson(0, 4000))
-      q.processAllAvailable()
-      stream.addData(Seq(vodJson(1, 2500), vodJson(2, 3999)))
-      q.processAllAvailable()
-    } finally q.stop()
+    withListener {
+      val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta,
+        ckpt, trigger = Trigger.ProcessingTime(0), queryName = "vod-t5")
+      try {
+        stream.addData(vodJson(0, 4000))
+        q.processAllAvailable()
+        stream.addData(Seq(vodJson(1, 2500), vodJson(2, 3999)))
+        q.processAllAvailable()
+        awaitCounter("spark_vod_chunks_processed_total", 3L)
+      } finally q.stop()
+    }
 
     assert(meta.count("vod_metadata") === 3L)
     val doc = meta.find("vod_metadata", "vod-1", 2L).get
     assert(doc("status") === "ready")
     assert(doc("variant_paths").split(",").length === 4)
     assert(doc("raw_path") === "vod-raw/vod-1/raw/2.ts")
+    // A8 audit trail: the three status-transition timestamps exist, ordered
+    val Seq(p, t, c) = Seq("processing_started_at", "transcoding_started_at",
+      "completed_at").map(k => java.time.Instant.parse(doc(k)))
+    assert(!t.isBefore(p) && !c.isBefore(t),
+      s"audit timestamps must be ordered: $p <= $t <= $c")
 
     // raw + 4 variants per chunk
     assert(objects.keys("vod-raw").size === 3)
