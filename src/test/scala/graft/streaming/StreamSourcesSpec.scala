@@ -43,6 +43,34 @@ class StreamSourcesSpec extends SparkSpec {
     assert(idx.forall(r => r.getLong(1) >= r.getLong(0)))
   }
 
+  test("maxFilesPerTrigger admits exactly one file per micro-batch (W3/T8 stand-in)") {
+    // The Kafka maxOffsetsPerTrigger options themselves are broker-blocked
+    // in this sandbox; the file source's maxFilesPerTrigger plays the same
+    // admission-control role and IS executable — one file admitted per
+    // trigger, so a backlog drains over multiple bounded micro-batches
+    // instead of one unbounded one.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mft").toString
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"f$i.txt"),
+        s"""{"stream_id":"s$i","chunk_index":$i}""".getBytes)
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = StreamSources.fileJsonLines(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = batch.count()
+        if (n > 0) batchSizes.add(n)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mft-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 3 one-line files -> 3 micro-batches of exactly 1 row each
+    assert(batchSizes.toArray(Array.empty[java.lang.Long]).toSeq === Seq(1L, 1L, 1L))
+  }
+
   test("chunkRates: watermarked event-time windows aggregate chunk counts (T3/A7)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[String]
