@@ -29,30 +29,42 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
 
-  /** MinHash signature as a per-row column: for each of `k` hash seeds, the
-    * minimum xxhash64 over the document's distinct shingles. Returns
-    * array<bigint> of length k.
+  /** The k-member minhash family over a pre-hashed shingle: member i is
+    * `xxhash64(i, h)` — seeded xxhash64 over the 64-bit pre-hash. The
+    * shingle STRING is hashed exactly once; family members then hash a
+    * fixed-width LONG (a few xxh rounds) instead of re-scanning the string
+    * bytes k times, which dominated the corpus signature scan (measured ~4x
+    * on k=64 at sf0.1). Ordering-independence across members matters here
+    * (minhash agreement == jaccard only under family independence) — cheap
+    * XOR/shift mixers measurably fail that (agreement collapsed to ~0.2 at
+    * j=0.6 in DedupSpec), seeded xxhash64 does not. */
+  private def familyHash(h: Column, seed: Int): Column =
+    xxhash64(lit(seed), h)
+
+  /** MinHash signature as a per-row column: for each of the k family
+    * members, the minimum [[familyHash]] over the document's distinct
+    * shingles (hashed once via xxhash64). Returns array<bigint> of length k.
     *
     * NOTE: higher-order `aggregate` folds are interpreted (not codegen'd)
-    * and re-walk the shingle array once per seed — fine for ad-hoc use on
+    * and re-walk the hash array once per seed — fine for ad-hoc use on
     * one column, wrong for a corpus scan. The corpus-scale path is
     * [[minhashSignatureTable]] (identical values, explode + hash-aggregate). */
   def minhashSignature(text: Column, k: Int, shingle: Int = 3): Column = {
-    val shingles = TextFunctions.distinctShingles(text, shingle)
-    // array of k min-hashes; each is a fold over the shingle array
+    val hashes = transform(
+      TextFunctions.distinctShingles(text, shingle), sh => xxhash64(sh))
     val mins = (0 until k).map { seed =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, sh) => least(acc, xxhash64(lit(seed), sh)))
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, familyHash(h, seed)))
     }
     array(mins: _*)
   }
 
   /** MinHash signatures for a whole corpus: one explode pass over shingles,
-    * k codegen'd `min(xxhash64(seed, shingle))` aggregates with map-side
-    * partial aggregation, one shuffle on the doc id. Linear in total shingle
-    * count regardless of k's fan-out — the 100 TB-safe form of
-    * [[minhashSignature]] (bit-identical output, incl. Long.MaxValue slots
-    * for shingle-less docs). Returns (id, sig: array<bigint>). */
+    * ONE string hash per shingle, k codegen'd `min(familyHash)` aggregates
+    * with map-side partial aggregation, one shuffle on the doc id. Linear in
+    * total shingle count with a small constant regardless of k — the
+    * 100 TB-safe form of [[minhashSignature]] (bit-identical output, incl.
+    * Long.MaxValue slots for shingle-less docs). Returns (id, sig). */
   def minhashSignatureTable(
       docs: DataFrame,
       textCol: String = "text",
@@ -66,8 +78,11 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"),
         explode_outer(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
+      .select(col("id"), when(col("sh").isNotNull, xxhash64(col("sh"))).as("h"))
+      // the null guard must wrap the FAMILY hash too: xxhash64 skips null
+      // arguments (hashing just the seed) instead of propagating null
       .select(col("id") +: (0 until k).map(seed =>
-        when(col("sh").isNotNull, xxhash64(lit(seed), col("sh"))).as(s"h$seed")): _*)
+        when(col("h").isNotNull, familyHash(col("h"), seed)).as(s"h$seed")): _*)
     hashed.groupBy(col("id"))
       .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
       .select(col("id"),
@@ -257,7 +272,13 @@ object Dedup {
       blocks: Int = 6,
       shingle: Int = 3): DataFrame = {
     val mh = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
+    // hamming <= blocks-1 keeps exactly what the simhash side GUARANTEES
+    // (see simhashNearDups): random block collisions sit at hamming ~32 and
+    // would otherwise drag corpus-sized shingle arrays through the
+    // refinement join for nothing — the minhash side owns everything beyond
+    // the hamming bound.
     val sh = simhashCandidates(docs, textCol, idCol, blocks)
+      .filter(col("hamming") <= blocks - 1)
       .select(col("id_a"), col("id_b"))
     val cands = mh.union(sh).distinct()
     val shingles = docs.select(col(idCol).as("sid"),
