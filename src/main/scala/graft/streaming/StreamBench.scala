@@ -20,10 +20,13 @@ object StreamBench {
     val seconds = args.headOption.map(_.toInt).getOrElse(30)
     val rps = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Decoupled from thread count so the shuffle-partition headroom of the
+    // 100 TB sizing notes is measurable (e.g. 128 partitions on 32 threads).
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -79,7 +82,8 @@ object StreamBench {
         s""""batches":${durations.size},"batch_ms_p50":${pct(0.5)},""" +
         s""""batch_ms_p95":${pct(0.95)},"batch_ms_p99":${pct(0.99)},""" +
         s""""gaps":${Metrics.counter("live_chunk_gaps_total")},""" +
-        s""""active_streams":${Metrics.activeLiveStreams}}"""
+        s""""active_streams":${Metrics.activeLiveStreams},""" +
+        s""""shuffle_partitions":$shufflePartitions}"""
     println(json)
     spark.stop()
   }
