@@ -154,6 +154,9 @@ object Metrics {
           case _ => ()
         }
       }
+      // one time-series sample per progress event feeds the dashboard
+      // rate()/histogram_quantile() panels (Dashboard.series)
+      Dashboard.series.record()
     }
   }
 

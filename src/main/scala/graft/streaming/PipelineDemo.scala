@@ -51,6 +51,12 @@ object PipelineDemo {
     println(s"manifests: ${objects.keys("manifests").size}")
     println("=== prometheus exposition (/metrics) ===")
     print(Metrics.exposition)
+    println("=== dashboard panels (60s window) ===")
+    Dashboard.panels().foreach { case (title, v) =>
+      println(f"$title%-40s ${if (v.isNaN) "NaN" else f"$v%.2f"}")
+    }
+    Dashboard.storagePanels(objects, Seq("live-streams", "manifests", "vod-variants"))
+      .foreach { case (b, n, bytes) => println(f"storage: $b%-14s objects=$n bytes=$bytes") }
     spark.stop()
   }
 }
