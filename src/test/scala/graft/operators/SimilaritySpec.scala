@@ -96,6 +96,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again === approx)
   }
 
+  test("ANN plan-time actions are amortizable: explicit sizing params run zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    emb.count() // materialize the cache so auto-detection cost isn't conflated
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    val queries = emb.filter($"vec_id" < 3)
+    val cents = Similarity.ivfCentroids(emb, nCentroids = 8) // trained once, reused below
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // constructing the plans with corpusSize/dim/centroids given must not
+      // launch any Spark job (no count()/head()/training at plan time)
+      val lsh = Similarity.lshKnnJoin(emb, queries, k = 3, corpusSize = 500L, dim = 64)
+      val ivf = Similarity.ivfKnnJoin(emb, queries, k = 3, centroids = cents)
+      val nd = Similarity.embeddingNearDups(emb, threshold = 0.3,
+        corpusSize = 500L, dim = 64)
+      Thread.sleep(1000) // listener bus is async; zero events expected
+      assert(jobs.get() === 0,
+        s"plan construction ran ${jobs.get()} jobs despite explicit sizing params")
+      // and the parameterized forms execute to the same results as auto-detect
+      assert(lsh.collect().toSet ===
+        Similarity.lshKnnJoin(emb, queries, k = 3).collect().toSet)
+      assert(ivf.collect().nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("embeddingNearDups: pairs ordered, above threshold, subset of brute-force truth") {
     val thr = 0.30
     val nd = Similarity.embeddingNearDups(emb, threshold = thr, nPlanes = 2).collect()
