@@ -50,10 +50,18 @@ object StreamBench {
 
     Metrics.reset()
     Pipelines.registerProgressListener(spark) // official totals arrive driver-side
+    // SPARK_GRAFT_DURABLE=1 benches against the filesystem-backed sinks
+    // (real atomic-move writes per chunk) instead of the in-memory stores.
+    val durable = sys.env.get("SPARK_GRAFT_DURABLE").contains("1")
     Sinks.InMemoryObjectStore.clear("sbench")
     Sinks.InMemoryMetadataSink.clear("sbench")
-    val objects = new Sinks.InMemoryObjectStore("sbench")
-    val meta = new Sinks.InMemoryMetadataSink("sbench")
+    val (objects, meta): (Sinks.ObjectStore, Sinks.MetadataSink) =
+      if (durable) {
+        val root = java.nio.file.Files.createTempDirectory("graft-sbench-store")
+        (new Sinks.FileObjectStore(s"$root/objects"),
+         new Sinks.FileMetadataSink(s"$root/meta"))
+      } else
+        (new Sinks.InMemoryObjectStore("sbench"), new Sinks.InMemoryMetadataSink("sbench"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-ckpt").toString
 
     val t0 = System.nanoTime()
@@ -83,7 +91,8 @@ object StreamBench {
         s""""batch_ms_p95":${pct(0.95)},"batch_ms_p99":${pct(0.99)},""" +
         s""""gaps":${Metrics.counter("live_chunk_gaps_total")},""" +
         s""""active_streams":${Metrics.activeLiveStreams},""" +
-        s""""shuffle_partitions":$shufflePartitions}"""
+        s""""shuffle_partitions":$shufflePartitions,""" +
+        s""""durable_sinks":$durable}"""
     println(json)
     spark.stop()
   }
