@@ -144,7 +144,17 @@ object Processors {
   /** VOD path: status-machine fold + append-only manifest. The manifest
     * header's TARGETDURATION is pinned by the FIRST chunk (the reference
     * initializes the header once and re-reads it afterwards,
-    * spark_streaming.py:285-301). */
+    * spark_streaming.py:285-301).
+    *
+    * STATE-GROWTH GUARD: `segments` grows O(chunks) per stream and the
+    * manifest string is rebuilt (O(chunks)) per chunk — faithful to the
+    * reference's append-only VOD manifest, and bounded in practice because
+    * VOD uploads are single-chunk (api/main.py:226: one event per upload).
+    * If multi-thousand-chunk VOD streams ever become real inputs, cap the
+    * list state (e.g. spill old segments to the ObjectStore and keep a
+    * tail) before this becomes a RocksDB value-size and per-chunk CPU
+    * liability; the LiveProcessor's slideWindow already demonstrates the
+    * bounded pattern. */
   final class VodProcessor
       extends StatefulProcessor[String, ChunkEvents.Chunk, VodResult] {
 
