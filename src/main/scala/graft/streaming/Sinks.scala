@@ -176,8 +176,14 @@ object Sinks {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
     private def om = new com.fasterxml.jackson.databind.ObjectMapper()
-    private def docPath(table: String, streamId: String, chunkIndex: Long): Path =
-      Paths.get(root, table, streamId, s"$chunkIndex.json")
+    private def docPath(table: String, streamId: String, chunkIndex: Long): Path = {
+      // same traversal guard as FileObjectStore: a stream id arriving from a
+      // decoded event must not navigate outside the sink root
+      val p = Paths.get(root, table, streamId, s"$chunkIndex.json").normalize()
+      require(p.startsWith(Paths.get(root).normalize()),
+        s"stream id escapes sink root: $streamId")
+      p
+    }
 
     private def readDoc(p: Path): Option[Map[String, String]] =
       if (!Files.isRegularFile(p)) None

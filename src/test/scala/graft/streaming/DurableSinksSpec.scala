@@ -67,6 +67,17 @@ class DurableSinksSpec extends SparkSpec {
     assert(again.count("live_metadata") === 3L)
   }
 
+  test("file stores reject path-traversal keys and stream ids") {
+    val store = new Sinks.FileObjectStore(Files.createTempDirectory("graft-fos-t").toString)
+    intercept[IllegalArgumentException] {
+      store.put("b", "../../escape.ts", Array.emptyByteArray, "x", Map.empty)
+    }
+    val sink = new Sinks.FileMetadataSink(Files.createTempDirectory("graft-fms-t").toString)
+    intercept[IllegalArgumentException] {
+      sink.upsert("t", "../../escape", 0L, Map("a" -> "b"))
+    }
+  }
+
   test("replay idempotency holds for the file stores (same contract as in-memory)") {
     val objects = new Sinks.FileObjectStore(Files.createTempDirectory("graft-fos-r").toString)
     val meta = new Sinks.FileMetadataSink(Files.createTempDirectory("graft-fms-r").toString)
