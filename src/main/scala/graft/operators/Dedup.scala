@@ -29,6 +29,24 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
 
+  /** Streaming form of [[exact]] for continuous ingestion: keeps the FIRST
+    * document per content fingerprint inside the watermark horizon and
+    * drops re-arrivals. State is one fingerprint per distinct document,
+    * expired by the watermark — bounded by the dedup horizon, not the
+    * stream's lifetime (the standard shape for dedup at ingestion time;
+    * historical dedup across horizons belongs to the batch operators).
+    * Works on any streaming DataFrame with a text column and an event-time
+    * column. */
+  def exactStreaming(
+      docs: DataFrame,
+      textCol: String = "text",
+      eventTimeCol: String = "event_ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** The k-member minhash family over a pre-hashed shingle: member i is
     * `xxhash64(i, h)` — seeded xxhash64 over the 64-bit pre-hash. The
     * shingle STRING is hashed exactly once; family members then hash a

@@ -71,6 +71,31 @@ class StreamSourcesSpec extends SparkSpec {
     assert(batchSizes.toArray(Array.empty[java.lang.Long]).toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("streaming exact dedup keeps first doc per content fingerprint (ingestion-time dedup)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val deduped = graft.operators.Dedup.exactStreaming(
+      stream.toDS().toDF("event_ts", "doc_id", "text"), watermark = "1 minute")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val q = deduped.select($"doc_id").writeStream.format("memory")
+      .queryName("sdedup_t").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(Seq(
+        (ts("2026-01-01T00:00:00Z"), 1L, "The Quick Brown Fox!"),
+        (ts("2026-01-01T00:00:10Z"), 2L, "the quick... brown fox"), // dup modulo noise
+        (ts("2026-01-01T00:00:20Z"), 3L, "something else entirely")))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (ts("2026-01-01T00:00:30Z"), 4L, "THE QUICK BROWN FOX"))) // dup across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("sdedup_t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L), s"kept $kept")
+  }
+
   test("chunkRates: watermarked event-time windows aggregate chunk counts (T3/A7)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[String]
