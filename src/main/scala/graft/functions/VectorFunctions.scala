@@ -60,12 +60,14 @@ object VectorFunctions {
     }
 
   /** Signed projection of a vector onto hyperplane (`table`, `plane`): the
-    * signs are a literal array baked into the plan. */
+    * signs are a literal array baked into the plan, and the projection is
+    * the native codegen dot kernel (FloatDot) — this runs once per plane
+    * per corpus row in the ANN bucketing scan, where an interpreted
+    * zip_with/aggregate fold was measurable. Bit-identical to the HOF form:
+    * ±1 signs are exact in float and the accumulation is the same
+    * index-ordered double sum. */
   def planeProjection(vec: Column, table: Int, plane: Int, dim: Int): Column =
-    aggregate(
-      zip_with(vec, lit(planeSigns(table, plane, dim)), (x, s) => x.cast("double") * s),
-      lit(0.0),
-      (acc, x) => acc + x)
+    dot(vec, lit(planeSigns(table, plane, dim).map(_.toFloat)))
 
   /** LSH bucket id from `nPlanes` sign bits (random-hyperplane / SimHash
     * family — approximates cosine similarity neighborhoods). Bucket count is

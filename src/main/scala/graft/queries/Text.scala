@@ -120,6 +120,12 @@ object Text extends QueryModule {
     // ---------------------------------------------------------------- q36
     // Exact n-gram Jaccard on adjacent doc-id pairs (linear, oracle-able);
     // the LSH-candidate version is q37/tested in DedupSpec.
+    // Shingles are computed BEFORE the join on purpose: jaccard references
+    // each array multiple times (intersect + sizes), and computing the
+    // arrays inline after the join re-evaluates the shingle subtree per
+    // reference (no CSE across HOF lambdas — measured 2.9 s vs 2.2 s at
+    // sf0.1), which costs more than the ~3x shuffle-byte inflation of
+    // shipping arrays instead of text.
     QueryDef("q36_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
