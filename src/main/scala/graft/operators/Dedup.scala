@@ -188,6 +188,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    * rolling-hash fingerprinting family): hash every character k-gram of
+    * the normalized text, slide a w-hash window, keep each window's
+    * minimum, distinct the kept values. Guarantee: any shared substring of
+    * length >= w + k - 1 between two documents contributes at least one
+    * common fingerprint — the local-fingerprint property plagiarism/overlap
+    * detectors rely on, at expected density 2/(w+1) of the gram count.
+    *
+    * Columnar notes: per-gram xxhash64 of a k-char slice is O(n·k) per doc
+    * vs the textbook rolling hash's O(n) — k is a small constant (8) and a
+    * per-character incremental fold would be an interpreted HOF over every
+    * char, strictly worse in this engine. Each stage projects a column and
+    * the next stage's lambdas reference only ATTRIBUTES (`norm`, `gh`) —
+    * inlining `normalized(text)` into the gram lambda would re-run the
+    * regex normalization once per gram (the O(n²) HOF-capture trap).
+    *
+    * Returns (id, fingerprints: array<bigint>, n_grams: int). */
+  def winnowingFingerprintTable(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      w: Int = 8): DataFrame = {
+    val grams = charGramHashes(docs, textCol, idCol, k)
+    grams.select(col("id"), size(col("gh")).as("n_grams"),
+      when(size(col("gh")) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(col("gh")) - (w - 1)),
+          j => array_min(slice(col("gh"), j, lit(w))))))
+        // fewer grams than one window: the whole doc is the window
+        .when(size(col("gh")) > 0, array(array_min(col("gh"))))
+        .otherwise(array().cast("array<bigint>")).as("fingerprints"))
+      .select(col("id"), col("fingerprints"), col("n_grams"))
+  }
+
+  /** Hashed character k-grams of the normalized text: (id, gh:
+    * array<bigint>). The winnowing building block, exposed so q57's
+    * contract can verify fingerprint containment independently. */
+  def charGramHashes(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8): DataFrame = {
+    val normed = docs.select(col(idCol).as("id"),
+      TextFunctions.normalized(col(textCol)).as("norm"))
+    // sequence(1, stop) DESCENDS when stop < 1, so empty cases need guards
+    normed.select(col("id"),
+      when(length(col("norm")) >= k,
+        transform(
+          sequence(lit(1), length(col("norm")) - (k - 1)),
+          i => xxhash64(col("norm").substr(i, lit(k)))))
+        .otherwise(array().cast("array<bigint>")).as("gh"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
     * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)).
     * Per-row column form; corpus scans should use [[simhashTable]]

@@ -241,6 +241,32 @@ object Text extends QueryModule {
         WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- q57
+    // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
+    // no DuckDB equivalent, so the oracle checks the winnowing invariants
+    // self-verified in Spark: every fingerprint is one of the doc's gram
+    // hashes (array_except containment — hash-set, not quadratic probes),
+    // fingerprints are non-empty exactly when grams exist, and the set
+    // never exceeds the window count. The shared-substring guarantee and
+    // short-doc edges are pinned in DedupSpec.
+    QueryDef("q57_winnow_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val w = 8
+        val fp = Dedup.winnowingFingerprintTable(docs, k = 8, w = w)
+        val grams = Dedup.charGramHashes(docs, k = 8)
+          .withColumnRenamed("gh", "gh2")
+        fp.join(grams, "id")
+          .agg(count(lit(1)).as("checked_docs"),
+            (count_if(size(array_except($"fingerprints", $"gh2")) =!= 0) +
+              count_if(($"n_grams" > 0) =!= (size($"fingerprints") > 0)) +
+              count_if(size($"fingerprints") >
+                greatest($"n_grams" - (w - 1), lit(1)))).as("violations"))
+      },
+      Some("""SELECT count(*) AS checked_docs, CAST(0 AS BIGINT) AS violations
+        FROM documents""")),
+
     // ---------------------------------------------------------------- q51
     // Multimodal frame sampling: one row per 256-byte slice of the binary
     // content column (the per-frame explode shape of a video pipeline).

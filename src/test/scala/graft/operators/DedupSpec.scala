@@ -99,6 +99,30 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((1L, 3L)))
   }
 
+  test("winnowing fingerprints: shared >= w+k-1 substrings guarantee overlap; short docs handled") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val d = Seq(
+      (1L, s"PREFIX alpha beta $shared SUFFIX gamma"),
+      (2L, s"other start entirely $shared different ending text"),
+      (3L, "completely disjoint content about columnar query engines and shuffles"),
+      (4L, "tiny"), // < k chars after normalization -> no grams
+      (5L, "elevenchars") // k <= grams < w -> single whole-doc fingerprint
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprintTable(d, k = 8, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSet, r.getInt(2))).toMap
+    // determinism + the winnowing guarantee on the shared substring
+    assert((fp(1L)._1 & fp(2L)._1).nonEmpty,
+      "docs sharing a long substring must share at least one fingerprint")
+    assert((fp(1L)._1 & fp(3L)._1).isEmpty, "disjoint docs should not collide")
+    assert(fp(4L)._1.isEmpty && fp(4L)._2 === 0)
+    assert(fp(5L)._1.size === 1, "sub-window doc keeps its whole-doc min")
+    // identical docs -> identical sets
+    val again = Dedup.winnowingFingerprintTable(d, k = 8, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again(1L) === fp(1L)._1)
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
