@@ -23,6 +23,11 @@ import graft.streaming.Sinks.{MetadataSink, ObjectStore}
   * Kafka producer (K1) so tests capture events and production sends them.
   * Stream-level documents (no chunk dimension) use chunk key
   * [[ControlPlane.StreamDocKey]].
+  *
+  * Each successful call increments the reference API's own metric surface
+  * (api_requests_total{endpoint,method,status}, api_kafka_events_published
+  * _total{topic} — api/main.py:66-80, label-for-label, 200s only like the
+  * reference), served by Metrics.apiExposition as its own scrape surface.
   */
 object ControlPlane {
 
@@ -108,6 +113,8 @@ object ControlPlane {
           s""""keyframe_aligned":true,"audio_track_id":${jsonStr(audioId)},""" +
           s""""title":${jsonStr(req.title)},"raw_path":${jsonStr(s"vod-raw/$rawKey")}}"""
       publish(vodTopic, event)
+      Metrics.inc(s"api_kafka_events_published_total{topic=$vodTopic}")
+      Metrics.inc("api_requests_total{endpoint=/vod/upload,method=POST,status=200}")
       streamId
     }
 
@@ -130,6 +137,7 @@ object ControlPlane {
         "manifest_path" -> s"manifests/$streamId/live_manifest.m3u8",
         "chunk_count" -> "0",
         "dvr_window_start" -> "0"))
+      Metrics.inc("api_requests_total{endpoint=/streams/start,method=POST,status=200}")
       streamId
     }
 
@@ -149,6 +157,7 @@ object ControlPlane {
           }
           meta.upsert("live_metadata", streamId, StreamDocKey,
             Map("status" -> "vod", "ended_at" -> now().toString))
+          Metrics.inc("api_requests_total{endpoint=/streams/end,method=POST,status=200}")
           true
       }
 
@@ -161,21 +170,33 @@ object ControlPlane {
       * (api/main.py:310-342, sort chunk_index desc + $exists filter). */
     def vodManifestUrl(streamId: String): Option[String] =
       meta.findLatest("vod_metadata", streamId, _.contains("manifest_path"))
-        .map(d => presign(d("manifest_path")))
+        .map { d =>
+          Metrics.inc("api_requests_total{endpoint=/vod/manifest,method=GET,status=200}")
+          presign(d("manifest_path"))
+        }
 
     /** GET /streams/{id}/live (api/main.py:465-498). */
     def liveManifestUrl(streamId: String): Option[(String, String, Long)] =
       meta.find("live_metadata", streamId, StreamDocKey).flatMap { doc =>
         doc.get("manifest_path").map { p =>
+          Metrics.inc("api_requests_total{endpoint=/streams/live,method=GET,status=200}")
           (presign(p), doc.getOrElse("status", ""),
             doc.getOrElse("dvr_window_start", "0").toLong)
         }
       }
 
     /** GET /vod/{id}/metadata / /streams/{id}/metadata (api/main.py:345,501). */
-    def vodMetadata(streamId: String, chunkIndex: Long = 0L): Option[Map[String, String]] =
-      meta.find("vod_metadata", streamId, chunkIndex)
-    def streamMetadata(streamId: String): Option[Map[String, String]] =
-      meta.find("live_metadata", streamId, StreamDocKey)
+    def vodMetadata(streamId: String, chunkIndex: Long = 0L): Option[Map[String, String]] = {
+      val r = meta.find("vod_metadata", streamId, chunkIndex)
+      if (r.isDefined)
+        Metrics.inc("api_requests_total{endpoint=/vod/metadata,method=GET,status=200}")
+      r
+    }
+    def streamMetadata(streamId: String): Option[Map[String, String]] = {
+      val r = meta.find("live_metadata", streamId, StreamDocKey)
+      if (r.isDefined)
+        Metrics.inc("api_requests_total{endpoint=/streams/metadata,method=GET,status=200}")
+      r
+    }
   }
 }

@@ -175,18 +175,36 @@ object Metrics {
       "Total quality variants generated for VOD chunks"),
     ("spark_active_live_streams", "gauge", "Number of live streams currently active"))
 
+  private val ApiHelp: Seq[(String, String, String)] = Seq(
+    // the reference API service's scrape surface (api/main.py:66-80;
+    // prometheus.yml fastapi job). api_request_duration_seconds is
+    // deliberately absent: it measures HTTP service latency, and
+    // ControlPlane.Api is in-process library calls — exposing microsecond
+    // method timings under that name would misrepresent the metric.
+    ("api_requests_total", "counter", "Total API requests"),
+    ("api_kafka_events_published_total", "counter", "Kafka events published from API"))
+
   private def fmtLe(b: Double): String =
     if (b.isPosInfinity) "+Inf"
     else if (b == b.toLong.toDouble) s"${b.toLong}.0"
     else b.toString
 
-  /** Prometheus text exposition format 0.0.4 over the official metric
-    * surface (reference `start_http_server`, spark_streaming.py:548). Only
-    * the 7 reference families are exposed; generic `observation.field`
-    * counters are registry/debug-only. */
-  def exposition: String = {
+  // stored flat as name{k1=v1,k2=v2}; exposition quotes each value
+  private def renderLabels(flat: String): String = {
+    val open = flat.indexOf('{')
+    if (open < 0 || !flat.endsWith("}")) flat
+    else {
+      val pairs = flat.substring(open + 1, flat.length - 1).split(",").map { p =>
+        val eq = p.indexOf('=')
+        if (eq < 0) p else s"""${p.substring(0, eq)}="${p.substring(eq + 1)}""""
+      }
+      flat.substring(0, open) + pairs.mkString("{", ",", "}")
+    }
+  }
+
+  private def expositionFor(families: Seq[(String, String, String)]): String = {
     val sb = new StringBuilder
-    Help.foreach { case (family, typ, help) =>
+    families.foreach { case (family, typ, help) =>
       sb.append(s"# HELP $family $help\n# TYPE $family $typ\n")
       typ match {
         case "histogram" =>
@@ -205,16 +223,23 @@ object Metrics {
         case _ =>
           val labelled = counters.asScala.keys.filter(_.startsWith(family + "{")).toSeq.sorted
           if (labelled.nonEmpty)
-            labelled.foreach { k =>
-              // stored flat as name{k=v}; exposition quotes the value
-              val rendered = k.replaceAll("\\{(\\w+)=([^}]*)\\}", "{$1=\"$2\"}")
-              sb.append(s"$rendered ${counter(k)}\n")
-            }
+            labelled.foreach(k => sb.append(s"${renderLabels(k)} ${counter(k)}\n"))
           else sb.append(s"$family ${counter(family)}\n")
       }
     }
     sb.toString
   }
+
+  /** Prometheus text exposition format 0.0.4 over the official metric
+    * surface (reference `start_http_server`, spark_streaming.py:548). Only
+    * the 7 reference families are exposed; generic `observation.field`
+    * counters are registry/debug-only. */
+  def exposition: String = expositionFor(Help)
+
+  /** The API service's exposition (the reference scrapes it as a separate
+    * target — prometheus.yml's fastapi job). Served separately so the
+    * spark-job `/metrics` stays name-for-name with its own scrape config. */
+  def apiExposition: String = expositionFor(ApiHelp)
 
   /** Serve [[exposition]] on `/metrics` (reference default port 8766,
     * SPARK_JOB_METRICS_PORT). JDK built-in server — no dependencies; runs

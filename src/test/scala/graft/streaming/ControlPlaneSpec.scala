@@ -26,9 +26,18 @@ class ControlPlaneSpec extends SparkSpec {
 
   test("uploadVod: placeholder + uploaded doc + decodable Kafka event") {
     val (objects, meta, published, api) = fixture()
+    Metrics.reset()
     val id = api.uploadVod(VodUploadRequest("Grand Final", durationSeconds = 4.5,
       fileSizeBytes = 123456))
     assert(id === "vod-deadbeefcafe")
+
+    // the API's own metric surface (api/main.py:301,77-80), label-for-label
+    assert(Metrics.counter(
+      "api_requests_total{endpoint=/vod/upload,method=POST,status=200}") === 1L)
+    assert(Metrics.counter(
+      "api_kafka_events_published_total{topic=vod-chunks}") === 1L)
+    assert(Metrics.apiExposition.contains(
+      """api_requests_total{endpoint="/vod/upload",method="POST",status="200"} 1"""))
 
     // placeholder object (api/main.py:233-245)
     assert(objects.get("vod-raw", s"$id/raw/0.ts").get.isEmpty)

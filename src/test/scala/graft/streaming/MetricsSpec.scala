@@ -93,6 +93,26 @@ class MetricsSpec extends AnyFunSuite {
     } finally { server.stop(0); Metrics.reset() }
   }
 
+  test("api exposition: multi-label rendering, separate from the spark-job surface") {
+    Metrics.reset()
+    Metrics.inc("api_requests_total{endpoint=/vod/upload,method=POST,status=200}", 3)
+    Metrics.inc("api_requests_total{endpoint=/streams/live,method=GET,status=200}", 2)
+    Metrics.inc("api_kafka_events_published_total{topic=vod-chunks}", 3)
+    val expected =
+      """# HELP api_requests_total Total API requests
+        |# TYPE api_requests_total counter
+        |api_requests_total{endpoint="/streams/live",method="GET",status="200"} 2
+        |api_requests_total{endpoint="/vod/upload",method="POST",status="200"} 3
+        |# HELP api_kafka_events_published_total Kafka events published from API
+        |# TYPE api_kafka_events_published_total counter
+        |api_kafka_events_published_total{topic="vod-chunks"} 3
+        |""".stripMargin
+    assert(Metrics.apiExposition === expected)
+    // and the api families do NOT leak into the spark-job exposition
+    assert(!Metrics.exposition.contains("api_requests_total"))
+    Metrics.reset()
+  }
+
   test("latency banding matches the cumulative-histogram contract at bucket edges") {
     Metrics.reset()
     // exactly-at-edge goes into the bucket (le semantics), just-above into the next
