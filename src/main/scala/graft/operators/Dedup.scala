@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.ArrayExpressions
+
 import graft.functions.TextFunctions
 
 /** Deduplication operators for training-data pipelines, each designed so the
@@ -204,6 +206,17 @@ object Dedup {
     * inlining `normalized(text)` into the gram lambda would re-run the
     * regex normalization once per gram (the O(n²) HOF-capture trap).
     *
+    * The w-window sliding minimum is the native codegen
+    * [[org.apache.spark.sql.graft.SlidingMin]] kernel: one monotonic-deque
+    * pass, O(grams) total. (The former interpreted
+    * `transform(sequence(...), j -> array_min(slice(gh, j, w)))` form paid
+    * the lambda-interpreter constant x w per gram on every byte of the
+    * corpus; it survives as [[winnowingFingerprintTableHof]] solely so
+    * DedupSpec can pin bit-parity.) SlidingMin clamps the window to
+    * min(w, n) and maps empty to empty, so all three size regimes —
+    * n >= w, 0 < n < w (whole doc is the window), n == 0 — collapse into
+    * one branch-free expression.
+    *
     * Returns (id, fingerprints: array<bigint>, n_grams: int). */
   def winnowingFingerprintTable(
       docs: DataFrame,
@@ -212,6 +225,21 @@ object Dedup {
       k: Int = 8,
       w: Int = 8): DataFrame = {
     val grams = charGramHashes(docs, textCol, idCol, k)
+    grams.select(col("id"),
+      array_distinct(ArrayExpressions.slidingMin(col("gh"), w)).as("fingerprints"),
+      size(col("gh")).as("n_grams"))
+  }
+
+  /** The interpreted-HOF form of [[winnowingFingerprintTable]], kept ONLY as
+    * the independent reference implementation for DedupSpec's bit-parity
+    * test of the native SlidingMin kernel. Not for corpus scans. */
+  private[graft] def winnowingFingerprintTableHof(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      w: Int = 8): DataFrame = {
+    val grams = charGramHashesHof(docs, textCol, idCol, k)
     grams.select(col("id"), size(col("gh")).as("n_grams"),
       when(size(col("gh")) >= w,
         array_distinct(transform(
@@ -225,8 +253,28 @@ object Dedup {
 
   /** Hashed character k-grams of the normalized text: (id, gh:
     * array<bigint>). The winnowing building block, exposed so q57's
-    * contract can verify fingerprint containment independently. */
+    * contract can verify fingerprint containment independently. Gram
+    * hashing is the native codegen
+    * [[org.apache.spark.sql.graft.CharGramHashes]] kernel (one char-boundary
+    * byte walk, in-place XXH64 per gram, zero per-gram allocation) — the
+    * interpreted `transform(sequence, xxhash64(substr))` form it replaced
+    * was the dominant winnowing cost and survives as [[charGramHashesHof]]
+    * for DedupSpec parity and q57's cross-implementation containment
+    * check. */
   def charGramHashes(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id"),
+      ArrayExpressions.charGramHashes(
+        TextFunctions.normalized(col(textCol)), k).as("gh"))
+
+  /** The interpreted-HOF form of [[charGramHashes]], kept as the independent
+    * reference implementation: DedupSpec pins bit-parity, and q57's bounded
+    * containment re-derivation goes through THIS form so every gate run
+    * cross-checks the native kernel against it. */
+  private[graft] def charGramHashesHof(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",

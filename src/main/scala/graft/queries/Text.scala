@@ -244,21 +244,25 @@ object Text extends QueryModule {
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants
-    // self-verified in Spark. The fingerprint table runs CORPUS-WIDE; the
+    // self-verified in Spark. The fingerprint table runs CORPUS-WIDE
+    // through the native SlidingMin/CharGramHashes codegen kernels; the
     // gram-containment re-derivation (a second full k-gram scan) is bounded
-    // to doc_id < 500 — q37's bounded-independent-recomputation pattern.
-    // Cheap per-doc invariants (emptiness iff no grams, window-count bound)
-    // still apply corpus-wide; containment (array_except against the
-    // independently re-derived gram set — hash-set, not quadratic probes)
-    // applies on the subset. Shared-substring guarantee and short-doc
-    // edges are pinned in DedupSpec.
+    // to doc_id < 500 — q37's bounded-independent-recomputation pattern —
+    // and goes through the INTERPRETED HOF gram path, so the containment
+    // check is also a native-vs-HOF cross-implementation check on every
+    // gate run. Cheap per-doc invariants (emptiness iff no grams,
+    // window-count bound) still apply corpus-wide; containment
+    // (array_except against the independently re-derived gram set —
+    // hash-set, not quadratic probes) applies on the subset.
+    // Shared-substring guarantee and short-doc edges are pinned in
+    // DedupSpec.
     QueryDef("q57_winnow_fingerprint",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
         val w = 8
         val fp = Dedup.winnowingFingerprintTable(docs, k = 8, w = w)
-        val grams = Dedup.charGramHashes(docs.filter($"doc_id" < 500), k = 8)
+        val grams = Dedup.charGramHashesHof(docs.filter($"doc_id" < 500), k = 8)
           .withColumnRenamed("gh", "gh2")
         fp.join(grams, Seq("id"), "left")
           .agg(count(lit(1)).as("total_docs"),

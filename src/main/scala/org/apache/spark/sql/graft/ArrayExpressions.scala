@@ -1,0 +1,193 @@
+// Hosted under org.apache.spark.sql for the same reason as
+// VectorExpressions: ExpectsInputTypes and the Expression->Column bridge
+// (classic.ExpressionUtils) are private[sql].
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sliding-window minimum over `array<bigint>`: element j of the result is
+  * `min(input[j .. j+w-1])`, for all `n - w + 1` windows. Shorter-than-one-
+  * window inputs collapse to a single whole-array minimum (the window
+  * clamps to `min(w, n)`); empty input yields an empty array.
+  *
+  * This is the winnowing kernel (Schleimer-Wilkerson-Aiken): the former
+  * `transform(sequence(1, n-w+1), j -> array_min(slice(gh, j, w)))` form was
+  * correct but interpreted — every byte of a corpus-wide scan paid the
+  * lambda-interpreter constant x w (O(grams x w) with a large constant). This
+  * expression is one monotonic-deque pass: O(grams) total, each index pushed
+  * and popped at most once, inside whole-stage codegen. Bit-parity with the
+  * HOF form is pinned in DedupSpec.
+  *
+  * Elements are read null-intolerantly (`getLong`): the winnowing pipeline
+  * feeds it xxhash64 output, which is never null.
+  */
+case class SlidingMin(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val win = math.min(w, n)
+    val out = new Array[Long](n - win + 1)
+    val dq = new Array[Int](n) // deque of candidate indices, values ascending
+    var head = 0
+    var tail = 0 // occupied range is [head, tail)
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      while (tail > head && a.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - win) head += 1
+      if (i >= win - 1) out(i - win + 1) = a.getLong(dq(head))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val win = ctx.freshName("win")
+      val out = ctx.freshName("out")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val uad = classOf[UnsafeArrayData].getName
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out;
+         |if ($n == 0) {
+         |  $out = new long[0];
+         |} else {
+         |  final int $win = java.lang.Math.min($w, $n);
+         |  $out = new long[$n - $win + 1];
+         |  final int[] $dq = new int[$n];
+         |  int $head = 0, $tail = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $v = $a.getLong($i);
+         |    while ($tail > $head && $a.getLong($dq[$tail - 1]) >= $v) $tail--;
+         |    $dq[$tail++] = $i;
+         |    if ($dq[$head] <= $i - $win) $head++;
+         |    if ($i >= $win - 1) $out[$i - $win + 1] = $a.getLong($dq[$head]);
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMin =
+    copy(child = newChild)
+}
+
+/** xxhash64 of every character k-gram of a string: element i of the result
+  * is `xxhash64(substr(s, i+1, k))` (seed 42, Spark's xxhash64 of the gram's
+  * UTF-8 bytes), for all `numChars - k + 1` grams; strings shorter than k
+  * characters yield an empty array.
+  *
+  * This is the other winnowing kernel: the former
+  * `transform(sequence(1, len-k+1), i -> xxhash64(substr(norm, i, k)))` form
+  * was the dominant q57 cost (measured 1.05 s of the 1.34 s sf0.1 table
+  * scan) — an interpreted lambda plus a UTF8String allocation per character
+  * position. Here: one byte walk builds the char-boundary offsets, then each
+  * gram is hashed in place via `XXH64.hashUnsafeBytes` on its byte range —
+  * zero per-gram allocation, whole-stage codegen, bit-identical for any
+  * UTF-8 input (char offsets map to exact byte ranges, and Spark's
+  * `xxhash64(string)` is XXH64 over the UTF-8 bytes with seed 42). Parity
+  * with the HOF form is pinned in DedupSpec, and q57's containment contract
+  * re-derives the gram sets through the HOF form, cross-checking the two
+  * implementations corpus-subset-wide at every gate run.
+  */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    // one byte walk: offs(c) = byte offset of char c, offs(nChars) = numBytes
+    val offs = new Array[Int](nb + 1)
+    var nc = 0
+    var b = 0
+    while (b < nb) {
+      offs(nc) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      nc += 1
+    }
+    offs(nc) = nb
+    if (nc < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](nc - k + 1)
+    var i = 0
+    while (i <= nc - k) {
+      out(i) = XXH64.hashUnsafeBytes(base, off + offs(i), offs(i + k) - offs(i), 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val nb = ctx.freshName("nb")
+      val offs = ctx.freshName("offs")
+      val nc = ctx.freshName("nc")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val uad = classOf[UnsafeArrayData].getName
+      val xxh = classOf[XXH64].getName
+      val utf8 = classOf[UTF8String].getName
+      s"""
+         |final Object $base = $s.getBaseObject();
+         |final long $off = $s.getBaseOffset();
+         |final int $nb = $s.numBytes();
+         |final int[] $offs = new int[$nb + 1];
+         |int $nc = 0;
+         |for (int $b = 0; $b < $nb; $nc++) {
+         |  $offs[$nc] = $b;
+         |  $b += $utf8.numBytesForFirstByte($s.getByte($b));
+         |}
+         |$offs[$nc] = $nb;
+         |final long[] $out = $nc < $k ? new long[0] : new long[$nc - $k + 1];
+         |for (int $i = 0; $i <= $nc - $k; $i++) {
+         |  $out[$i] = $xxh.hashUnsafeBytes(
+         |    $base, $off + $offs[$i], $offs[$i + $k] - $offs[$i], 42L);
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+object ArrayExpressions {
+  /** Column wrapper for [[SlidingMin]]. */
+  def slidingMin(a: Column, w: Int): Column =
+    ExpressionUtils.column(SlidingMin(ExpressionUtils.expression(a), w))
+
+  /** Column wrapper for [[CharGramHashes]]. */
+  def charGramHashes(s: Column, k: Int): Column =
+    ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(s), k))
+}

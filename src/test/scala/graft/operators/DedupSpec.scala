@@ -123,6 +123,54 @@ class DedupSpec extends SparkSpec {
     assert(again(1L) === fp(1L)._1)
   }
 
+  test("winnowing: native SlidingMin kernel is bit-identical to the HOF form") {
+    // covers all three size regimes (n >= w, 0 < n < w, n == 0) plus the
+    // real corpus-shaped fixtures, and both non-default widths
+    val d = (Seq(
+      (10L, "the quick brown fox jumps over the lazy dog repeatedly tonight"),
+      (11L, "tiny"),
+      (12L, "elevenchars"),
+      (13L, ""),
+      (14L, "aaaaaaaaaaaaaaaaaaaaaaaa"), // constant grams -> heavy dedup
+      (15L, "abcdefghija bcdefghijab cdefghijabc defghijabcd")
+    ) ++ Seq(base, nearDup, different).zipWithIndex.map {
+      case (txt, i) => (20L + i, txt)
+    }).toDF("doc_id", "text")
+    for (w <- Seq(4, 8, 13)) {
+      val native = Dedup.winnowingFingerprintTable(d, k = 8, w = w)
+        .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))).toMap
+      val hof = Dedup.winnowingFingerprintTableHof(d, k = 8, w = w)
+        .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))).toMap
+      assert(native === hof, s"native/HOF divergence at w=$w")
+    }
+  }
+
+  test("charGramHashes: native kernel is bit-identical to the HOF form, incl. multibyte") {
+    import org.apache.spark.sql.functions.{length => slen, sequence, transform, when, xxhash64, lit, array, col}
+    // raw strings (no normalization) so multibyte char->byte offset mapping
+    // is actually exercised: 2-byte (é), 3-byte (CJK), 4-byte (emoji)
+    val d = Seq(
+      (1L, "plain ascii gram content"),
+      (2L, "café naïve résumé touché encore"),
+      (3L, "漢字混合 ascii とかな mixed content"),
+      (4L, "emoji 😀😁😂 four byte chars"),
+      (5L, "short"), // < k chars -> empty
+      (6L, "")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(3, 8)) {
+      val native = d.select($"doc_id",
+        org.apache.spark.sql.graft.ArrayExpressions.charGramHashes($"text", k).as("gh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = d.select($"doc_id",
+        when(slen($"text") >= k,
+          transform(sequence(lit(1), slen($"text") - (k - 1)),
+            i => xxhash64(col("text").substr(i, lit(k)))))
+          .otherwise(array().cast("array<bigint>")).as("gh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === hof, s"native/HOF gram divergence at k=$k")
+    }
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
