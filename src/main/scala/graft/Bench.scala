@@ -56,7 +56,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A filtered run's "total" covers only the selected queries — mark it so
+    // it can't be mistaken for a full-suite figure.
+    val filtered = if (only.isDefined) ""","filtered":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$filtered,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,6 +4,9 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.time.Instant
 
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
 import graft.streaming.Sinks.{MetadataSink, ObjectStore}
 
 /** The reference's FastAPI control plane as library functions — HTTP is
@@ -55,6 +58,43 @@ object ControlPlane {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  private def hmacHex(secret: String, payload: String): String = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(secret.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    mac.doFinal(payload.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** What a presigned URL commits to: the object path and the absolute
+    * expiry. Signing "GET\npath\nexpires" mirrors the information content of
+    * the reference's SigV4 query-string auth (api/main.py:333-338) without
+    * the AWS key machinery. */
+  private def presignPayload(path: String, expiresEpoch: Long): String =
+    s"GET\n$path\n$expiresEpoch"
+
+  /** Validate a URL produced by [[Api]]'s presign: the signature must match
+    * HMAC-SHA256(secret, "GET\npath\nexpires") and the expiry must be in the
+    * future. Tampering with either the path or the expiry fails; comparison
+    * is constant-time (MessageDigest.isEqual). */
+  def validatePresigned(url: String, secret: String, now: Instant): Boolean = {
+    val q = url.indexOf('?')
+    if (q < 0) return false
+    val prefix = "https://cdn.local/"
+    if (!url.startsWith(prefix)) return false
+    val path = url.substring(prefix.length, q)
+    val params = url.substring(q + 1).split('&').flatMap { p =>
+      val eq = p.indexOf('=')
+      if (eq < 0) None else Some(p.substring(0, eq) -> p.substring(eq + 1))
+    }.toMap
+    (params.get("expires").flatMap(_.toLongOption), params.get("signature")) match {
+      case (Some(exp), Some(sig)) =>
+        exp > now.getEpochSecond && MessageDigest.isEqual(
+          hmacHex(secret, presignPayload(path, exp)).getBytes(StandardCharsets.UTF_8),
+          sig.getBytes(StandardCharsets.UTF_8))
+      case _ => false
+    }
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -72,10 +112,21 @@ object ControlPlane {
       publish: (String, String) => Unit,
       now: () => Instant = () => Instant.now(),
       newId: () => String = () => java.util.UUID.randomUUID().toString.replace("-", ""),
-      vodTopic: String = "vod-chunks") {
+      vodTopic: String = "vod-chunks",
+      presignSecret: String = "graft-dev-secret",
+      presignTtlSeconds: Long = 3600L) {
+
+    // api_latency.labels(endpoint=...).time() analogue
+    // (api/main.py:221,317,373,428,472): wall-clock the whole call,
+    // including failure paths, exactly like the reference's context manager.
+    private def timed[A](endpoint: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      try body
+      finally Metrics.observeApiDuration(endpoint, (System.nanoTime() - t0) / 1e9)
+    }
 
     /** POST /vod/upload — returns the stream_id (api/main.py:205-307). */
-    def uploadVod(req: VodUploadRequest): String = {
+    def uploadVod(req: VodUploadRequest): String = timed("/vod/upload") {
       val streamId = req.streamId.getOrElse(s"vod-${newId().take(12)}")
       val chunkIndex = 0L
       val audioId = req.audioTrackId.getOrElse(s"audio-$streamId")
@@ -119,7 +170,7 @@ object ControlPlane {
     }
 
     /** POST /streams/start (api/main.py:360-418). */
-    def startStream(req: StreamStartRequest): String = {
+    def startStream(req: StreamStartRequest): String = timed("/streams/start") {
       val streamId = req.matchId.getOrElse(s"live-${newId().take(12)}")
       val ts = now().toString
       objects.put("manifests", s"$streamId/live_manifest.m3u8",
@@ -143,7 +194,7 @@ object ControlPlane {
 
     /** POST /streams/end — ENDLIST appended exactly once; status -> vod
       * (api/main.py:421-462). Returns false if the stream is unknown. */
-    def endStream(streamId: String): Boolean =
+    def endStream(streamId: String): Boolean = timed("/streams/end") {
       meta.find("live_metadata", streamId, StreamDocKey) match {
         case None => false
         case Some(_) =>
@@ -160,23 +211,30 @@ object ControlPlane {
           Metrics.inc("api_requests_total{endpoint=/streams/end,method=POST,status=200}")
           true
       }
+    }
 
-    /** Deterministic stand-in for the presigned URL (api/main.py:333-338):
-      * same information content, no crypto. */
-    private def presign(path: String): String =
-      s"https://cdn.local/$path?expires=3600"
+    /** Presigned URL (api/main.py:333-338): HMAC-SHA256 over
+      * "GET\npath\nexpires" with a 1 h TTL — a real signature (tampering
+      * with path or expiry fails [[ControlPlane.validatePresigned]]),
+      * standing in for boto3's SigV4 query-string auth. */
+    private def presign(path: String): String = {
+      val expires = now().getEpochSecond + presignTtlSeconds
+      val sig = hmacHex(presignSecret, presignPayload(path, expires))
+      s"https://cdn.local/$path?expires=$expires&signature=$sig"
+    }
 
     /** GET /vod/{id}/manifest — W1: latest chunk having a manifest
       * (api/main.py:310-342, sort chunk_index desc + $exists filter). */
-    def vodManifestUrl(streamId: String): Option[String] =
+    def vodManifestUrl(streamId: String): Option[String] = timed("/vod/manifest") {
       meta.findLatest("vod_metadata", streamId, _.contains("manifest_path"))
         .map { d =>
           Metrics.inc("api_requests_total{endpoint=/vod/manifest,method=GET,status=200}")
           presign(d("manifest_path"))
         }
+    }
 
     /** GET /streams/{id}/live (api/main.py:465-498). */
-    def liveManifestUrl(streamId: String): Option[(String, String, Long)] =
+    def liveManifestUrl(streamId: String): Option[(String, String, Long)] = timed("/streams/live") {
       meta.find("live_metadata", streamId, StreamDocKey).flatMap { doc =>
         doc.get("manifest_path").map { p =>
           Metrics.inc("api_requests_total{endpoint=/streams/live,method=GET,status=200}")
@@ -184,6 +242,7 @@ object ControlPlane {
             doc.getOrElse("dvr_window_start", "0").toLong)
         }
       }
+    }
 
     /** GET /vod/{id}/metadata / /streams/{id}/metadata (api/main.py:345,501). */
     def vodMetadata(streamId: String, chunkIndex: Long = 0L): Option[Map[String, String]] = {

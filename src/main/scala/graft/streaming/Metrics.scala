@@ -92,9 +92,47 @@ object Metrics {
   def latencySumMs(streamType: String): Long =
     Option(histoSumMs.get(streamType)).map(_.sum).getOrElse(0L)
 
+  // ---------------------------------------------- API duration histogram
+
+  /** prometheus_client's default buckets — the reference declares
+    * api_request_duration_seconds with no explicit buckets
+    * (api/main.py:71-75), so these are what its exposition carries. */
+  val ApiDurationBuckets: Seq[Double] =
+    Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+  // per endpoint -> non-cumulative band counts (band i as in the latency
+  // histogram) and a nanosecond sum for _sum.
+  private val apiDurBands = new ConcurrentHashMap[String, Array[LongAdder]]()
+  private val apiDurSumNs = new ConcurrentHashMap[String, LongAdder]()
+
+  /** One observation of an API call's duration, labeled by endpoint —
+    * the reference's `api_latency.labels(endpoint=...).time()`
+    * (api/main.py:221,317,373,428,472). */
+  def observeApiDuration(endpoint: String, seconds: Double): Unit = {
+    var i = 0
+    while (i < ApiDurationBuckets.size && seconds > ApiDurationBuckets(i)) i += 1
+    apiDurBands.computeIfAbsent(endpoint,
+      _ => Array.fill(ApiDurationBuckets.size + 1)(new LongAdder))(i).add(1L)
+    apiDurSumNs.computeIfAbsent(endpoint, _ => new LongAdder)
+      .add((seconds * 1e9).toLong)
+  }
+
+  /** Cumulative (le -> count) API-duration histogram for one endpoint. */
+  def apiDurationHistogram(endpoint: String): Seq[(Double, Long)] = {
+    val raw = Option(apiDurBands.get(endpoint))
+      .map(_.map(_.sum))
+      .getOrElse(Array.fill(ApiDurationBuckets.size + 1)(0L))
+    ApiDurationBuckets.zipWithIndex.map { case (b, i) => b -> raw.take(i + 1).sum } :+
+      (Double.PositiveInfinity -> raw.sum)
+  }
+
+  def apiDurationSumSeconds(endpoint: String): Double =
+    Option(apiDurSumNs.get(endpoint)).map(_.sum / 1e9).getOrElse(0.0)
+
   def reset(): Unit = {
     counters.clear(); gauges.clear(); knownStreams.clear()
     histoCounts.clear(); histoSumMs.clear()
+    apiDurBands.clear(); apiDurSumNs.clear()
   }
 
   def snapshot: Map[String, Long] =
@@ -177,11 +215,9 @@ object Metrics {
 
   private val ApiHelp: Seq[(String, String, String)] = Seq(
     // the reference API service's scrape surface (api/main.py:66-80;
-    // prometheus.yml fastapi job). api_request_duration_seconds is
-    // deliberately absent: it measures HTTP service latency, and
-    // ControlPlane.Api is in-process library calls — exposing microsecond
-    // method timings under that name would misrepresent the metric.
+    // prometheus.yml fastapi job), name-for-name all three families.
     ("api_requests_total", "counter", "Total API requests"),
+    ("api_request_duration_seconds", "histogram", "API request duration"),
     ("api_kafka_events_published_total", "counter", "Kafka events published from API"))
 
   private def fmtLe(b: Double): String =
@@ -205,8 +241,26 @@ object Metrics {
   private def expositionFor(families: Seq[(String, String, String)]): String = {
     val sb = new StringBuilder
     families.foreach { case (family, typ, help) =>
+      // Caveat carried in the exposition itself (plain comment lines are
+      // legal in format 0.0.4): these durations time IN-PROCESS library
+      // calls, so magnitudes sit orders below the reference's HTTP
+      // service latency — same name and buckets, different transport cost.
+      if (family == "api_request_duration_seconds")
+        sb.append("# api_request_duration_seconds times in-process library calls;" +
+          " magnitudes are not comparable to HTTP service latency\n")
       sb.append(s"# HELP $family $help\n# TYPE $family $typ\n")
       typ match {
+        case "histogram" if family == "api_request_duration_seconds" =>
+          apiDurBands.keySet().asScala.toSeq.sorted.foreach { ep =>
+            apiDurationHistogram(ep).foreach { case (le, n) =>
+              sb.append(s"""${family}_bucket{endpoint="$ep",le="${fmtLe(le)}"} $n""")
+              sb.append('\n')
+            }
+            sb.append(s"""${family}_sum{endpoint="$ep"} ${apiDurationSumSeconds(ep)}""")
+            sb.append('\n')
+            sb.append(s"""${family}_count{endpoint="$ep"} ${apiDurationHistogram(ep).last._2}""")
+            sb.append('\n')
+          }
         case "histogram" =>
           histoCounts.keySet().asScala.toSeq.sorted.foreach { st =>
             latencyHistogram(st).foreach { case (le, n) =>

@@ -14,11 +14,27 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * live processing p99 ~2,000 ms on its 4-CPU setup; target <500 ms/batch).
   *
   * `runMain graft.streaming.StreamBench [seconds] [rowsPerSecond]`
+  *
+  * Two operating points matter, and the JSON reports percentiles for both
+  * regimes of the SAME run minus warm-up:
+  *
+  *  - saturation (default 2000 rows/s): what the engine sustains;
+  *  - rate-matched (e.g. `StreamBench 90 2` ~ the reference's 1.32
+  *    chunks/s): steady-state latency at the reference's own operating
+  *    point, the honest apples-to-apples for BASELINE.md's live p99
+  *    ~2,000 ms (saturation p99 vs idle p99 compares unlike regimes).
+  *
+  * Warm-up batches (first SPARK_GRAFT_WARMUP_SEC seconds, default
+  * min(10, seconds/3)) are excluded from the steady_* percentiles: the
+  * first micro-batches pay one-time codegen + RocksDB state-store open,
+  * which a long-lived deployment amortizes to zero.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(30)
     val rps = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    val warmupSec = sys.env.get("SPARK_GRAFT_WARMUP_SEC").map(_.toInt)
+      .getOrElse(math.min(10, seconds / 3))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Decoupled from thread count so the shuffle-partition headroom of the
     // 100 TB sizing notes is measurable (e.g. 128 partitions on 32 threads).
@@ -32,8 +48,9 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val batchMs = new ConcurrentLinkedQueue[Long]()
-    val rowsPerBatch = new ConcurrentLinkedQueue[Long]()
+    // (elapsed-ns-at-completion, triggerExecution ms) per non-empty batch
+    val batches = new ConcurrentLinkedQueue[(Long, Long)]()
+    val benchT0 = System.nanoTime()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -42,8 +59,7 @@ object StreamBench {
           // triggerExecution is the end-to-end micro-batch time; the other
           // durationMs entries are its sub-phases (summing would double-count).
           Option(e.progress.durationMs.get("triggerExecution"))
-            .foreach(ms => batchMs.add(ms.toLong))
-          rowsPerBatch.add(e.progress.numInputRows)
+            .foreach(ms => batches.add((System.nanoTime() - benchT0, ms.toLong)))
         }
       }
     })
@@ -80,15 +96,22 @@ object StreamBench {
       cur = Metrics.counter("spark_live_chunks_processed_total")
     }
     val processed = cur
-    val durations = batchMs.asScala.toSeq.sorted
-    def pct(p: Double): Long =
-      if (durations.isEmpty) 0L
-      else durations(math.min(durations.size - 1, (p * durations.size).toInt))
+    val all = batches.asScala.toSeq
+    val durations = all.map(_._2).sorted
+    val steady = all.filter(_._1 >= warmupSec * 1_000_000_000L).map(_._2).sorted
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L
+      else xs(math.min(xs.size - 1, (p * xs.size).toInt))
     val json =
       s"""{"metric":"stream_throughput","chunks_per_sec":${"%.1f".format(processed / wallSec)},""" +
         s""""chunks":$processed,"wall_sec":${"%.1f".format(wallSec)},""" +
-        s""""batches":${durations.size},"batch_ms_p50":${pct(0.5)},""" +
-        s""""batch_ms_p95":${pct(0.95)},"batch_ms_p99":${pct(0.99)},""" +
+        s""""rows_per_sec_requested":$rps,""" +
+        s""""batches":${durations.size},"batch_ms_p50":${pct(durations, 0.5)},""" +
+        s""""batch_ms_p95":${pct(durations, 0.95)},"batch_ms_p99":${pct(durations, 0.99)},""" +
+        s""""warmup_sec":$warmupSec,"steady_batches":${steady.size},""" +
+        s""""steady_batch_ms_p50":${pct(steady, 0.5)},""" +
+        s""""steady_batch_ms_p95":${pct(steady, 0.95)},""" +
+        s""""steady_batch_ms_p99":${pct(steady, 0.99)},""" +
         s""""gaps":${Metrics.counter("live_chunk_gaps_total")},""" +
         s""""active_streams":${Metrics.activeLiveStreams},""" +
         s""""shuffle_partitions":$shufflePartitions,""" +

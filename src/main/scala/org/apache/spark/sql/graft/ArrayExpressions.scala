@@ -4,6 +4,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -24,14 +25,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * and popped at most once, inside whole-stage codegen. Bit-parity with the
   * HOF form is pinned in DedupSpec.
   *
-  * Elements are read null-intolerantly (`getLong`): the winnowing pipeline
-  * feeds it xxhash64 output, which is never null.
+  * Elements are read null-intolerantly (`getLong`), so the input array must
+  * be typed `containsNull = false` — checkInputDataTypes rejects a nullable
+  * element type at analysis time rather than returning silently wrong
+  * minima. The winnowing pipeline feeds it xxhash64/CharGramHashes output,
+  * both `containsNull = false`.
   */
 case class SlidingMin(child: Expression, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(w >= 1, s"window width must be >= 1, got $w")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else child.dataType match {
+      case ArrayType(_, true) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName reads elements null-intolerantly and requires " +
+          "array<bigint> with containsNull = false; wrap the input in a " +
+          "null-filtering expression first")
+      case _ => base
+    }
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sliding_min"
 

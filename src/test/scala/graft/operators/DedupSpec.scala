@@ -145,6 +145,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SlidingMin rejects arrays whose element type may contain nulls at analysis time") {
+    import org.apache.spark.sql.functions.{array, lit, when, col}
+    val d = Seq((1L, 5L)).toDF("doc_id", "v")
+    // when() without otherwise yields a nullable element -> containsNull=true
+    val nullable = d.select(array(when(col("v") > 0, col("v"))).as("a"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(
+        org.apache.spark.sql.graft.ArrayExpressions.slidingMin(col("a"), 2)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("null"))
+    // non-null element type still works
+    val ok = d.select(array(lit(3L), lit(1L), lit(2L)).as("a"))
+      .select(org.apache.spark.sql.graft.ArrayExpressions.slidingMin(col("a"), 2).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(ok === Seq(1L, 1L))
+  }
+
   test("charGramHashes: native kernel is bit-identical to the HOF form, incl. multibyte") {
     import org.apache.spark.sql.functions.{length => slen, sequence, transform, when, xxhash64, lit, array, col}
     // raw strings (no normalization) so multibyte char->byte offset mapping

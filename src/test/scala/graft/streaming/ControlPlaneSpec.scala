@@ -96,8 +96,37 @@ class ControlPlaneSpec extends SparkSpec {
     meta.upsert("vod_metadata", "v1", 2L, Map("manifest_path" -> "manifests/v1/c.m3u8"))
     meta.upsert("vod_metadata", "v1", 1L, Map("manifest_path" -> "manifests/v1/b.m3u8"))
     meta.upsert("vod_metadata", "v1", 3L, Map("status" -> "processing")) // no manifest yet
-    assert(api.vodManifestUrl("v1").get === "https://cdn.local/manifests/v1/c.m3u8?expires=3600")
+    val url = api.vodManifestUrl("v1").get
+    assert(url.startsWith("https://cdn.local/manifests/v1/c.m3u8?expires="))
     assert(api.vodManifestUrl("missing").isEmpty)
+  }
+
+  test("presigned URLs: HMAC-signed, 1h TTL, tamper-evident") {
+    val (_, meta, _, api) = fixture()
+    meta.upsert("vod_metadata", "v1", 0L, Map("manifest_path" -> "manifests/v1/a.m3u8"))
+    val url = api.vodManifestUrl("v1").get
+    val now = Instant.parse("2026-03-01T10:00:00Z")
+
+    // fixture clock 10:00:00Z + 3600s TTL
+    assert(url.contains(s"expires=${now.getEpochSecond + 3600}"))
+    assert(ControlPlane.validatePresigned(url, "graft-dev-secret", now))
+    // still valid one second before expiry, not after
+    assert(ControlPlane.validatePresigned(url, "graft-dev-secret",
+      now.plusSeconds(3599)))
+    assert(!ControlPlane.validatePresigned(url, "graft-dev-secret",
+      now.plusSeconds(3600)))
+    // tampered path
+    assert(!ControlPlane.validatePresigned(
+      url.replace("a.m3u8", "b.m3u8"), "graft-dev-secret", now))
+    // tampered expiry (extend the TTL without re-signing)
+    assert(!ControlPlane.validatePresigned(
+      url.replace(s"expires=${now.getEpochSecond + 3600}",
+        s"expires=${now.getEpochSecond + 7200}"), "graft-dev-secret", now))
+    // wrong secret
+    assert(!ControlPlane.validatePresigned(url, "other-secret", now))
+
+    // per-endpoint duration histogram observed the calls (api/main.py:317)
+    assert(Metrics.apiDurationHistogram("/vod/manifest").last._2 >= 1L)
   }
 
   test("full loop: uploadVod event drives the VOD pipeline to status=ready") {

@@ -103,6 +103,9 @@ class MetricsSpec extends AnyFunSuite {
         |# TYPE api_requests_total counter
         |api_requests_total{endpoint="/streams/live",method="GET",status="200"} 2
         |api_requests_total{endpoint="/vod/upload",method="POST",status="200"} 3
+        |# api_request_duration_seconds times in-process library calls; magnitudes are not comparable to HTTP service latency
+        |# HELP api_request_duration_seconds API request duration
+        |# TYPE api_request_duration_seconds histogram
         |# HELP api_kafka_events_published_total Kafka events published from API
         |# TYPE api_kafka_events_published_total counter
         |api_kafka_events_published_total{topic="vod-chunks"} 3
@@ -110,6 +113,38 @@ class MetricsSpec extends AnyFunSuite {
     assert(Metrics.apiExposition === expected)
     // and the api families do NOT leak into the spark-job exposition
     assert(!Metrics.exposition.contains("api_requests_total"))
+    Metrics.reset()
+  }
+
+  test("api_request_duration_seconds renders per-endpoint with prometheus_client default buckets") {
+    Metrics.reset()
+    // 3ms and 70ms on upload, 600ms on manifest read
+    Metrics.observeApiDuration("/vod/upload", 0.003)
+    Metrics.observeApiDuration("/vod/upload", 0.07)
+    Metrics.observeApiDuration("/vod/manifest", 0.6)
+    val expo = Metrics.apiExposition
+    val expectedUpload =
+      """api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.005"} 1
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.01"} 1
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.025"} 1
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.05"} 1
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.1"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.25"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="0.5"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="1.0"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="2.5"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="5.0"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="10.0"} 2
+        |api_request_duration_seconds_bucket{endpoint="/vod/upload",le="+Inf"} 2
+        |""".stripMargin
+    assert(expo.contains(expectedUpload))
+    assert(expo.contains("""api_request_duration_seconds_count{endpoint="/vod/upload"} 2"""))
+    assert(expo.contains("""api_request_duration_seconds_bucket{endpoint="/vod/manifest",le="0.5"} 0"""))
+    assert(expo.contains("""api_request_duration_seconds_bucket{endpoint="/vod/manifest",le="1.0"} 1"""))
+    assert(expo.contains("""api_request_duration_seconds_count{endpoint="/vod/manifest"} 1"""))
+    // sums are seconds (nanosecond-accumulated)
+    val sum = Metrics.apiDurationSumSeconds("/vod/upload")
+    assert(math.abs(sum - 0.073) < 1e-6)
     Metrics.reset()
   }
 
