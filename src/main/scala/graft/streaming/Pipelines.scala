@@ -56,13 +56,18 @@ object Pipelines {
       .transformWithState(new LiveProcessor(windowSize), TimeMode.None(), OutputMode.Update())
   }
 
-  def vodResults(frames: DataFrame): Dataset[VodResult] = {
+  /** `spillStore` bounds the VOD manifest keyed state: segments beyond
+    * `maxStateSegments` spill to it as rendered manifest lines (see
+    * VodProcessor). None keeps the unbounded (reference-faithful) form. */
+  def vodResults(frames: DataFrame, spillStore: Option[ObjectStore] = None,
+      maxStateSegments: Int = Processors.VodProcessor.DefaultMaxStateSegments): Dataset[VodResult] = {
     import Processors.vodResultEncoder
     val decoded = ChunkEvents.decode(frames, liveDefaults = false)
       .observe("vod_decode_metrics", count_if(col("corrupt")).as("corrupt_rows"))
     ChunkEvents.toChunks(ChunkEvents.valid(decoded))
       .groupByKey(_.stream_id)(org.apache.spark.sql.Encoders.STRING)
-      .transformWithState(new VodProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new VodProcessor(maxStateSegments, spillStore),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Start the live query: 1 s processing-time trigger, its own checkpoint
@@ -105,13 +110,16 @@ object Pipelines {
       meta: MetadataSink,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      queryName: String = "vod"): StreamingQuery = {
+      queryName: String = "vod",
+      maxStateSegments: Int = Processors.VodProcessor.DefaultMaxStateSegments): StreamingQuery = {
     configureStateStore(frames.sparkSession)
     val aggs = Seq(
       count(lit(1)).as("chunks"),
       count_if(!col("checksum_ok")).as("checksum_failures")) ++
       latencyBandAggs(col("event_ts"))
-    vodResults(frames)
+    // the production topology always caps state: the sink ObjectStore
+    // doubles as the spill target
+    vodResults(frames, spillStore = Some(objects), maxStateSegments = maxStateSegments)
       .observe("vod_metrics", aggs.head, aggs.tail: _*)
       .writeStream
       .queryName(queryName)

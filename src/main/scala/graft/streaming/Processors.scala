@@ -146,24 +146,33 @@ object Processors {
     * initializes the header once and re-reads it afterwards,
     * spark_streaming.py:285-301).
     *
-    * STATE-GROWTH GUARD: `segments` grows O(chunks) per stream and the
-    * manifest string is rebuilt (O(chunks)) per chunk — faithful to the
-    * reference's append-only VOD manifest, and bounded in practice because
-    * VOD uploads are single-chunk (api/main.py:226: one event per upload).
-    * If multi-thousand-chunk VOD streams ever become real inputs, cap the
-    * list state (e.g. spill old segments to the ObjectStore and keep a
-    * tail) before this becomes a RocksDB value-size and per-chunk CPU
-    * liability; the LiveProcessor's slideWindow already demonstrates the
-    * bounded pattern. */
-  final class VodProcessor
+    * STATE-GROWTH CAP: the reference's append-only VOD manifest needs every
+    * segment line ever seen, but keyed state must stay bounded (RocksDB
+    * value-size and per-chunk CPU at multi-thousand-chunk VOD). So the
+    * ListState keeps at most `maxStateSegments` segments; older ones are
+    * spilled — as already-rendered manifest lines behind a spill-count
+    * marker — to the ObjectStore at [[VodProcessor.spillKey]], and the full
+    * manifest is head (spilled lines) + tail (state). The marker makes the
+    * spill append idempotent under micro-batch replay: state rolls back
+    * with the checkpoint and re-evicts the same segments, but lines at
+    * indices below the marker are never re-appended. Streams shorter than
+    * the cap (every real VOD today — uploads are single-chunk,
+    * api/main.py:226) never touch the store from here. Per-key
+    * read-modify-write is safe because a key lives on exactly one state
+    * partition. */
+  final class VodProcessor(
+      maxStateSegments: Int = VodProcessor.DefaultMaxStateSegments,
+      spillStore: Option[Sinks.ObjectStore] = None)
       extends StatefulProcessor[String, ChunkEvents.Chunk, VodResult] {
 
     @transient private var targetDur: ValueState[Long] = _
     @transient private var segments: ListState[Segment] = _
+    @transient private var spilledCount: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       targetDur = getHandle.getValueState[Long]("targetDur", Encoders.scalaLong, TTLConfig.NONE)
       segments = getHandle.getListState[Segment]("segments", Encoders.product[Segment], TTLConfig.NONE)
+      spilledCount = getHandle.getValueState[Long]("spilledCount", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(
@@ -171,6 +180,7 @@ object Processors {
         rows: Iterator[ChunkEvents.Chunk],
         timerValues: TimerValues): Iterator[VodResult] = {
       var segs = segments.get().toVector
+      var spilled = if (spilledCount.exists()) spilledCount.get() else 0L
       val out = Vector.newBuilder[VodResult]
       sortedBySeq(rows).foreach { c =>
         // A8 audit trail: stamp each status transition of the fold
@@ -181,6 +191,14 @@ object Processors {
         if (!targetDur.exists()) targetDur.update(durSec.toLong + 1)
         val uri = s"$streamId/1080p/${c.chunk_index}.ts"
         segs = segs :+ Segment(durSec, uri)
+        spillStore.foreach { store =>
+          if (segs.size > maxStateSegments) {
+            val evicted = segs.dropRight(maxStateSegments)
+            VodProcessor.appendSpill(store, streamId, spilled, evicted)
+            spilled += evicted.size
+            segs = segs.takeRight(maxStateSegments)
+          }
+        }
         val transcodingAt = new Timestamp(
           math.max(System.currentTimeMillis(), processingAt.getTime))
 
@@ -189,6 +207,7 @@ object Processors {
           sb ++= "#EXTM3U\n#EXT-X-VERSION:3\n"
           sb ++= s"#EXT-X-TARGETDURATION:${targetDur.get()}\n"
           sb ++= "#EXT-X-PLAYLIST-TYPE:VOD\n"
+          if (spilled > 0) sb ++= VodProcessor.spillHead(spillStore.get, streamId)
           segs.foreach(s => sb ++= ManifestFunctions.segmentLine(s.durationSeconds, s.uri))
           sb.toString
         }
@@ -214,8 +233,53 @@ object Processors {
             math.max(System.currentTimeMillis(), transcodingAt.getTime)))
       }
       segments.put(segs.toArray)
+      spilledCount.update(spilled)
       out.result().iterator
     }
+  }
+
+  object VodProcessor {
+    /** Segments kept in keyed state before spilling manifest lines to the
+      * ObjectStore. 512 lines x ~60 B is a ~30 KB RocksDB value ceiling. */
+    val DefaultMaxStateSegments: Int = 512
+
+    private[streaming] def spillKey(streamId: String): String =
+      s"$streamId/.vod_manifest_head"
+
+    /** Append `evicted` segments' manifest lines to the spill object,
+      * given that `already` segments were spilled before this call. The
+      * object's first line is a `#GRAFT-SPILL-COUNT:<n>` marker; lines for
+      * indices below the marker are never re-appended, which makes replayed
+      * evictions (micro-batch retry after state rollback) no-ops. */
+    private[streaming] def appendSpill(store: Sinks.ObjectStore, streamId: String,
+        already: Long, evicted: Seq[Segment]): Unit = {
+      val key = spillKey(streamId)
+      val (marker, body) = store.getString("manifests", key) match {
+        case Some(s) =>
+          val parts = s.split("\n", 2)
+          (parts(0).stripPrefix("#GRAFT-SPILL-COUNT:").toLong,
+            if (parts.length > 1) parts(1) else "")
+        case None => (0L, "")
+      }
+      val target = already + evicted.size
+      if (marker >= target) return // replayed eviction: already durable
+      val fresh = evicted.drop(math.max(0L, marker - already).toInt)
+      val lines = fresh.map(s => ManifestFunctions.segmentLine(s.durationSeconds, s.uri))
+      store.put("manifests", key,
+        (s"#GRAFT-SPILL-COUNT:$target\n" + body + lines.mkString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "text/plain", Map("stream_id" -> streamId))
+    }
+
+    /** The spilled manifest lines (marker stripped), "" if nothing spilled. */
+    private[streaming] def spillHead(store: Sinks.ObjectStore, streamId: String): String =
+      store.getString("manifests", spillKey(streamId)) match {
+        case Some(s) => s.split("\n", 2) match {
+          case Array(_, b) => b
+          case _ => ""
+        }
+        case None => ""
+      }
   }
 
   implicit val liveResultEncoder: Encoder[LiveResult] = Encoders.product[LiveResult]

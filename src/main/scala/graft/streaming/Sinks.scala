@@ -163,6 +163,111 @@ object Sinks {
     }
   }
 
+  /** ObjectStore over the Hadoop FileSystem API — the production-cluster
+    * implementation of the seam. `baseUri` selects the backing store:
+    * `s3a://bucket-root` reaches MinIO/S3 (what the reference writes,
+    * spark_streaming.py:170-181), `hdfs://nn/path` a Hadoop cluster,
+    * `file:/tmp/...` a local directory (how this store's contract tests
+    * execute in a sandbox without the s3a connector jar — the CODE PATH is
+    * identical, only the FileSystem impl behind the URI changes).
+    *
+    * Credentials/endpoint are config-injected, not hardcoded: pass
+    * `fs.s3a.endpoint` / `fs.s3a.access.key` / `fs.s3a.secret.key` /
+    * `fs.s3a.path.style.access` in `conf` (the deployment's MINIO_* settings
+    * land there; compare the reference's client construction,
+    * spark_streaming.py:170-181).
+    *
+    * Layout matches FileObjectStore: objects at `baseUri/bucket/key`,
+    * content-type + user metadata in a `.graftmeta` JSON sidecar (the
+    * FileSystem API has no object-metadata headers; a direct S3 client
+    * would map the sidecar to `ContentType`/`x-amz-meta-*`).
+    *
+    * Writes create-with-overwrite and publish on `close()`: on S3A that is
+    * a whole-object PUT — atomic, never visible partially — so replays
+    * (same key per (stream_id, chunk_index)) keep the exactly-once
+    * overwrite contract without rename tricks (S3A rename is a non-atomic
+    * copy, the opposite of what it is on a local filesystem).
+    *
+    * The handle is a serializable description (URI + conf map); the
+    * FileSystem client is a @transient lazy per-JVM singleton, so executors
+    * construct their own connection after deserialization — the
+    * per-partition-singleton pattern the Sinks doc promises. */
+  final class HadoopObjectStore(baseUri: String, conf: Map[String, String] = Map.empty)
+      extends ObjectStore {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+    @transient private lazy val fs: FileSystem = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      conf.foreach { case (k, v) => c.set(k, v) }
+      FileSystem.get(java.net.URI.create(baseUri), c)
+    }
+    private def base = new HPath(baseUri)
+
+    private def path(bucket: String, key: String): HPath = {
+      // same traversal guard as FileObjectStore: keys arrive from decoded
+      // events and must not navigate outside the store root
+      require(!(bucket + "/" + key).split('/').contains(".."),
+        s"key escapes store root: $bucket/$key")
+      new HPath(base, s"$bucket/$key")
+    }
+    private def metaPath(bucket: String, key: String): HPath =
+      path(bucket, key + ".graftmeta")
+
+    private def write(p: HPath, body: Array[Byte]): Unit = {
+      val out = fs.create(p, true) // overwrite; visible atomically on close (S3A PUT)
+      try out.write(body) finally out.close()
+    }
+
+    override def put(bucket: String, key: String, body: Array[Byte],
+        contentType: String, metadata: Map[String, String]): Unit = {
+      write(path(bucket, key), body)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val doc = new java.util.LinkedHashMap[String, String]()
+      doc.put("content-type", contentType)
+      metadata.foreach { case (k, v) => doc.put(k, v) }
+      write(metaPath(bucket, key), om.writeValueAsBytes(doc))
+    }
+
+    override def get(bucket: String, key: String): Option[Array[Byte]] = {
+      val p = path(bucket, key)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+        finally in.close()
+      }
+    }
+
+    override def keys(bucket: String): Seq[String] = {
+      val dir = new HPath(base, bucket)
+      if (!fs.exists(dir)) Seq.empty
+      else {
+        val it = fs.listFiles(dir, true)
+        val buf = Seq.newBuilder[String]
+        val prefix = dir.toUri.getPath.stripSuffix("/") + "/"
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(prefix)
+          if (!rel.endsWith(".graftmeta")) buf += rel
+        }
+        buf.result().sorted
+      }
+    }
+
+    def contentType(bucket: String, key: String): Option[String] = {
+      val mp = metaPath(bucket, key)
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        Option(om.readValue(bytes, classOf[java.util.Map[String, String]])
+          .get("content-type"))
+      }
+    }
+  }
+
   /** Filesystem-backed MetadataSink: one JSON document per
     * (table, stream_id, chunk_index) at `root/table/streamId/chunkIndex
     * .json`, $set-merged on upsert and written temp-file + atomic move.

@@ -67,6 +67,64 @@ class DurableSinksSpec extends SparkSpec {
     assert(again.count("live_metadata") === 3L)
   }
 
+  test("HadoopObjectStore: same contract as FileObjectStore over a file: URI") {
+    // file:/ here; s3a://bucket + fs.s3a.* conf on a real cluster — the code
+    // path is identical, only the FileSystem behind the URI changes. Given
+    // an s3a-capable environment, THIS test (plus the replay test below,
+    // swapping the store) is the store's full contract.
+    val root = Files.createTempDirectory("graft-hos").toUri.toString
+    val store = new Sinks.HadoopObjectStore(root)
+    store.put("bucket-a", "s1/chunks/0.ts", "body0".getBytes, "video/mp2t",
+      Map("stream_id" -> "s1"))
+    store.put("bucket-a", "s1/manifest.m3u8", "#EXTM3U\n".getBytes,
+      "application/vnd.apple.mpegurl", Map.empty)
+    assert(new String(store.get("bucket-a", "s1/chunks/0.ts").get) === "body0")
+    assert(store.get("bucket-a", "missing").isEmpty)
+    assert(store.keys("bucket-a") === Seq("s1/chunks/0.ts", "s1/manifest.m3u8"))
+    assert(store.keys("no-such-bucket").isEmpty)
+    assert(store.contentType("bucket-a", "s1/manifest.m3u8").get ===
+      "application/vnd.apple.mpegurl")
+    // whole-object overwrite is idempotent (replay contract)
+    store.put("bucket-a", "s1/chunks/0.ts", "body0".getBytes, "video/mp2t",
+      Map("stream_id" -> "s1"))
+    assert(store.keys("bucket-a").size === 2)
+    // durability: a fresh handle (fresh FileSystem client) sees everything
+    val again = new Sinks.HadoopObjectStore(root)
+    assert(new String(again.get("bucket-a", "s1/chunks/0.ts").get) === "body0")
+    // traversal guard
+    intercept[IllegalArgumentException] {
+      store.put("b", "../../escape.ts", Array.emptyByteArray, "x", Map.empty)
+    }
+    // the handle survives serialization (executors deserialize it and build
+    // their own client — the per-partition-singleton pattern)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(store)
+    val thawed = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Sinks.HadoopObjectStore]
+    assert(new String(thawed.get("bucket-a", "s1/chunks/0.ts").get) === "body0")
+  }
+
+  test("replay idempotency holds for HadoopObjectStore-delivered live results") {
+    val objects = new Sinks.HadoopObjectStore(
+      Files.createTempDirectory("graft-hos-r").toUri.toString)
+    val meta = new Sinks.FileMetadataSink(Files.createTempDirectory("graft-hms-r").toString)
+    val ts = Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val rows = (0L to 2L).map { i =>
+      LiveResult("stream-h", i, i, ts, 1000, "live", s"c$i", 3000, true,
+        "aud", "vid", checksum_ok = true, gap_size = 0,
+        chunk_path = s"live-streams/stream-h/chunks/$i.ts",
+        manifest_path = "manifests/stream-h/live_manifest.m3u8",
+        manifest = s"#EXTM3U\nfake-$i\n", dvr_window_start = 0)
+    }
+    Sinks.deliverLive(rows.iterator, objects, meta)
+    val snapManifest = objects.getString("manifests", "stream-h/live_manifest.m3u8")
+    val snapKeys = objects.keys("live-streams")
+    Sinks.deliverLive(rows.iterator, objects, meta) // replay the whole batch
+    assert(objects.getString("manifests", "stream-h/live_manifest.m3u8") === snapManifest)
+    assert(objects.keys("live-streams") === snapKeys)
+  }
+
   test("file stores reject path-traversal keys and stream ids") {
     val store = new Sinks.FileObjectStore(Files.createTempDirectory("graft-fos-t").toString)
     intercept[IllegalArgumentException] {

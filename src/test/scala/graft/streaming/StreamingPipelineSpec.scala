@@ -384,6 +384,59 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(manifest === expected)
   }
 
+  test("vod manifest state cap: multi-hundred-chunk stream keeps bounded state, full manifest") {
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t5c-obj")
+    Sinks.InMemoryMetadataSink.clear("t5c-meta")
+    val objects = new Sinks.InMemoryObjectStore("t5c-obj")
+    val meta = new Sinks.InMemoryMetadataSink("t5c-meta")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    def vodJson(idx: Long): String =
+      s"""{"stream_id":"vod-cap","chunk_index":$idx,"sequence_number":$idx,""" +
+        s""""timestamp":"2026-01-01T00:00:00+00:00","size_bytes":123,""" +
+        s""""stream_type":"vod","status":"uploaded","checksum":"x",""" +
+        s""""duration_ms":3000,"title":"T","resolution":"1920x1080"}"""
+
+    val ckpt = Files.createTempDirectory("ckpt-vod-cap").toString
+    val cap = 8
+    val total = 300
+    val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "vod-cap",
+      maxStateSegments = cap)
+    try {
+      // three micro-batches, so the cap also holds across state reloads
+      (0 until total).grouped(100).foreach { chunk =>
+        stream.addData(chunk.map(i => vodJson(i.toLong)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the final manifest is COMPLETE: header + all 300 lines in order
+    val manifest = objects.getString("manifests", "vod-cap/vod_manifest.m3u8").get
+    val expected =
+      "#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:4\n#EXT-X-PLAYLIST-TYPE:VOD\n" +
+        (0 until total).map(i => s"#EXTINF:3.000,\nvod-cap/1080p/$i.ts\n").mkString
+    assert(manifest === expected)
+
+    // ...while keyed state stayed bounded: everything except the tail was
+    // spilled to the object store behind the idempotency marker
+    val spill = objects.getString("manifests",
+      Processors.VodProcessor.spillKey("vod-cap")).get
+    assert(spill.startsWith(s"#GRAFT-SPILL-COUNT:${total - cap}\n"))
+    assert(spill.split("\n").count(_.startsWith("#EXTINF")) === total - cap)
+
+    // replayed evictions are no-ops: re-appending an already-durable range
+    // leaves the spill object byte-identical
+    Processors.VodProcessor.appendSpill(objects, "vod-cap", total - cap - 2,
+      Seq(ManifestFunctions.Segment(3.0, s"vod-cap/1080p/${total - cap - 2}.ts"),
+        ManifestFunctions.Segment(3.0, s"vod-cap/1080p/${total - cap - 1}.ts")))
+    assert(objects.getString("manifests",
+      Processors.VodProcessor.spillKey("vod-cap")).get === spill)
+  }
+
   private def jsonAt(streamId: String, idx: Long, iso: String): String =
     s"""{"stream_id":"$streamId","chunk_index":$idx,"sequence_number":$idx,""" +
       s""""timestamp":"$iso","size_bytes":${500000 + idx},""" +
