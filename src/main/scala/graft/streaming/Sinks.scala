@@ -340,6 +340,121 @@ object Sinks {
     }
   }
 
+  /** MetadataSink over JDBC — the production-database implementation of the
+    * seam (the reference writes MongoDB, spark_streaming.py:463-486; any
+    * ACID store with an upsert works, and SQL-over-JDBC is the
+    * lowest-common-denominator the sandbox can actually execute: Derby
+    * embedded ships with Spark). One row per (table, stream_id,
+    * chunk_index) with the document as a JSON CLOB; upsert implements the
+    * reference's `$set` merge (read-merge-write inside one transaction,
+    * UPDATE-else-INSERT keyed by the primary key). Point it at
+    * `jdbc:derby:/path;create=true` here, `jdbc:postgresql://...` in a
+    * deployment — code path identical.
+    *
+    * The handle (URL) is serializable; the Connection is a @transient lazy
+    * per-JVM singleton (per-partition-singleton pattern), synchronized
+    * because JDBC connections are not thread-safe and local[k] executors
+    * share the JVM. Per-key write ordering is still provided upstream by
+    * the keyed state partitioning. */
+  final class JdbcMetadataSink(jdbcUrl: String) extends MetadataSink {
+    import java.sql.Connection
+
+    @transient private lazy val conn: Connection = {
+      val c = java.sql.DriverManager.getConnection(jdbcUrl)
+      c.setAutoCommit(false)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          "CREATE TABLE graft_metadata (" +
+            "tbl VARCHAR(64) NOT NULL, stream_id VARCHAR(256) NOT NULL, " +
+            "chunk_index BIGINT NOT NULL, doc CLOB NOT NULL, " +
+            "PRIMARY KEY (tbl, stream_id, chunk_index))")
+        finally st.close()
+        c.commit()
+      } catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+          c.rollback() // table already exists (Derby has no IF NOT EXISTS)
+      }
+      c
+    }
+
+    private def om = new com.fasterxml.jackson.databind.ObjectMapper()
+    private def toJson(doc: Map[String, String]): String = {
+      val out = new java.util.LinkedHashMap[String, String]()
+      doc.toSeq.sortBy(_._1).foreach { case (k, v) => out.put(k, v) }
+      om.writeValueAsString(out)
+    }
+    private def fromJson(s: String): Map[String, String] =
+      om.readValue(s, classOf[java.util.Map[String, String]]).asScala.toMap
+
+    override def upsert(table: String, streamId: String, chunkIndex: Long,
+        doc: Map[String, String]): Unit = conn.synchronized {
+      try {
+        val sel = conn.prepareStatement(
+          "SELECT doc FROM graft_metadata WHERE tbl=? AND stream_id=? AND chunk_index=?")
+        val existing = try {
+          sel.setString(1, table); sel.setString(2, streamId); sel.setLong(3, chunkIndex)
+          val rs = sel.executeQuery()
+          try if (rs.next()) Some(fromJson(rs.getString(1))) else None finally rs.close()
+        } finally sel.close()
+        val merged = toJson(existing.getOrElse(Map.empty) ++ doc)
+        val sql = existing match {
+          case Some(_) =>
+            "UPDATE graft_metadata SET doc=? WHERE tbl=? AND stream_id=? AND chunk_index=?"
+          case None =>
+            "INSERT INTO graft_metadata (doc, tbl, stream_id, chunk_index) VALUES (?,?,?,?)"
+        }
+        val up = conn.prepareStatement(sql)
+        try {
+          up.setString(1, merged); up.setString(2, table)
+          up.setString(3, streamId); up.setLong(4, chunkIndex)
+          up.executeUpdate()
+        } finally up.close()
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+
+    override def find(table: String, streamId: String,
+        chunkIndex: Long): Option[Map[String, String]] = conn.synchronized {
+      val st = conn.prepareStatement(
+        "SELECT doc FROM graft_metadata WHERE tbl=? AND stream_id=? AND chunk_index=?")
+      try {
+        st.setString(1, table); st.setString(2, streamId); st.setLong(3, chunkIndex)
+        val rs = st.executeQuery()
+        try if (rs.next()) Some(fromJson(rs.getString(1))) else None finally rs.close()
+      } finally { st.close(); conn.commit() }
+    }
+
+    override def findLatest(table: String, streamId: String,
+        pred: Map[String, String] => Boolean): Option[Map[String, String]] = conn.synchronized {
+      // the reference's find_one(sort=[("chunk_index", -1)]) — ORDER BY the
+      // index component of the key, first doc satisfying pred wins
+      val st = conn.prepareStatement(
+        "SELECT doc FROM graft_metadata WHERE tbl=? AND stream_id=? ORDER BY chunk_index DESC")
+      try {
+        st.setString(1, table); st.setString(2, streamId)
+        val rs = st.executeQuery()
+        try {
+          var found: Option[Map[String, String]] = None
+          while (found.isEmpty && rs.next()) {
+            val d = fromJson(rs.getString(1))
+            if (pred(d)) found = Some(d)
+          }
+          found
+        } finally rs.close()
+      } finally { st.close(); conn.commit() }
+    }
+
+    override def count(table: String): Long = conn.synchronized {
+      val st = conn.prepareStatement("SELECT COUNT(*) FROM graft_metadata WHERE tbl=?")
+      try {
+        st.setString(1, table)
+        val rs = st.executeQuery()
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally { st.close(); conn.commit() }
+    }
+  }
+
   private val ManifestContentType = "application/vnd.apple.mpegurl"
 
   /** Deliver one partition of live results, in emitted (per-key sequential)
