@@ -2,33 +2,64 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions installer for the engine's native expressions —
   * wire with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`, after
-  * which SQL can call the codegen kernels directly:
+  * which SQL (including JDBC/Thrift clients and notebook SQL cells) can
+  * call the codegen kernels directly:
   *
-  * {{{ SELECT float_dot(a.embedding, b.embedding) FROM ... }}}
+  * {{{
+  * SELECT float_dot(a.embedding, b.embedding) FROM ...      -- array<float> dot
+  * SELECT sliding_min(gh, 8) FROM ...                       -- winnowing window min
+  * SELECT char_gram_hashes(text, 8) FROM ...                -- xxhash64 k-grams
+  * }}}
+  *
+  * The integer width/size arguments must be literals — they parameterize
+  * codegen, exactly like the Scala wrappers' Int parameters.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val floatDotDescriptor = (
-    FunctionIdentifier("float_dot"),
-    new ExpressionInfo(classOf[FloatDot].getCanonicalName, "float_dot"),
-    (children: Seq[Expression]) => {
-      require(children.length == 2, "float_dot expects exactly 2 arguments")
-      FloatDot(children.head, children(1)): Expression
-    })
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getCanonicalName, "float_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_dot expects exactly 2 arguments")
+        FloatDot(children.head, children(1)): Expression
+      }),
+    (FunctionIdentifier("sliding_min"),
+      new ExpressionInfo(classOf[SlidingMin].getCanonicalName, "sliding_min"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sliding_min expects exactly 2 arguments")
+        SlidingMin(children.head, intLit(children(1), "sliding_min", "w")): Expression
+      }),
+    (FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getCanonicalName, "char_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "char_gram_hashes expects exactly 2 arguments")
+        CharGramHashes(children.head, intLit(children(1), "char_gram_hashes", "k")): Expression
+      }))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions
     * configured on the builder only apply to sessions created after. */
   def registerInto(spark: SparkSession): Unit = {
-    val (id, info, builder) = floatDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.graft.{ArrayExpressions, GraftExtensions, VectorExpressions}
+
+import graft.SparkSpec
+
+/** The SQL surface of the native kernels (SparkSessionExtensions /
+  * FunctionRegistry injection): each function must be callable from
+  * spark.sql(...) and bit-identical to its Scala Column wrapper. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("float_dot / sliding_min / char_gram_hashes are callable from SQL, parity with wrappers") {
+    GraftExtensions.registerInto(spark)
+    import spark.implicits._
+
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f),
+        Array(9L, 3L, 7L, 1L, 8L), "hello graft world")
+    ).toDF("a", "b", "xs", "s")
+    df.createOrReplaceTempView("ext_t")
+
+    val sqlRow = spark.sql(
+      """SELECT float_dot(a, b) AS d,
+        |       sliding_min(xs, 3) AS m,
+        |       char_gram_hashes(s, 5) AS g
+        |FROM ext_t""".stripMargin).collect().head
+    val wrapRow = df.select(
+      VectorExpressions.floatDot($"a", $"b").as("d"),
+      ArrayExpressions.slidingMin($"xs", 3).as("m"),
+      ArrayExpressions.charGramHashes($"s", 5).as("g")).collect().head
+
+    assert(sqlRow.getDouble(0) === 32.0)
+    assert(sqlRow.getDouble(0) === wrapRow.getDouble(0))
+    assert(sqlRow.getSeq[Long](1) === Seq(3L, 1L, 1L))
+    assert(sqlRow.getSeq[Long](1) === wrapRow.getSeq[Long](1))
+    assert(sqlRow.getSeq[Long](2) === wrapRow.getSeq[Long](2))
+    assert(sqlRow.getSeq[Long](2).length === "hello graft world".length - 4)
+  }
+
+  test("width arguments must be integer literals (they parameterize codegen)") {
+    GraftExtensions.registerInto(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sliding_min(array(1L, 2L), 1 + 1) FROM (SELECT 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
