@@ -169,19 +169,41 @@ object Dedup {
     cands
   }
 
-  /** Candidate pairs refined with exact shingle-Jaccard, keeping pairs at or
-    * above `threshold`. The Jaccard join touches only LSH candidates. */
-  def minhashNearDups(
+  /** Exact shingle-Jaccard refinement of a candidate-pair set, keeping
+    * pairs at or above `threshold` — shared by the minhash/simhash/ensemble
+    * near-dup operators.
+    *
+    * Shingles are computed ONLY for documents that appear in some candidate
+    * pair (semi-join on the candidate id set first). At corpus scale the
+    * candidate set is orders of magnitude smaller than the corpus, and the
+    * former inline form shingled the WHOLE corpus twice and shipped the
+    * shingle arrays (~3x the text bytes) through both refinement joins —
+    * pure waste for the overwhelming majority of rows that touch no
+    * candidate. With the semi-join, the corpus scan projects only
+    * (id, text), AQE broadcast-converts the tiny id set when it fits, and
+    * the shingle arrays exist only for candidate docs. No checkpoint is
+    * added here — everything stays one lazy plan (the former inline form's
+    * job structure, minus the corpus-wide shingle compute and shuffle) —
+    * so `candidatePairs` MUST be cheap to re-evaluate: it is referenced
+    * several times (both id projections and the pair join), and callers
+    * pass an eagerly-checkpointed frame. */
+  private def refineByJaccard(
       docs: DataFrame,
+      candidatePairs: DataFrame,
       threshold: Double,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      k: Int = 64,
-      bands: Int = 16,
-      shingle: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
-    val sh = docs.select(col(idCol).as("sid"),
-      TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
+      textCol: String,
+      idCol: String,
+      shingle: Int): DataFrame = {
+    val cands = candidatePairs
+    // no .distinct(): left_semi tolerates duplicate ids, and the distinct
+    // would be one more shuffle of an already-small set
+    val ids = cands.select(col("id_a").as("sid"))
+      .union(cands.select(col("id_b").as("sid")))
+    val sh = docs
+      .select(col(idCol).as("sid"), col(textCol))
+      .join(ids, Seq("sid"), "left_semi")
+      .select(col("sid"),
+        TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
     cands
       .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -189,6 +211,21 @@ object Dedup {
         round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Candidate pairs refined with exact shingle-Jaccard, keeping pairs at or
+    * above `threshold`. The Jaccard join touches only LSH candidates, and
+    * shingles exist only for candidate docs (see [[refineByJaccard]]). */
+  def minhashNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3): DataFrame =
+    refineByJaccard(docs,
+      minhashCandidates(docs, textCol, idCol, k, bands, shingle),
+      threshold, textCol, idCol, shingle)
 
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
     * rolling-hash fingerprinting family): hash every character k-gram of
@@ -363,14 +400,8 @@ object Dedup {
     val cands = simhashCandidates(docs, textCol, idCol, blocks)
       .filter(col("hamming") <= blocks - 1)
       .select(col("id_a"), col("id_b"))
-    val sh = docs.select(col(idCol).as("sid"),
-      TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
-    cands
-      .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true) // refineByJaccard references it several times
+    refineByJaccard(docs, cands, threshold, textCol, idCol, shingle)
   }
 
   /** Ensemble near-duplicate pairs: the union of MinHash-banding and
@@ -400,15 +431,12 @@ object Dedup {
     val sh = simhashCandidates(docs, textCol, idCol, blocks)
       .filter(col("hamming") <= blocks - 1)
       .select(col("id_a"), col("id_b"))
-    val cands = mh.union(sh).distinct()
-    val shingles = docs.select(col(idCol).as("sid"),
-      TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
-    cands
-      .join(shingles.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingles.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // one eager materialization: the union-distinct is referenced several
+    // times by the refinement, and the simhash bucket self-join behind it
+    // must not re-run per reference (the minhash side is already
+    // checkpointed by its generator)
+    val cands = mh.union(sh).distinct().localCheckpoint(true)
+    refineByJaccard(docs, cands, threshold, textCol, idCol, shingle)
   }
 
   /** Near-dup candidates by SimHash block match: split the 64-bit fingerprint
