@@ -49,7 +49,14 @@ object Bench {
       // is JVM-lifetime cost, not query cost — medians measure the steady
       // state a long-lived session (or any real deployment) runs at.
       evalFully(name)
-      val times = (1 to reps).map(_ => evalFully(name)).filter(_ >= 0.0).sorted
+      val raw = (1 to reps).map(_ => evalFully(name))
+      // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr, for spotting
+      // session-age drift (a growing sequence means accumulated state —
+      // storage blocks, codegen caches — not query cost)
+      if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
+        System.err.println(s"BENCH_REPS $name " +
+          raw.map(t => f"$t%.2f").mkString(" "))
+      val times = raw.filter(_ >= 0.0).sorted
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
       name -> median
     }
