@@ -129,6 +129,68 @@ class ControlPlaneSpec extends SparkSpec {
     assert(Metrics.apiDurationHistogram("/vod/manifest").last._2 >= 1L)
   }
 
+  test("presign property: round-trips for arbitrary paths/secrets, never cross-validates") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789/-_."
+    for (_ <- 1 to 50) {
+      val path = Seq.fill(1 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        .replaceAll("^/+", "a") // keep a non-empty first segment
+      val secret = s"secret-${rnd.nextLong()}"
+      val t0 = Instant.ofEpochSecond(1000000000L + rnd.nextInt(Int.MaxValue))
+      val n = s"pp-${rnd.nextLong()}"
+      val api = new ControlPlane.Api(new Sinks.InMemoryObjectStore(n),
+        new Sinks.InMemoryMetadataSink(n), publish = (_, _) => (),
+        now = () => t0, presignSecret = secret)
+      val meta2 = new Sinks.InMemoryMetadataSink(n)
+      meta2.upsert("vod_metadata", "v", 0L, Map("manifest_path" -> path))
+      val url = api.vodManifestUrl("v").get
+      assert(ControlPlane.validatePresigned(url, secret, t0))
+      assert(!ControlPlane.validatePresigned(url, secret + "x", t0))
+      assert(!ControlPlane.validatePresigned(url, secret, t0.plusSeconds(3600)))
+    }
+  }
+
+  test("full loop over HTTP: POST /vod/upload -> pipeline -> GET manifest is a valid signed URL") {
+    val (objects, meta, published, api) = fixture()
+    val server = ApiServer.start(api, port = 0)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      val up = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/vod/upload"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"title":"Ep 1","duration_seconds":3.0,"file_size_bytes":999}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(up.statusCode() === 200)
+      val id = "vod-deadbeefcafe"
+      assert(up.body().contains(s""""stream_id":"$id""""))
+
+      // the HTTP-published Kafka event drives the SAME pipeline as in-process
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt-cp-http").toString
+      val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0), queryName = "cp-http-vod")
+      try {
+        stream.addData(published.head._2)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val mf = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/vod/$id/manifest"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(mf.statusCode() === 200)
+      val url = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(mf.body()).get("manifest_url").asText()
+      assert(url.contains(s"manifests/$id/vod_manifest.m3u8"))
+      assert(ControlPlane.validatePresigned(url, "graft-dev-secret",
+        Instant.parse("2026-03-01T10:00:00Z")))
+    } finally server.stop(0)
+  }
+
   test("full loop: uploadVod event drives the VOD pipeline to status=ready") {
     val (objects, meta, published, api) = fixture()
     val id = api.uploadVod(VodUploadRequest("Ep 1", 3.0, 999))

@@ -437,6 +437,34 @@ class StreamingPipelineSpec extends SparkSpec {
       Processors.VodProcessor.spillKey("vod-cap")).get === spill)
   }
 
+  test("spill marker reconciliation: random eviction splits with replay overlaps converge") {
+    // Property (seeded, deterministic): however the eviction sequence is
+    // split into calls, and however calls are REPLAYED with stale `already`
+    // counts (state rolled back to any earlier batch boundary), the spill
+    // object ends as marker=total + every line exactly once, in order.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val objects = new Sinks.InMemoryObjectStore(s"spill-prop-$trial")
+      val total = 1 + rnd.nextInt(60)
+      val segs = (0 until total).map(i => Segment(3.0, s"d/$i.ts"))
+      // split [0, total) into consecutive eviction batches
+      val cuts = (Seq(0, total) ++ Seq.fill(rnd.nextInt(5))(rnd.nextInt(total + 1)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => (a.toLong, segs.slice(a, b)) }
+      batches.foreach { case (already, ev) =>
+        Processors.VodProcessor.appendSpill(objects, "s", already, ev)
+        // replay: re-run a random earlier batch with its ORIGINAL `already`
+        val (ra, rev) = batches(rnd.nextInt(batches.indexOf((already, ev)) + 1))
+        Processors.VodProcessor.appendSpill(objects, "s", ra, rev)
+      }
+      val spill = objects.getString("manifests",
+        Processors.VodProcessor.spillKey("s")).get
+      assert(spill.startsWith(s"#GRAFT-SPILL-COUNT:$total\n"), s"trial $trial marker")
+      val uris = spill.split("\n").filterNot(_.startsWith("#")).toSeq
+      assert(uris === (0 until total).map(i => s"d/$i.ts"), s"trial $trial lines")
+    }
+  }
+
   private def jsonAt(streamId: String, idx: Long, iso: String): String =
     s"""{"stream_id":"$streamId","chunk_index":$idx,"sequence_number":$idx,""" +
       s""""timestamp":"$iso","size_bytes":${500000 + idx},""" +
