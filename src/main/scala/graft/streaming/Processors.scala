@@ -180,7 +180,18 @@ object Processors {
         rows: Iterator[ChunkEvents.Chunk],
         timerValues: TimerValues): Iterator[VodResult] = {
       var segs = segments.get().toVector
-      var spilled = if (spilledCount.exists()) spilledCount.get() else 0L
+      val spilled = if (spilledCount.exists()) spilledCount.get() else 0L
+      // Spilled manifest head, read ONCE per (key, batch) and TRUNCATED to
+      // the state's own count: after a mid-batch failure the spill object
+      // can be AHEAD of the rolled-back state (its appends are not
+      // transactional with the checkpoint), and the surplus lines are
+      // exactly the segments the replay re-delivers through `segs` — using
+      // the store's full head would emit them twice. Truncation makes the
+      // emitted manifest a pure function of (head prefix, state), so a
+      // replayed batch reproduces byte-identical manifests.
+      val head =
+        if (spilled == 0) ""
+        else VodProcessor.spillHeadLines(spillStore.get, streamId, spilled)
       val out = Vector.newBuilder[VodResult]
       sortedBySeq(rows).foreach { c =>
         // A8 audit trail: stamp each status transition of the fold
@@ -191,14 +202,6 @@ object Processors {
         if (!targetDur.exists()) targetDur.update(durSec.toLong + 1)
         val uri = s"$streamId/1080p/${c.chunk_index}.ts"
         segs = segs :+ Segment(durSec, uri)
-        spillStore.foreach { store =>
-          if (segs.size > maxStateSegments) {
-            val evicted = segs.dropRight(maxStateSegments)
-            VodProcessor.appendSpill(store, streamId, spilled, evicted)
-            spilled += evicted.size
-            segs = segs.takeRight(maxStateSegments)
-          }
-        }
         val transcodingAt = new Timestamp(
           math.max(System.currentTimeMillis(), processingAt.getTime))
 
@@ -207,7 +210,7 @@ object Processors {
           sb ++= "#EXTM3U\n#EXT-X-VERSION:3\n"
           sb ++= s"#EXT-X-TARGETDURATION:${targetDur.get()}\n"
           sb ++= "#EXT-X-PLAYLIST-TYPE:VOD\n"
-          if (spilled > 0) sb ++= VodProcessor.spillHead(spillStore.get, streamId)
+          sb ++= head
           segs.foreach(s => sb ++= ManifestFunctions.segmentLine(s.durationSeconds, s.uri))
           sb.toString
         }
@@ -232,8 +235,21 @@ object Processors {
           completed_at = new Timestamp(
             math.max(System.currentTimeMillis(), transcodingAt.getTime)))
       }
+      // Evict ONCE per (key, batch): segments beyond the cap spill in a
+      // single read-modify-write (vs one per chunk), manifest content is
+      // unaffected (head + segs covers every segment either way), and the
+      // marker makes a replayed eviction a store no-op.
+      var newSpilled = spilled
+      spillStore.foreach { store =>
+        if (segs.size > maxStateSegments) {
+          val evicted = segs.dropRight(maxStateSegments)
+          VodProcessor.appendSpill(store, streamId, spilled, evicted)
+          newSpilled = spilled + evicted.size
+          segs = segs.takeRight(maxStateSegments)
+        }
+      }
       segments.put(segs.toArray)
-      spilledCount.update(spilled)
+      spilledCount.update(newSpilled)
       out.result().iterator
     }
   }
@@ -280,6 +296,27 @@ object Processors {
         }
         case None => ""
       }
+
+    /** The first `count` spilled segments' lines. The store can run AHEAD
+      * of the keyed state after a mid-batch failure (spill appends are not
+      * transactional with the checkpoint), so manifest assembly must take
+      * only the prefix the state has accounted for — each segment is
+      * exactly two lines (#EXTINF + uri). */
+    private[streaming] def spillHeadLines(store: Sinks.ObjectStore, streamId: String,
+        count: Long): String = {
+      val body = spillHead(store, streamId)
+      if (body.isEmpty) return ""
+      // take 2*count lines; indexOf-based walk avoids splitting the tail
+      var pos = 0
+      var lines = 0L
+      val target = 2L * count
+      while (lines < target && pos < body.length) {
+        val nl = body.indexOf('\n', pos)
+        if (nl < 0) { pos = body.length; lines = target }
+        else { pos = nl + 1; lines += 1 }
+      }
+      body.substring(0, pos)
+    }
   }
 
   implicit val liveResultEncoder: Encoder[LiveResult] = Encoders.product[LiveResult]

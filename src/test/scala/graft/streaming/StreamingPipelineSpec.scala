@@ -437,6 +437,23 @@ class StreamingPipelineSpec extends SparkSpec {
       Processors.VodProcessor.spillKey("vod-cap")).get === spill)
   }
 
+  test("spillHeadLines truncates to the state's count when the store ran ahead (replay safety)") {
+    val objects = new Sinks.InMemoryObjectStore("spill-trunc")
+    val segs = (0 until 10).map(i => Segment(3.0, s"d/$i.ts"))
+    Processors.VodProcessor.appendSpill(objects, "s", 0L, segs) // store: 10 segments
+    // state rolled back to 7 spilled -> manifest assembly must use 7 only
+    val head7 = Processors.VodProcessor.spillHeadLines(objects, "s", 7L)
+    assert(head7.split("\n").count(!_.startsWith("#")) === 7)
+    assert(head7.endsWith("d/6.ts\n"))
+    assert(!head7.contains("d/7.ts"))
+    // counts at or beyond the store's content return everything
+    assert(Processors.VodProcessor.spillHeadLines(objects, "s", 10L)
+      === Processors.VodProcessor.spillHead(objects, "s"))
+    assert(Processors.VodProcessor.spillHeadLines(objects, "s", 99L)
+      === Processors.VodProcessor.spillHead(objects, "s"))
+    assert(Processors.VodProcessor.spillHeadLines(objects, "missing", 3L) === "")
+  }
+
   test("spill marker reconciliation: random eviction splits with replay overlaps converge") {
     // Property (seeded, deterministic): however the eviction sequence is
     // split into calls, and however calls are REPLAYED with stale `already`
