@@ -61,6 +61,20 @@ object ApiServer {
   private def required(n: JsonNode, field: String): String =
     opt(n, field).getOrElse(throw new IllegalArgumentException(s"missing field: $field"))
 
+  // Response bodies go through jackson nodes, never string interpolation:
+  // stream ids can be caller-supplied (upload stream_id, start match_id)
+  // and must be escaped like FastAPI escapes them.
+  private def obj(fields: (String, Any)*): String = {
+    val node = om.createObjectNode()
+    fields.foreach {
+      case (k, v: String) => node.put(k, v)
+      case (k, v: Long) => node.put(k, v)
+      case (k, v: Int) => node.put(k, v)
+      case (k, v) => node.put(k, String.valueOf(v))
+    }
+    om.writeValueAsString(node)
+  }
+
   /** Start the API server; `vodTopic` echoes in the upload response like
     * the reference's VOD_TOPIC. Returns the server — `.stop(0)` shuts it
     * down. Port 0 binds an ephemeral port (tests). */
@@ -101,15 +115,16 @@ object ApiServer {
           resolution = opt(b, "resolution").getOrElse("1920x1080"),
           streamId = opt(b, "stream_id"),
           audioTrackId = opt(b, "audio_track_id")))
-        respond(ex, 200,
-          s"""{"stream_id":"$id","status":"uploaded","message":""" +
-            """"VOD upload accepted; Spark will process asynchronously",""" +
-            s""""kafka_topic":"$vodTopic"}""")
+        respond(ex, 200, obj(
+          "stream_id" -> id,
+          "status" -> "uploaded",
+          "message" -> "VOD upload accepted; Spark will process asynchronously",
+          "kafka_topic" -> vodTopic))
 
       case ("GET", List("vod", id, "manifest")) =>
         api.vodManifestUrl(id) match {
-          case Some(url) => respond(ex, 200,
-            s"""{"stream_id":"$id","manifest_url":"$url","expires_in_seconds":3600}""")
+          case Some(url) => respond(ex, 200, obj(
+            "stream_id" -> id, "manifest_url" -> url, "expires_in_seconds" -> 3600))
           case None => detail(ex, 404,
             "Manifest not yet available — processing may still be in progress")
         }
@@ -127,24 +142,25 @@ object ApiServer {
           awayTeam = required(b, "away_team"),
           competition = required(b, "competition"),
           matchId = opt(b, "match_id")))
-        respond(ex, 200,
-          s"""{"stream_id":"$id","status":"live","message":""" +
-            """"Stream started. RTMP ingest server should now push chunks directly to Kafka."}""")
+        respond(ex, 200, obj(
+          "stream_id" -> id,
+          "status" -> "live",
+          "message" -> "Stream started. RTMP ingest server should now push chunks directly to Kafka."))
 
       case ("POST", List("streams", "end")) =>
         val id = required(body, "stream_id")
         if (!api.endStream(id)) detail(ex, 404, "Stream not found")
         else {
           val endedAt = api.streamMetadata(id).flatMap(_.get("ended_at")).getOrElse("")
-          respond(ex, 200,
-            s"""{"stream_id":"$id","status":"vod","ended_at":"$endedAt"}""")
+          respond(ex, 200, obj(
+            "stream_id" -> id, "status" -> "vod", "ended_at" -> endedAt))
         }
 
       case ("GET", List("streams", id, "live")) =>
         api.liveManifestUrl(id) match {
-          case Some((url, status, dvrStart)) => respond(ex, 200,
-            s"""{"stream_id":"$id","status":"$status","manifest_url":"$url",""" +
-              s""""dvr_window_start":$dvrStart}""")
+          case Some((url, status, dvrStart)) => respond(ex, 200, obj(
+            "stream_id" -> id, "status" -> status, "manifest_url" -> url,
+            "dvr_window_start" -> dvrStart))
           case None =>
             if (api.streamMetadata(id).isEmpty) detail(ex, 404, "Stream not found")
             else detail(ex, 404, "Manifest not yet available")

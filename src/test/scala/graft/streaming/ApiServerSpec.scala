@@ -123,6 +123,19 @@ class ApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("caller-supplied ids with JSON metacharacters are escaped in responses") {
+    withServer { (base, _, _) =>
+      val tricky = """he said "hi" \ twice"""
+      val start = post(s"$base/streams/start",
+        om.writeValueAsString(om.createObjectNode()
+          .put("home_team", "H").put("away_team", "A")
+          .put("competition", "C").put("match_id", tricky)))
+      assert(start.statusCode() === 200)
+      // the body must PARSE, and round-trip the id exactly
+      assert(om.readTree(start.body()).get("stream_id").asText() === tricky)
+    }
+  }
+
   test("metrics scrape reflects HTTP-driven calls; malformed body is a 422") {
     withServer { (base, _, _) =>
       post(s"$base/vod/upload",
