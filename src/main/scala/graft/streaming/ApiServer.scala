@@ -81,6 +81,10 @@ object ApiServer {
   def start(api: ControlPlane.Api, port: Int = 8000,
       vodTopic: String = "vod-chunks"): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    // without an executor the JDK server runs handlers on its dispatch
+    // thread, serializing all requests; the reference API is concurrent
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-api"); t.setDaemon(true); t }))
 
     server.createContext("/", (ex: HttpExchange) => {
       try route(api, vodTopic, ex)

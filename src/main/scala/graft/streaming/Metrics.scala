@@ -302,6 +302,10 @@ object Metrics {
   def startHttpServer(port: Int = 8766): com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
+    // concurrent scrapes must not queue behind each other (or behind a
+    // slow client) on the dispatch thread
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2,
+      r => { val t = new Thread(r, "graft-metrics"); t.setDaemon(true); t }))
     server.createContext("/metrics", (exchange: com.sun.net.httpserver.HttpExchange) => {
       val body = exposition.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       exchange.getResponseHeaders.set("Content-Type",
