@@ -29,7 +29,21 @@ object TextFunctions {
   /** Content fingerprint (document identity under formatting noise). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Word n-gram shingles in document order (may contain duplicates).
+  /** Word n-gram shingles in document order (may contain duplicates) —
+    * the native codegen [[org.apache.spark.sql.graft.WordShingles]] kernel:
+    * one byte walk per row, one exact-size copy per shingle, inside
+    * whole-stage codegen. NULL text keeps the "no shingles" = empty-array
+    * contract. The interpreted zip_with form it replaced survives as
+    * [[wordShinglesHof]] so TextFunctionsSpec can pin bit-parity (the HOF
+    * chain was correct but paid the lambda-interpreter constant on every
+    * corpus byte of the shingle family: q35/q36 directly, and the
+    * minhash/ensemble signature scans through [[distinctShingles]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    coalesce(org.apache.spark.sql.graft.ArrayExpressions.wordShingles(text, n),
+      array().cast("array<string>"))
+
+  /** The interpreted-HOF reference implementation of [[wordShingles]], kept
+    * ONLY for the native kernel's bit-parity spec.
     *
     * Implementation note: built from `zip_with` over shifted slices, NOT
     * `transform(sequence(...), i => element_at(ws, i+k))`. Lambda bodies in
@@ -38,7 +52,7 @@ object TextFunctions {
     * O(tokens^2) string splits per row (measured 3 ms/doc on 54-token docs).
     * Here lambdas touch only their element arguments; `ws` is evaluated a
     * constant number of times per row. */
-  def wordShingles(text: Column, n: Int): Column = {
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column = {
     val ws = tokens(text)
     def shifted(k: Int) = slice(ws, lit(k + 1), greatest(size(ws) - k, lit(0)))
     // zip_with pads the shorter side with nulls; concat propagates them so

@@ -198,6 +198,114 @@ case class CharGramHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles of a string, bit-identical to the HOF form
+  * `zip_with`-folded over `split(trim(text), "\\s+")` shifted slices —
+  * including that form's tokenizer quirks, which this kernel replicates
+  * byte-for-byte:
+  *
+  *  - `trim` removes ASCII-32 spaces ONLY (UTF8String.trim), so other
+  *    whitespace survives at the boundaries;
+  *  - Java-regex `\s` is ASCII `[ \t\n\x0B\f\r]`, so non-ASCII whitespace
+  *    never separates (UTF-8 continuation bytes have the high bit set and
+  *    can't collide with the ASCII range);
+  *  - `split` with limit -1 emits an empty FIRST token when the (space-
+  *    trimmed) text starts with whitespace, an empty LAST token when it
+  *    ends with whitespace, and `"".split` is `[""]` — one empty token;
+  *  - fewer than `n` tokens yield an empty array (the HOF form's null-pad
+  *    + filter); shingles join tokens with a single 0x20.
+  *
+  * The HOF chain is interpreted (HigherOrderFunction has no codegen) and
+  * re-walks lambda trees per element; this kernel is one byte walk per row
+  * plus one exact-size byte copy per shingle, inside whole-stage codegen.
+  * Parity with the HOF form is pinned in TextFunctionsSpec across
+  * whitespace-edge and multibyte fixtures, and the DuckDB oracle recomputes
+  * shingles independently for q35/q36.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  // The kernel is one static-forwarder call rather than inlined janino —
+  // one shared implementation keeps eval and codegen bit-identical by
+  // construction, and the call stays inside the whole-stage-generated
+  // method (same pattern as Spark's own regexp/string expressions).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = classOf[WordShingles].getName
+      s"${ev.value} = $cls.compute($s, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Shared eval/codegen kernel; public static (via forwarder) for the
+    * generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val s = input.trim() // ASCII-32 trim, same as SQL trim()
+    val nb = s.numBytes()
+    // token byte ranges, replicating Java split(\s+, -1) on the trimmed text
+    val starts = new Array[Int](nb / 2 + 2)
+    val lens = new Array[Int](nb / 2 + 2)
+    var m = 0
+    if (nb == 0) { starts(0) = 0; lens(0) = 0; m = 1 }
+    else {
+      var i = 0
+      if (isWs(s.getByte(0))) {
+        starts(m) = 0; lens(m) = 0; m += 1 // leading separator -> empty token
+        while (i < nb && isWs(s.getByte(i))) i += 1
+        // all-whitespace: Java split(-1) sees one separator spanning the
+        // string -> ["", ""]
+        if (i == nb) { starts(m) = nb; lens(m) = 0; m += 1 }
+      }
+      while (i < nb) {
+        val st = i
+        while (i < nb && !isWs(s.getByte(i))) i += 1
+        starts(m) = st; lens(m) = i - st; m += 1
+        if (i < nb) {
+          while (i < nb && isWs(s.getByte(i))) i += 1
+          if (i == nb) { starts(m) = nb; lens(m) = 0; m += 1 } // trailing empty
+        }
+      }
+    }
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Any](m - n + 1)
+    var j = 0
+    while (j <= m - n) {
+      var bytes = n - 1 // separators
+      var t = j
+      while (t < j + n) { bytes += lens(t); t += 1 }
+      val buf = new Array[Byte](bytes)
+      var pos = 0
+      t = j
+      while (t < j + n) {
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off + starts(t), buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, lens(t).toLong)
+        pos += lens(t)
+        if (t < j + n - 1) { buf(pos) = 0x20; pos += 1 }
+        t += 1
+      }
+      out(j) = UTF8String.fromBytes(buf)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object ArrayExpressions {
   /** Column wrapper for [[SlidingMin]]. */
   def slidingMin(a: Column, w: Int): Column =
@@ -206,4 +314,8 @@ object ArrayExpressions {
   /** Column wrapper for [[CharGramHashes]]. */
   def charGramHashes(s: Column, k: Int): Column =
     ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(s), k))
+
+  /** Column wrapper for [[WordShingles]]. */
+  def wordShingles(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(s), n))
 }

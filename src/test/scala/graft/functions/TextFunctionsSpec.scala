@@ -44,6 +44,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!r.isNullAt(1) && r.getSeq[String](1).isEmpty)
   }
 
+  test("wordShingles: native kernel is bit-identical to the HOF form, incl. tokenizer quirks") {
+    // every tokenizer edge the HOF form (split(trim(text), \s+) + zip_with
+    // folds) exhibits: plain, multi-space runs, tab/newline boundaries
+    // surviving the space-only trim (empty first/last tokens), all-
+    // whitespace ([""] vs ["", ""]), empty, single token, and multibyte
+    // content (2/3/4-byte UTF-8)
+    val fixtures = Seq(
+      "a b c d", "  a  b\tc\nd ", "\tleading tab", "trailing tab\t",
+      "\ta\t", "\t\t", "   ", "", "one", "x y x y x y",
+      "café naïve résumé touché", "漢字 と かな mixed", "emoji 😀 four 😁 byte",
+      "a b stays one token", // non-ASCII whitespace is NOT a separator
+      "words separatedby vertical\ftab")
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = df.select($"id", TextFunctions.wordShingles($"t", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = df.select($"id", TextFunctions.wordShinglesHof($"t", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native === hof, s"native/HOF shingle divergence at n=$n")
+    }
+  }
+
   test("jaccard of shingle sets") {
     val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
     val j = df.select(TextFunctions.jaccard(
