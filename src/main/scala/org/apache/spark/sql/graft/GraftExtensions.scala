@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.IntegerType
   * SELECT float_dot(a.embedding, b.embedding) FROM ...      -- array<float> dot
   * SELECT sliding_min(gh, 8) FROM ...                       -- winnowing window min
   * SELECT char_gram_hashes(text, 8) FROM ...                -- xxhash64 k-grams
+  * SELECT word_shingles(text, 3) FROM ...                   -- word n-grams
   * }}}
   *
   * The integer width/size arguments must be literals — they parameterize
@@ -52,6 +53,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "char_gram_hashes expects exactly 2 arguments")
         CharGramHashes(children.head, intLit(children(1), "char_gram_hashes", "k")): Expression
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getCanonicalName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles expects exactly 2 arguments")
+        WordShingles(children.head, intLit(children(1), "word_shingles", "n")): Expression
       }))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions

@@ -22,12 +22,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val sqlRow = spark.sql(
       """SELECT float_dot(a, b) AS d,
         |       sliding_min(xs, 3) AS m,
-        |       char_gram_hashes(s, 5) AS g
+        |       char_gram_hashes(s, 5) AS g,
+        |       word_shingles(s, 2) AS w
         |FROM ext_t""".stripMargin).collect().head
     val wrapRow = df.select(
       VectorExpressions.floatDot($"a", $"b").as("d"),
       ArrayExpressions.slidingMin($"xs", 3).as("m"),
-      ArrayExpressions.charGramHashes($"s", 5).as("g")).collect().head
+      ArrayExpressions.charGramHashes($"s", 5).as("g"),
+      ArrayExpressions.wordShingles($"s", 2).as("w")).collect().head
 
     assert(sqlRow.getDouble(0) === 32.0)
     assert(sqlRow.getDouble(0) === wrapRow.getDouble(0))
@@ -35,6 +37,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRow.getSeq[Long](1) === wrapRow.getSeq[Long](1))
     assert(sqlRow.getSeq[Long](2) === wrapRow.getSeq[Long](2))
     assert(sqlRow.getSeq[Long](2).length === "hello graft world".length - 4)
+    assert(sqlRow.getSeq[String](3) === Seq("hello graft", "graft world"))
+    assert(sqlRow.getSeq[String](3) === wrapRow.getSeq[String](3))
   }
 
   test("width arguments must be integer literals (they parameterize codegen)") {
