@@ -91,14 +91,19 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 16,
       shingle: Int = 3): DataFrame = {
-    // explode_outer keeps shingle-less docs as a single null-shingle row, so
+    // explode_outer keeps shingle-less docs as a single null-hash row, so
     // no second scan + join-back is needed to preserve them; the guarded
     // hash leaves their mins null -> coalesced to the Long.MaxValue sentinel
     // (bit-identical to the former ids-join form, one corpus scan cheaper).
+    // Shingle hashing is the fused WordShingleHashes kernel (tokenize +
+    // in-place XXH64, no shingle strings); duplicates are NOT removed —
+    // min over the hash multiset equals min over the distinct set, so the
+    // signature stays bit-identical to the per-row distinct form while the
+    // scan skips both the string materialization and the string distinct.
     val hashed = docs
       .select(col(idCol).as("id"),
-        explode_outer(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
-      .select(col("id"), when(col("sh").isNotNull, xxhash64(col("sh"))).as("h"))
+        explode_outer(org.apache.spark.sql.graft.ArrayExpressions
+          .wordShingleHashes(col(textCol), shingle)).as("h"))
       // the null guard must wrap the FAMILY hash too: xxhash64 skips null
       // arguments (hashing just the seed) instead of propagating null
       .select(col("id") +: (0 until k).map(seed =>

@@ -250,12 +250,12 @@ object WordShingles {
   private def isWs(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
-  /** Shared eval/codegen kernel; public static (via forwarder) for the
-    * generated code. */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  /** Token byte ranges of the space-trimmed input, replicating Java
+    * `split("\\s+", -1)` — see the class doc for the quirk inventory.
+    * Returns (trimmed string, starts, lens, tokenCount). */
+  private[graft] def tokenize(input: UTF8String): (UTF8String, Array[Int], Array[Int], Int) = {
     val s = input.trim() // ASCII-32 trim, same as SQL trim()
     val nb = s.numBytes()
-    // token byte ranges, replicating Java split(\s+, -1) on the trimmed text
     val starts = new Array[Int](nb / 2 + 2)
     val lens = new Array[Int](nb / 2 + 2)
     var m = 0
@@ -279,6 +279,13 @@ object WordShingles {
         }
       }
     }
+    (s, starts, lens, m)
+  }
+
+  /** Shared eval/codegen kernel; public static (via forwarder) for the
+    * generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val (s, starts, lens, m) = tokenize(input)
     if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val base = s.getBaseObject
     val off = s.getBaseOffset
@@ -306,6 +313,79 @@ object WordShingles {
   }
 }
 
+/** xxhash64 (seed 42 — Spark's `xxhash64(string)`) of every word n-gram
+  * shingle, WITHOUT materializing the shingle strings: element i equals
+  * `xxhash64(word_shingles(text, n)[i])` bit-for-bit (pinned in
+  * TextFunctionsSpec), but the kernel copies each shingle's bytes into one
+  * reusable row-local buffer and hashes in place — no per-shingle
+  * UTF8String, no array-of-strings, no second pass.
+  *
+  * This is the corpus-scan form the MinHash signature path wants: the
+  * signature is a min over family hashes of these values, and a min over
+  * the hash MULTISET equals the min over the distinct-shingle set (equal
+  * shingles produce equal hashes), so the signature output is bit-identical
+  * to hashing distinct materialized shingles while skipping both the
+  * string materialization and the string-comparison distinct. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = classOf[WordShingleHashes].getName
+      s"${ev.value} = $cls.compute($s, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  /** Shared eval/codegen kernel. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val (s, starts, lens, m) = WordShingles.tokenize(input)
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // one row-local buffer sized to the largest shingle
+    var maxBytes = 0
+    var j = 0
+    while (j <= m - n) {
+      var bytes = n - 1
+      var t = j
+      while (t < j + n) { bytes += lens(t); t += 1 }
+      if (bytes > maxBytes) maxBytes = bytes
+      j += 1
+    }
+    val buf = new Array[Byte](maxBytes)
+    val out = new Array[Long](m - n + 1)
+    j = 0
+    while (j <= m - n) {
+      var pos = 0
+      var t = j
+      while (t < j + n) {
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off + starts(t), buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, lens(t).toLong)
+        pos += lens(t)
+        if (t < j + n - 1) { buf(pos) = 0x20; pos += 1 }
+        t += 1
+      }
+      out(j) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object ArrayExpressions {
   /** Column wrapper for [[SlidingMin]]. */
   def slidingMin(a: Column, w: Int): Column =
@@ -318,4 +398,8 @@ object ArrayExpressions {
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(s: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(s), n))
+
+  /** Column wrapper for [[WordShingleHashes]]. */
+  def wordShingleHashes(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(s), n))
 }

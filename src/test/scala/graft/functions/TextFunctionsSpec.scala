@@ -66,6 +66,22 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("wordShingleHashes == xxhash64 over materialized shingles, element-for-element") {
+    val fixtures = Seq(
+      "a b c d", "  a  b\tc\nd ", "\ta\t", "\t\t", "", "one",
+      "café naïve résumé touché", "漢字 と かな mixed", "emoji 😀 four 😁 byte")
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(1, 2, 3)) {
+      val fused = df.select($"id",
+        org.apache.spark.sql.graft.ArrayExpressions.wordShingleHashes($"t", n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val twoStep = df.select($"id",
+        transform(TextFunctions.wordShingles($"t", n), s => xxhash64(s)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused === twoStep, s"fused/two-step hash divergence at n=$n")
+    }
+  }
+
   test("jaccard of shingle sets") {
     val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
     val j = df.select(TextFunctions.jaccard(
