@@ -364,9 +364,13 @@ object Dedup {
     // explode_outer + guarded hash keep token-less docs without a second
     // scan + join-back (see minhashSignatureTable); their null hash rows sum
     // each bit to -1 -> fingerprint 0, exactly what the join form produced.
+    // Token hashing is the fused kernel at n=1: bit-identical to
+    // xxhash64 over split() tokens (duplicates kept — simhash is
+    // frequency-weighted) without materializing the token strings.
     val hashed = docs
-      .select(col(idCol).as("id"), explode_outer(TextFunctions.tokens(col(textCol))).as("tk"))
-      .select(col("id"), when(col("tk").isNotNull, xxhash64(col("tk"))).as("h"))
+      .select(col(idCol).as("id"), explode_outer(
+        org.apache.spark.sql.graft.ArrayExpressions
+          .wordShingleHashes(col(textCol), 1)).as("h"))
     val bitAggs = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"b$bit")
