@@ -59,6 +59,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_shingles expects exactly 2 arguments")
         WordShingles(children.head, intLit(children(1), "word_shingles", "n")): Expression
+      }),
+    (FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getCanonicalName, "word_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingle_hashes expects exactly 2 arguments")
+        WordShingleHashes(children.head,
+          intLit(children(1), "word_shingle_hashes", "n")): Expression
       }))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions

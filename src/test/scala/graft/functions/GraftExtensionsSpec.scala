@@ -39,6 +39,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRow.getSeq[Long](2).length === "hello graft world".length - 4)
     assert(sqlRow.getSeq[String](3) === Seq("hello graft", "graft world"))
     assert(sqlRow.getSeq[String](3) === wrapRow.getSeq[String](3))
+    // fused hash kernel: SQL form equals xxhash64 over the SQL shingles
+    val hashes = spark.sql(
+      """SELECT word_shingle_hashes(s, 2) AS h,
+        |       transform(word_shingles(s, 2), x -> xxhash64(x)) AS h2
+        |FROM ext_t""".stripMargin).collect().head
+    assert(hashes.getSeq[Long](0) === hashes.getSeq[Long](1))
   }
 
   test("width arguments must be integer literals (they parameterize codegen)") {
