@@ -62,14 +62,26 @@ object Dedup {
     xxhash64(lit(seed), h)
 
   /** MinHash signature as a per-row column: for each of the k family
-    * members, the minimum [[familyHash]] over the document's distinct
-    * shingles (hashed once via xxhash64). Returns array<bigint> of length k.
+    * members, the minimum [[familyHash]] over the document's shingle
+    * hashes. Returns array<bigint> of length k (Long.MaxValue sentinel for
+    * shingle-less or NULL docs).
     *
-    * NOTE: higher-order `aggregate` folds are interpreted (not codegen'd)
-    * and re-walk the hash array once per seed — fine for ad-hoc use on
-    * one column, wrong for a corpus scan. The corpus-scale path is
-    * [[minhashSignatureTable]] (identical values, explode + hash-aggregate). */
-  def minhashSignature(text: Column, k: Int, shingle: Int = 3): Column = {
+    * Native [[org.apache.spark.sql.graft.MinHashSignature]] kernel: one
+    * tokenize + one O(shingles x k) primitive loop inside whole-stage
+    * codegen — the per-row form is now corpus-safe, which matters where
+    * per-row is the only available shape (streaming ingestion). The former
+    * interpreted-aggregate form survives as [[minhashSignatureHof]] so
+    * DedupSpec can pin bit-parity; the explode/groupBy corpus form is
+    * still [[minhashSignatureTable]] (identical values). */
+  def minhashSignature(text: Column, k: Int, shingle: Int = 3): Column =
+    coalesce(
+      org.apache.spark.sql.graft.ArrayExpressions.minhashSignature(text, shingle, k),
+      array((0 until k).map(_ => lit(Long.MaxValue)): _*))
+
+  /** The interpreted-HOF reference implementation of [[minhashSignature]],
+    * kept ONLY for the native kernel's bit-parity spec: k `aggregate` folds
+    * re-walk the hash array through the lambda interpreter per row. */
+  private[graft] def minhashSignatureHof(text: Column, k: Int, shingle: Int = 3): Column = {
     val hashes = transform(
       TextFunctions.distinctShingles(text, shingle), sh => xxhash64(sh))
     val mins = (0 until k).map { seed =>

@@ -349,9 +349,13 @@ case class WordShingleHashes(child: Expression, n: Int)
 
 object WordShingleHashes {
   /** Shared eval/codegen kernel. */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  def compute(input: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(hashesOf(input, n))
+
+  /** The raw hash array — shared with [[MinHashSignature]]. */
+  private[graft] def hashesOf(input: UTF8String, n: Int): Array[Long] = {
     val (s, starts, lens, m) = WordShingles.tokenize(input)
-    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (m < n) return Array.emptyLongArray
     val base = s.getBaseObject
     val off = s.getBaseOffset
     // one row-local buffer sized to the largest shingle
@@ -382,6 +386,66 @@ object WordShingleHashes {
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
       j += 1
     }
+    out
+  }
+}
+
+/** The complete per-row MinHash signature in one kernel: k family minima
+  * over the document's shingle hashes, where family member `s` of hash `h`
+  * is exactly Spark's `xxhash64(lit(s), h)` — i.e.
+  * `XXH64.hashLong(h, XXH64.hashInt(s, 42))` — so the output is
+  * bit-identical to the Column-built form (pinned in DedupSpec) and to
+  * [[graft.operators.Dedup.minhashSignatureTable]]'s corpus form.
+  * Shingle-less docs yield all-Long.MaxValue slots (the family sentinel).
+  *
+  * A min over the hash multiset equals the min over the distinct-shingle
+  * set, so no distinct pass is needed. The former per-row form folded an
+  * interpreted `aggregate` HOF k times per row (k full re-walks of the
+  * hash array through the lambda interpreter); this kernel is one tokenize
+  * + one O(shingles x k) primitive-loop pass, whole-stage-codegen'd — the
+  * per-row signature is now as corpus-safe as the explode/groupBy table
+  * form, which matters for streaming ingestion where per-row is the only
+  * shape available. */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  require(k >= 1, s"family size must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = classOf[MinHashSignature].getName
+      s"${ev.value} = $cls.compute($s, $n, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Shared eval/codegen kernel. */
+  def compute(input: UTF8String, n: Int, k: Int): ArrayData = {
+    val hs = WordShingleHashes.hashesOf(input, n)
+    val out = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      val seedHash = XXH64.hashInt(s, 42L) // xxhash64(lit(s), _) prefix state
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val f = XXH64.hashLong(hs(i), seedHash)
+        if (f < mn) mn = f
+        i += 1
+      }
+      out(s) = mn
+      s += 1
+    }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
@@ -402,4 +466,8 @@ object ArrayExpressions {
   /** Column wrapper for [[WordShingleHashes]]. */
   def wordShingleHashes(s: Column, n: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(s), n))
+
+  /** Column wrapper for [[MinHashSignature]]. */
+  def minhashSignature(s: Column, n: Int, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(s), n, k))
 }

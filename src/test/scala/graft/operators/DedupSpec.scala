@@ -215,6 +215,20 @@ class DedupSpec extends SparkSpec {
     assert(tbl === col)
   }
 
+  test("minhashSignature: native kernel is bit-identical to the HOF form, incl. null docs") {
+    val d = (Seq((1L, Some("a b c d e f")), (2L, Some("")), (3L, None),
+      (4L, Some("\t\t")), (5L, Some("café naïve résumé touché encore"))) ++
+      Seq(base, nearDup, different).zipWithIndex.map { case (t, i) => (10L + i, Some(t)) })
+      .toDF("doc_id", "text")
+    for (k <- Seq(4, 16)) {
+      val native = d.select($"doc_id", Dedup.minhashSignature($"text", k).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = d.select($"doc_id", Dedup.minhashSignatureHof($"text", k).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === hof, s"native/HOF signature divergence at k=$k")
+    }
+  }
+
   test("simhashTable == per-row simhash (scale form parity)") {
     val col = docs.select($"doc_id".as("id"), Dedup.simhash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
