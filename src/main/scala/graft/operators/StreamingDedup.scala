@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming near-duplicate detection at ingestion — the LSH analogue of
+  * [[Dedup.exactStreaming]]: each arriving document is routed to its
+  * MinHash band bucket (the SAME bucket formula as the batch
+  * [[Dedup.minhashCandidates]]), and keyed state holds the bucket's first
+  * claimant's shingle-hash set; later arrivals in the bucket are refined
+  * with EXACT Jaccard over the hash sets and flagged when at or above the
+  * threshold. Bucket collisions therefore cost one refinement, never a
+  * false flag.
+  *
+  * This is the single-probe variant: one band per document, so recall
+  * against the threshold is the band-agreement probability j^r (r = k/bands
+  * signature rows per band; ~0.66 at j = 0.9 with the default r = 4).
+  * Production recall composes exactly like batch LSH: run b independent
+  * instances with band = 0..b-1 (or lower r) for 1-(1-j^r)^b. The per-doc
+  * signature is the native [[org.apache.spark.sql.graft.MinHashSignature]]
+  * kernel — per-row, no corpus aggregation — which is what makes the
+  * per-event shape affordable at ingestion rates.
+  *
+  * State is one (owner id, owner hash set) per occupied bucket — pass a
+  * `ttl` to bound it by the dedup horizon (requires processing-time mode,
+  * enabled automatically); TTLConfig.NONE keeps claimants forever, the
+  * whole-corpus semantics.
+  */
+object StreamingDedup {
+
+  final case class DocIn(id: String, text: String, bucket: Long)
+
+  /** One verdict per document: `near_dup` with the owning doc and the
+    * exact Jaccard when flagged; `jaccard` is vs the bucket owner (0.0
+    * when the doc claimed an empty bucket). */
+  final case class Verdict(id: String, near_dup: Boolean, dup_of: Option[String], jaccard: Double)
+
+  private final case class Owner(id: String, hashes: Array[Long])
+
+  /** Distinct sorted shingle hashes of a document — the set the exact
+    * Jaccard refinement runs on (same hashes as the batch refinement's
+    * shingle strings, minus the strings). */
+  private[operators] def hashSet(text: String, shingle: Int): Array[Long] = {
+    val raw = org.apache.spark.sql.graft.WordShingleHashes
+      .compute(UTF8String.fromString(text), shingle).toLongArray()
+    if (raw.isEmpty) return raw
+    java.util.Arrays.sort(raw)
+    var w = 1
+    var i = 1
+    while (i < raw.length) {
+      if (raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(raw, w)
+  }
+
+  /** Exact Jaccard of two sorted distinct arrays, one merge walk. */
+  private[operators] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  final class Processor(threshold: Double, shingle: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, DocIn, Verdict] {
+
+    @transient private var owner: ValueState[Owner] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Owner]("owner", Encoders.product[Owner], ttl)
+
+    override def handleInputRows(bucket: Long, rows: Iterator[DocIn],
+        timerValues: TimerValues): Iterator[Verdict] = {
+      var cur = if (owner.exists()) Some(owner.get()) else None
+      // id order within the batch, for determinism under multi-partition input
+      val out = rows.toSeq.sortBy(_.id).map { d =>
+        val hs = hashSet(d.text, shingle)
+        cur match {
+          case Some(o) =>
+            val jac = jaccardSorted(o.hashes, hs)
+            Verdict(d.id, jac >= threshold, if (jac >= threshold) Some(o.id) else None, jac)
+          case None =>
+            cur = Some(Owner(d.id, hs))
+            Verdict(d.id, near_dup = false, None, 0.0)
+        }
+      }
+      cur.foreach(owner.update)
+      out.iterator
+    }
+  }
+
+  /** The bucket key for one band — byte-identical to the batch
+    * [[Dedup.minhashCandidates]] banding, so a streaming claimant and a
+    * batch candidate land in the same bucket. */
+  def bandBucket(text: Column, band: Int, k: Int = 64, bands: Int = 16,
+      shingle: Int = 3): Column = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(band >= 0 && band < bands, s"band must be in [0, $bands), got $band")
+    val rows = k / bands
+    val sig = Dedup.minhashSignature(text, k, shingle)
+    xxhash64((lit(band) +: (0 until rows).map(r =>
+      element_at(sig, band * rows + r + 1))): _*)
+  }
+
+  /** Flag near-duplicates on a streaming DataFrame with (`idCol`,
+    * `textCol`). Returns a streaming Dataset of [[Verdict]]s (update
+    * mode). */
+  def nearDupVerdicts(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      band: Int = 0,
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Verdict] = {
+    val in = docs.select(
+      col(idCol).cast("string").as("id"),
+      col(textCol).as("text"),
+      bandBucket(col(textCol), band, k, bands, shingle).as("bucket"))
+      .as[DocIn](Encoders.product[DocIn])
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    in.groupByKey(_.bucket)(Encoders.scalaLong)
+      .transformWithState(new Processor(threshold, shingle, ttl),
+        timeMode, OutputMode.Update())(Encoders.product[Verdict])
+  }
+}
