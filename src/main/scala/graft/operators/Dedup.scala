@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.ArrayExpressions
@@ -22,6 +23,65 @@ import graft.functions.TextFunctions
   * partitions, and cluster sizes.
   */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default per-bucket membership cap for the candidate self-joins (see
+    * [[capBuckets]]). 1024 is far above target occupancy for every banding
+    * in this file (LSH buckets aim at tens of members), so on healthy data
+    * the cap never fires — it exists to bound the DEGENERATE bucket, e.g.
+    * millions of near-identical boilerplate docs sharing one (band, bucket),
+    * where the within-bucket self-join would otherwise go locally O(m²). */
+  val DefaultMaxBucket = 1024
+
+  /** Rows dropped by a bucket-occupancy cap, and how many buckets hit it. */
+  final case class BucketCapStats(droppedRows: Long, cappedBuckets: Long)
+
+  /** Dropped-row accounting for [[capBuckets]]: one small aggregate over the
+    * banded frame (whose expensive upstream the callers persist), exposed so
+    * cap behavior is observable/testable rather than silent. */
+  private[operators] def bucketCapStats(
+      banded: DataFrame, keys: Seq[String], cap: Int): BucketCapStats = {
+    val r = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .agg(coalesce(sum(col("occ") - cap), lit(0L)).as("dropped"),
+           count(lit(1)).as("buckets"))
+      .head()
+    BucketCapStats(r.getLong(0), r.getLong(1))
+  }
+
+  /** Bound a banded frame against degenerate buckets: keep at most `cap`
+    * members per bucket (the cap first ids — deterministic), so each bucket
+    * contributes at most C(cap, 2) candidate pairs and candidate generation
+    * stays near-linear in n even when a pathological corpus puts millions of
+    * near-identical docs into one bucket. Capping loses only the dropped
+    * members' pairs within that bucket — recall, never precision (candidates
+    * are refined with exact Jaccard downstream); run [[exact]] dedup first so
+    * byte-identical docs collapse to one representative before they can
+    * saturate a bucket. cap <= 0 disables.
+    *
+    * No silent truncation: when any bucket exceeds the cap, the dropped row
+    * and bucket counts are computed ([[bucketCapStats]]) and logged at WARN.
+    * The row_number window shuffles by the bucket keys — the same
+    * partitioning the candidate self-join needs, so the exchange is reused,
+    * not added. */
+  private[operators] def capBuckets(
+      banded: DataFrame,
+      keys: Seq[String],
+      cap: Int,
+      opName: String): DataFrame = {
+    if (cap <= 0) return banded
+    val stats = bucketCapStats(banded, keys, cap)
+    if (stats.droppedRows > 0) {
+      log.warn(s"$opName: bucket occupancy cap $cap dropped ${stats.droppedRows} " +
+        s"banded rows across ${stats.cappedBuckets} degenerate buckets " +
+        "(recall-only loss; run Dedup.exact first to collapse identical docs)")
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
+    banded.withColumn("occ_rank", row_number().over(w))
+      .filter(col("occ_rank") <= cap)
+      .drop("occ_rank")
+  }
 
   /** Exact duplicate groups by normalized-content fingerprint. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -156,6 +216,9 @@ object Dedup {
     *               rows per band: a j=0.9 pair misses a 4-row band with
     *               p=1-0.9^4~=0.34, but misses all 16 with p~=3e-8 (pinned in
     *               DedupSpec's short-doc test).
+    * @param maxBucket degenerate-bucket guard: at most this many members per
+    *               (band, bucket) join the self-join (see [[capBuckets]];
+    *               drops are logged, never silent). <= 0 disables.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -163,7 +226,8 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 64,
       bands: Int = 16,
-      shingle: Int = 3): DataFrame = {
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
@@ -174,8 +238,9 @@ object Dedup {
         xxhash64((lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))): _*)
       }: _*)).as(Seq("band", "bucket")))
     // self-join within (band, bucket); dedupe pairs that collide in >1 band
-    val l = banded.as("l")
-    val r = banded.as("r")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket, "minhashCandidates")
+    val l = capped.as("l")
+    val r = capped.as("r")
     val cands = l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
@@ -239,9 +304,10 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 64,
       bands: Int = 16,
-      shingle: Int = 3): DataFrame =
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     refineByJaccard(docs,
-      minhashCandidates(docs, textCol, idCol, k, bands, shingle),
+      minhashCandidates(docs, textCol, idCol, k, bands, shingle, maxBucket),
       threshold, textCol, idCol, shingle)
 
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
@@ -413,12 +479,13 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       blocks: Int = 6,
-      shingle: Int = 3): DataFrame = {
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // A shared block only GUARANTEES capture up to hamming blocks-1, so
     // filtering candidates at that bound loses nothing the operator promises
     // — and it removes virtually all random block collisions (hamming ~32
     // for unrelated 64-bit fingerprints) before the expensive shingle join.
-    val cands = simhashCandidates(docs, textCol, idCol, blocks)
+    val cands = simhashCandidates(docs, textCol, idCol, blocks, maxBucket)
       .filter(col("hamming") <= blocks - 1)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // refineByJaccard references it several times
@@ -442,14 +509,15 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       blocks: Int = 6,
-      shingle: Int = 3): DataFrame = {
-    val mh = minhashCandidates(docs, textCol, idCol, k, bands, shingle)
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val mh = minhashCandidates(docs, textCol, idCol, k, bands, shingle, maxBucket)
     // hamming <= blocks-1 keeps exactly what the simhash side GUARANTEES
     // (see simhashNearDups): random block collisions sit at hamming ~32 and
     // would otherwise drag corpus-sized shingle arrays through the
     // refinement join for nothing — the minhash side owns everything beyond
     // the hamming bound.
-    val sh = simhashCandidates(docs, textCol, idCol, blocks)
+    val sh = simhashCandidates(docs, textCol, idCol, blocks, maxBucket)
       .filter(col("hamming") <= blocks - 1)
       .select(col("id_a"), col("id_b"))
     // one eager materialization: the union-distinct is referenced several
@@ -467,7 +535,8 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      blocks: Int = 4): DataFrame = {
+      blocks: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val width = 64 / blocks
     // Persisted for the same reason as minhashCandidates' signature table
     // (computed once instead of on both join sides), and released the same
@@ -480,8 +549,9 @@ object Dedup {
         shiftrightunsigned(col("sim"), b * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("block", "key")))
-    val l = banded.as("l")
-    val r = banded.as("r")
+    val capped = capBuckets(banded, Seq("block", "key"), maxBucket, "simhashCandidates")
+    val l = capped.as("l")
+    val r = capped.as("r")
     val cands = l.join(r,
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))

@@ -251,7 +251,23 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
     * multi-table LSH so the pair join never goes cartesian and bucket count
-    * grows with the corpus. Pairs are (a < b). */
+    * grows with the corpus. Pairs are (a < b).
+    *
+    * With the occupancy guard on (the default), the bucketed projection
+    * (planes x dim dot products per row) is persisted and computed once —
+    * it is referenced by both self-join sides plus the occupancy-stats
+    * aggregate — then released after the (tiny) near-dup pair set is eagerly
+    * materialized: the same persist/checkpoint/unpersist shape as
+    * [[graft.operators.Dedup.minhashCandidates]]. The drop accounting is
+    * necessarily eager (it runs Spark jobs at call time); pass
+    * `maxBucket = 0` to get the former fully-lazy zero-plan-time-jobs plan.
+    *
+    * @param maxBucket degenerate-bucket guard: at most this many members per
+    *                  (table, bucket) join the self-join (see
+    *                  [[Dedup.capBuckets]]; drops are logged, never silent).
+    *                  A bucket of m near-identical embeddings — identical
+    *                  boilerplate embedded identically — is otherwise locally
+    *                  O(m²). <= 0 disables (and keeps the plan lazy). */
   def embeddingNearDups(
       corpus: DataFrame,
       threshold: Double,
@@ -261,14 +277,19 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       corpusSize: Long = -1,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val d = dimOf(corpus, vecCol, dim)
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(sizeOf(corpus, corpusSize), targetBucketSize)
-    val b = bucketed(corpus, "id", "vec", vecCol, idCol, planes, d, tables)
-    val l = b.as("l")
-    val r = b.as("r")
-    l.join(r, col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+    val guarded = maxBucket > 0
+    val b0 = bucketed(corpus, "id", "vec", vecCol, idCol, planes, d, tables)
+    val b = if (guarded) b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else b0
+    val capped = Dedup.capBuckets(b, Seq("tbl", "bucket"), maxBucket, "embeddingNearDups")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    val pairs = l.join(r, col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(dot(col("l.vec"), col("r.vec")) /
@@ -278,5 +299,9 @@ object Similarity {
       // every multi-table candidate collision.
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
+    if (!guarded) return pairs
+    val out = pairs.localCheckpoint(true) // eager: lets the bucketed cache be released
+    b.unpersist(blocking = false)
+    out
   }
 }

@@ -43,8 +43,9 @@ case class SlidingMin(child: Expression, w: Int)
     else child.dataType match {
       case ArrayType(_, true) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName reads elements null-intolerantly and requires " +
-          "array<bigint> with containsNull = false; wrap the input in a " +
-          "null-filtering expression first")
+          "array<bigint> with containsNull = false; pre-process the input " +
+          "with array_compact (whose result type drops element nullability) " +
+          "— a plain filter() keeps containsNull = true and still fails here")
       case _ => base
     }
   }

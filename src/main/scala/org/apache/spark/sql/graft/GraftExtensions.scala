@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.IntegerType
   * SELECT sliding_min(gh, 8) FROM ...                       -- winnowing window min
   * SELECT char_gram_hashes(text, 8) FROM ...                -- xxhash64 k-grams
   * SELECT word_shingles(text, 3) FROM ...                   -- word n-grams
+  * SELECT word_shingle_hashes(text, 3) FROM ...             -- fused shingle hashes
+  * SELECT minhash_signature(text, 3, 64) FROM ...           -- per-row MinHash sig
   * }}}
   *
   * The integer width/size arguments must be literals — they parameterize
@@ -66,6 +68,15 @@ object GraftExtensions {
         require(children.length == 2, "word_shingle_hashes expects exactly 2 arguments")
         WordShingleHashes(children.head,
           intLit(children(1), "word_shingle_hashes", "n")): Expression
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_signature expects exactly 3 arguments: (text, shingle_n, k)")
+        MinHashSignature(children.head,
+          intLit(children(1), "minhash_signature", "n"),
+          intLit(children(2), "minhash_signature", "k")): Expression
       }))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions

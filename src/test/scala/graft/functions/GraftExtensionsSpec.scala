@@ -47,6 +47,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hashes.getSeq[Long](0) === hashes.getSeq[Long](1))
   }
 
+  test("minhash_signature is callable from SQL, parity with Dedup.minhashSignature") {
+    GraftExtensions.registerInto(spark)
+    import spark.implicits._
+
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",  // fewer tokens than the shingle width -> all-sentinel slots
+      "a b c d e"
+    ).toDF("text")
+    df.createOrReplaceTempView("ext_mh")
+
+    val sql = spark.sql(
+      "SELECT minhash_signature(text, 3, 64) AS sig FROM ext_mh")
+      .collect().map(_.getSeq[Long](0))
+    val wrap = df.select(
+      graft.operators.Dedup.minhashSignature($"text", 64, 3).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sql.length === 3)
+    sql.zip(wrap).foreach { case (s, w) => assert(s === w) }
+    assert(sql(1) === Seq.fill(64)(Long.MaxValue))
+  }
+
   test("width arguments must be integer literals (they parameterize codegen)") {
     GraftExtensions.registerInto(spark)
     val e = intercept[Exception] {

@@ -99,6 +99,39 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((1L, 3L)))
   }
 
+  test("bucket occupancy cap: 10k identical docs stay near-linear, drops observable, cap-off unbounded") {
+    // the degenerate-bucket pathology: byte-identical boilerplate -> one
+    // signature -> every doc lands in the SAME (band, bucket) in all 16
+    // bands. Uncapped, the within-bucket self-join is C(10000,2) ~ 5e7
+    // pairs; with the cap each band contributes pairs over only the cap
+    // first ids, so the candidate set is C(cap,2) — independent of m.
+    val boiler = "subscribe to our newsletter terms privacy copyright notice"
+    val n = 10000
+    val cap = 32
+    val d = (1 to n).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(d, maxBucket = cap).collect()
+    assert(cands.length === cap * (cap - 1) / 2,
+      s"expected C($cap,2)=${cap * (cap - 1) / 2} capped candidates, got ${cands.length}")
+    // identical docs -> identical id ordering per band -> the retained
+    // members are the cap smallest ids in every band
+    val ids = cands.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids === (1 to cap).map(_.toLong).toSet)
+
+    // drop accounting is observable, not silent: per band, m - cap rows drop
+    val sig = Dedup.minhashSignatureTable(d, k = 64)
+    val banded = sig.select($"id", posexplode(array((0 until 16).map { b =>
+      xxhash64((lit(b) +: (0 until 4).map(r => element_at($"sig", b * 4 + r + 1))): _*)
+    }: _*)).as(Seq("band", "bucket")))
+    val stats = Dedup.bucketCapStats(banded, Seq("band", "bucket"), cap)
+    assert(stats === Dedup.BucketCapStats(16L * (n - cap), 16L))
+
+    // cap <= 0 disables (exercised on a size where O(m^2) is still cheap)
+    val small = (1 to 100).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(small, maxBucket = 0).count() === 100L * 99 / 2)
+    // and the default cap never fires on healthy fixtures (same result)
+    assert(Dedup.minhashCandidates(small).count() === 100L * 99 / 2)
+  }
+
   test("winnowing fingerprints: shared >= w+k-1 substrings guarantee overlap; short docs handled") {
     val shared = "the quick brown fox jumps over the lazy dog repeatedly tonight"
     val d = Seq(

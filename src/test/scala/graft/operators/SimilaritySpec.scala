@@ -111,8 +111,11 @@ class SimilaritySpec extends SparkSpec {
       // launch any Spark job (no count()/head()/training at plan time)
       val lsh = Similarity.lshKnnJoin(emb, queries, k = 3, corpusSize = 500L, dim = 64)
       val ivf = Similarity.ivfKnnJoin(emb, queries, k = 3, centroids = cents)
+      // maxBucket = 0: the occupancy guard's drop accounting is necessarily
+      // eager (it runs jobs at call time, by design — no silent truncation),
+      // so the zero-plan-time-jobs contract holds for the unguarded form
       val nd = Similarity.embeddingNearDups(emb, threshold = 0.3,
-        corpusSize = 500L, dim = 64)
+        corpusSize = 500L, dim = 64, maxBucket = 0)
       Thread.sleep(1000) // listener bus is async; zero events expected
       assert(jobs.get() === 0,
         s"plan construction ran ${jobs.get()} jobs despite explicit sizing params")
