@@ -109,6 +109,33 @@ object StreamingDedup {
       element_at(sig, band * rows + r + 1))): _*)
   }
 
+  /** Combines the per-band verdicts of one document (all emitted in the
+    * same micro-batch — a doc's banded rows travel together) into ONE
+    * verdict: flagged if any band flagged, attributed to the
+    * highest-jaccard owner; a clean doc reports the max jaccard observed
+    * across its bands' owners. Stateless by construction — the keyed
+    * grouping is only for the per-doc shuffle. */
+  final class CombineProcessor extends StatefulProcessor[String, Verdict, Verdict] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+    override def handleInputRows(id: String, rows: Iterator[Verdict],
+        timerValues: TimerValues): Iterator[Verdict] = {
+      var nearDup = false
+      var bestJ = 0.0
+      var bestOf: Option[String] = None
+      var maxJ = 0.0
+      rows.foreach { v =>
+        if (v.jaccard > maxJ) maxJ = v.jaccard
+        if (v.near_dup && (!nearDup || v.jaccard > bestJ ||
+            (v.jaccard == bestJ && v.dup_of.exists(o => bestOf.forall(_ > o))))) {
+          nearDup = true; bestJ = v.jaccard; bestOf = v.dup_of
+        }
+      }
+      Iterator.single(
+        if (nearDup) Verdict(id, near_dup = true, bestOf, bestJ)
+        else Verdict(id, near_dup = false, None, maxJ))
+    }
+  }
+
   /** Flag near-duplicates on a streaming DataFrame with (`idCol`,
     * `textCol`). Returns a streaming Dataset of [[Verdict]]s (update
     * mode). */
@@ -132,5 +159,60 @@ object StreamingDedup {
     in.groupByKey(_.bucket)(Encoders.scalaLong)
       .transformWithState(new Processor(threshold, shingle, ttl),
         timeMode, OutputMode.Update())(Encoders.product[Verdict])
+  }
+
+  /** Multi-band streaming near-dup — the packaged b-instance composition of
+    * [[nearDupVerdicts]], with batch-LSH recall instead of single-probe:
+    * each document is routed to ALL `bands` band buckets (the per-row
+    * signature is computed ONCE, then fanned out to `bands` bucket keys —
+    * each byte-identical to [[bandBucket]] for its band index), every bucket
+    * runs the same claim/refine [[Processor]] (state stays one owner per
+    * occupied bucket), and a second keyed stage ([[CombineProcessor]])
+    * merges the per-band verdicts into ONE verdict per document.
+    *
+    * Recall vs the Jaccard threshold is the batch banding's 1-(1-j^r)^b
+    * rather than single-probe's j^r — at j = 0.9 with the default k=64/b=16
+    * (r = 4): ~0.9997 vs ~0.66. Cost scales the same way as batch LSH:
+    * `bands` state buckets and `bands` shuffle rows per document, plus one
+    * more keyed shuffle for the per-doc combine (a doc's banded rows are
+    * emitted in the same micro-batch, so the combine stage needs no state
+    * of its own).
+    *
+    * A flagged doc is attributed to its highest-jaccard band owner; a clean
+    * doc reports the max jaccard seen across its bands' owners (owners may
+    * differ per band — each bucket claims independently, exactly like the
+    * batch banding's per-band buckets). */
+  def nearDupVerdictsMultiBand(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Verdict] = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    // two-step projection: `sig` is referenced `bands` times below, which
+    // blocks CollapseProject from inlining the signature kernel into every
+    // bucket hash (the per-row signature must be computed once, not b times)
+    val sigd = docs.select(
+      col(idCol).cast("string").as("id"),
+      col(textCol).as("text"),
+      Dedup.minhashSignature(col(textCol), k, shingle).as("sig"))
+    val in = sigd.select(col("id"), col("text"),
+      explode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1))): _*)
+      }: _*)).as("bucket"))
+      .as[DocIn](Encoders.product[DocIn])
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    in.groupByKey(_.bucket)(Encoders.scalaLong)
+      .transformWithState(new Processor(threshold, shingle, ttl),
+        timeMode, OutputMode.Update())(Encoders.product[Verdict])
+      .groupByKey(_.id)(Encoders.STRING)
+      .transformWithState(new CombineProcessor,
+        TimeMode.None(), OutputMode.Update())(Encoders.product[Verdict])
   }
 }

@@ -72,4 +72,61 @@ class StreamingDedupSpec extends SparkSpec {
     val (dup3, of3, _) = verdicts("3")
     assert(!dup3 && of3.isEmpty, "unrelated doc passes (bucket differs or refinement rejects)")
   }
+
+  test("multi-band near-dup: catches a j~0.9 pair that single-probe (band 0) provably misses") {
+    // build a fixture pair that does NOT collide on band 0 (single-probe
+    // would miss it, p ~ 0.34 per variant at j ~ 0.9) but does collide on
+    // some band (p ~ 1 - 3e-8 over 16) — found deterministically by swapping
+    // one word at a time through the SAME batch bucket formula
+    val words = base.split(" ")
+    def bucketsOf(t: String): Seq[Long] = {
+      val df = Seq(t).toDF("text")
+      (0 until 16).map(b =>
+        df.select(StreamingDedup.bandBucket($"text", b).as("k")).head().getLong(0))
+    }
+    val baseBuckets = bucketsOf(base)
+    val variant = words.indices.iterator.map { i =>
+      words.updated(i, "swapped").mkString(" ")
+    }.find { v =>
+      val vb = bucketsOf(v)
+      vb.head != baseBuckets.head && // band 0 misses: single-probe is blind
+        vb.zip(baseBuckets).exists { case (a, b) => a == b } // some band hits
+    }
+    assert(variant.isDefined, "no one-word variant misses band 0 but hits another band")
+
+    graft.streaming.Pipelines.configureStateStore(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-neardup-mb").toString
+    val q = StreamingDedup.nearDupVerdictsMultiBand(
+        stream.toDF().toDF("doc_id", "text"), threshold = 0.5)
+      .writeStream.queryName("neardup_mb").outputMode("update").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData((1L, base))
+      q.processAllAvailable()
+      // separate batch: every band's claimed state must persist
+      stream.addData(Seq((2L, variant.get), (3L, different)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.table("neardup_mb")
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Boolean]("near_dup"), Option(r.getAs[String]("dup_of")), r.getAs[Double]("jaccard")))
+      .toMap
+    // exactly ONE verdict per doc despite 16 banded rows each
+    assert(spark.table("neardup_mb").count() === 3)
+    assert(verdicts("1") === ((false, None, 0.0)), "first claimant is clean in all bands")
+    val (dup2, of2, j2) = verdicts("2")
+    assert(dup2, "multi-band must catch the pair single-probe misses")
+    assert(of2 === Some("1"))
+    val batchJ = StreamingDedup.jaccardSorted(
+      StreamingDedup.hashSet(base, 3), StreamingDedup.hashSet(variant.get, 3))
+    assert(math.abs(j2 - batchJ) < 1e-12, "flag carries the exact batch-refinement jaccard")
+    assert(j2 >= 0.5)
+    val (dup3, of3, _) = verdicts("3")
+    assert(!dup3 && of3.isEmpty)
+  }
 }
