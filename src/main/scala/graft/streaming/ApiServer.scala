@@ -89,6 +89,11 @@ object ApiServer {
     server.createContext("/", (ex: HttpExchange) => {
       try route(api, vodTopic, ex)
       catch {
+        // FastAPI returns 422 for unparseable bodies too (api/main.py's
+        // pydantic validation), not just missing/invalid fields — jackson
+        // parse failures must not surface as 500s
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          detail(ex, 422, s"malformed JSON body: ${e.getOriginalMessage}")
         case e: IllegalArgumentException => detail(ex, 422, e.getMessage)
         case e: Exception => detail(ex, 500, String.valueOf(e.getMessage))
       }

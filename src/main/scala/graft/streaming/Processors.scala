@@ -191,7 +191,12 @@ object Processors {
       // replayed batch reproduces byte-identical manifests.
       val head =
         if (spilled == 0) ""
-        else VodProcessor.spillHeadLines(spillStore.get, streamId, spilled)
+        else VodProcessor.spillHeadLines(spillStore.getOrElse(
+          throw new IllegalStateException(
+            s"VOD state for '$streamId' was restored with $spilled spilled " +
+              "segments but the processor has no spillStore configured; " +
+              "restart the query with the spill store the checkpoint was " +
+              "written against")), streamId, spilled)
       val out = Vector.newBuilder[VodResult]
       sortedBySeq(rows).foreach { c =>
         // A8 audit trail: stamp each status transition of the fold
@@ -266,25 +271,54 @@ object Processors {
       * given that `already` segments were spilled before this call. The
       * object's first line is a `#GRAFT-SPILL-COUNT:<n>` marker; lines for
       * indices below the marker are never re-appended, which makes replayed
-      * evictions (micro-batch retry after state rollback) no-ops. */
+      * evictions (micro-batch retry after state rollback) no-ops.
+      *
+      * Stale-writer guard: "one state partition per key" orders committed
+      * batches but NOT overlapping task ATTEMPTS — a zombie attempt
+      * (retried/abandoned task still running after its stage re-ran) could
+      * read an old head and overwrite a newer one with a smaller marker,
+      * silently shrinking the durable head. So the marker is re-read
+      * immediately before the put and the read-modify-write loops if it
+      * moved, a marker strictly behind the state's own count fails loudly
+      * (below), and [[spillHeadLines]] re-checks at read time that the head
+      * covers the state's count — a shrink can no longer pass silently.
+      * (With a CAS-capable object store, a conditional put on the marker
+      * would close the residual read-put window entirely.) */
     private[streaming] def appendSpill(store: Sinks.ObjectStore, streamId: String,
         already: Long, evicted: Seq[Segment]): Unit = {
       val key = spillKey(streamId)
-      val (marker, body) = store.getString("manifests", key) match {
+      val target = already + evicted.size
+      def readMarkerBody(): (Long, String) = store.getString("manifests", key) match {
         case Some(s) =>
           val parts = s.split("\n", 2)
           (parts(0).stripPrefix("#GRAFT-SPILL-COUNT:").toLong,
             if (parts.length > 1) parts(1) else "")
         case None => (0L, "")
       }
-      val target = already + evicted.size
-      if (marker >= target) return // replayed eviction: already durable
-      val fresh = evicted.drop(math.max(0L, marker - already).toInt)
-      val lines = fresh.map(s => ManifestFunctions.segmentLine(s.durationSeconds, s.uri))
-      store.put("manifests", key,
-        (s"#GRAFT-SPILL-COUNT:$target\n" + body + lines.mkString)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        "text/plain", Map("stream_id" -> streamId))
+      var attempts = 0
+      while (attempts < 5) {
+        val (marker, body) = readMarkerBody()
+        if (marker >= target) return // replayed eviction: already durable
+        if (marker < already) throw new IllegalStateException(
+          s"spill head marker $marker is behind the state's spilled count " +
+            s"$already for '$streamId': the spill object was shrunk (stale " +
+            "writer?) and the manifest head can no longer be reconstructed " +
+            "from it safely")
+        val fresh = evicted.drop((marker - already).toInt)
+        val lines = fresh.map(s => ManifestFunctions.segmentLine(s.durationSeconds, s.uri))
+        // last-writer-wins safety: only put if the marker did not move
+        // between the read and now; otherwise merge against the newer head
+        if (readMarkerBody()._1 == marker) {
+          store.put("manifests", key,
+            (s"#GRAFT-SPILL-COUNT:$target\n" + body + lines.mkString)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "text/plain", Map("stream_id" -> streamId))
+          return
+        }
+        attempts += 1
+      }
+      throw new IllegalStateException(
+        s"spill head for '$streamId' kept advancing under concurrent writers")
     }
 
     /** The spilled manifest lines (marker stripped), "" if nothing spilled. */
@@ -301,20 +335,27 @@ object Processors {
       * of the keyed state after a mid-batch failure (spill appends are not
       * transactional with the checkpoint), so manifest assembly must take
       * only the prefix the state has accounted for — each segment is
-      * exactly two lines (#EXTINF + uri). */
+      * exactly two lines (#EXTINF + uri). A head SHORTER than the state's
+      * count means the spill object was shrunk or lost (see [[appendSpill]]'s
+      * stale-writer guard) — that fails loudly here instead of silently
+      * dropping manifest lines. */
     private[streaming] def spillHeadLines(store: Sinks.ObjectStore, streamId: String,
         count: Long): String = {
       val body = spillHead(store, streamId)
-      if (body.isEmpty) return ""
       // take 2*count lines; indexOf-based walk avoids splitting the tail
       var pos = 0
       var lines = 0L
       val target = 2L * count
       while (lines < target && pos < body.length) {
         val nl = body.indexOf('\n', pos)
-        if (nl < 0) { pos = body.length; lines = target }
+        if (nl < 0) { pos = body.length; lines += 1 }
         else { pos = nl + 1; lines += 1 }
       }
+      if (lines < target) throw new IllegalStateException(
+        s"spill head for '$streamId' holds $lines manifest lines but the " +
+          s"state accounts for $count spilled segments ($target lines): the " +
+          "spill object was shrunk or lost and the manifest cannot be " +
+          "reconstructed safely")
       body.substring(0, pos)
     }
   }

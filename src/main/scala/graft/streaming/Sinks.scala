@@ -351,32 +351,20 @@ object Sinks {
     * `jdbc:derby:/path;create=true` here, `jdbc:postgresql://...` in a
     * deployment — code path identical.
     *
-    * The handle (URL) is serializable; the Connection is a @transient lazy
-    * per-JVM singleton (per-partition-singleton pattern), synchronized
-    * because JDBC connections are not thread-safe and local[k] executors
-    * share the JVM. Per-key write ordering is still provided upstream by
-    * the keyed state partitioning. */
+    * The handle (URL) is serializable; the Connection lives in a
+    * companion-object per-URL cache — a TRUE per-JVM singleton. (A
+    * `@transient lazy val` on the instance is per-DESERIALIZED-COPY, and
+    * foreachBatch re-deserializes the sink per task: against a real JDBC
+    * server that opens a new never-closed Connection every micro-batch, a
+    * connection leak.) Cached connections are intentionally never closed —
+    * one per (JVM, URL) for the executor process's lifetime. Access is
+    * synchronized on the shared connection because JDBC connections are not
+    * thread-safe and local[k] executors share the JVM. Per-key write
+    * ordering is still provided upstream by the keyed state partitioning. */
   final class JdbcMetadataSink(jdbcUrl: String) extends MetadataSink {
     import java.sql.Connection
 
-    @transient private lazy val conn: Connection = {
-      val c = java.sql.DriverManager.getConnection(jdbcUrl)
-      c.setAutoCommit(false)
-      try {
-        val st = c.createStatement()
-        try st.executeUpdate(
-          "CREATE TABLE graft_metadata (" +
-            "tbl VARCHAR(64) NOT NULL, stream_id VARCHAR(256) NOT NULL, " +
-            "chunk_index BIGINT NOT NULL, doc CLOB NOT NULL, " +
-            "PRIMARY KEY (tbl, stream_id, chunk_index))")
-        finally st.close()
-        c.commit()
-      } catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
-          c.rollback() // table already exists (Derby has no IF NOT EXISTS)
-      }
-      c
-    }
+    private def conn: Connection = JdbcMetadataSink.connectionFor(jdbcUrl)
 
     private def om = new com.fasterxml.jackson.databind.ObjectMapper()
     private def toJson(doc: Map[String, String]): String = {
@@ -453,6 +441,35 @@ object Sinks {
         try { rs.next(); rs.getLong(1) } finally rs.close()
       } finally { st.close(); conn.commit() }
     }
+  }
+
+  object JdbcMetadataSink {
+    import java.sql.Connection
+
+    private val connections =
+      new java.util.concurrent.ConcurrentHashMap[String, Connection]()
+
+    /** The per-JVM Connection for `url`, created (with the idempotent DDL)
+      * on first use by any sink instance in this JVM. */
+    private[streaming] def connectionFor(url: String): Connection =
+      connections.computeIfAbsent(url, u => {
+        val c = java.sql.DriverManager.getConnection(u)
+        c.setAutoCommit(false)
+        try {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            "CREATE TABLE graft_metadata (" +
+              "tbl VARCHAR(64) NOT NULL, stream_id VARCHAR(256) NOT NULL, " +
+              "chunk_index BIGINT NOT NULL, doc CLOB NOT NULL, " +
+              "PRIMARY KEY (tbl, stream_id, chunk_index))")
+          finally st.close()
+          c.commit()
+        } catch {
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+            c.rollback() // table already exists (Derby has no IF NOT EXISTS)
+        }
+        c
+      })
   }
 
   private val ManifestContentType = "application/vnd.apple.mpegurl"

@@ -155,6 +155,12 @@ class ApiServerSpec extends AnyFunSuite {
       assert(bad.statusCode() === 422) // FastAPI's validation status
       assert(om.readTree(bad.body()).get("detail").asText()
         .contains("duration_seconds"))
+
+      // UNPARSEABLE body is also a 422 (FastAPI's behavior), not a 500
+      val unparseable = post(s"$base/vod/upload", """{"title": not json at all""")
+      assert(unparseable.statusCode() === 422)
+      assert(om.readTree(unparseable.body()).get("detail").asText()
+        .contains("malformed JSON"))
     }
   }
 }

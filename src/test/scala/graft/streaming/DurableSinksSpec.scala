@@ -152,6 +152,10 @@ class DurableSinksSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(bos.toByteArray))
       .readObject().asInstanceOf[Sinks.JdbcMetadataSink]
     assert(thawed.count("live_metadata") === 3L)
+    // true per-JVM singleton: same URL -> same Connection object, so a
+    // re-deserialized sink per task does NOT open (and leak) a new one
+    assert(Sinks.JdbcMetadataSink.connectionFor(s"jdbc:derby:$db;create=true") eq
+      Sinks.JdbcMetadataSink.connectionFor(s"jdbc:derby:$db;create=true"))
   }
 
   test("checkpoint restart against the JDBC sink: no duplicate delivery, merge intact") {

@@ -446,12 +446,19 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(head7.split("\n").count(!_.startsWith("#")) === 7)
     assert(head7.endsWith("d/6.ts\n"))
     assert(!head7.contains("d/7.ts"))
-    // counts at or beyond the store's content return everything
+    // a count exactly covering the store's content returns everything
     assert(Processors.VodProcessor.spillHeadLines(objects, "s", 10L)
       === Processors.VodProcessor.spillHead(objects, "s"))
-    assert(Processors.VodProcessor.spillHeadLines(objects, "s", 99L)
-      === Processors.VodProcessor.spillHead(objects, "s"))
-    assert(Processors.VodProcessor.spillHeadLines(objects, "missing", 3L) === "")
+    // a head SHORTER than the state's count is a shrunk/lost spill object
+    // (the store write always precedes the state commit) — loud failure,
+    // never silently dropped manifest lines
+    val shrunk = intercept[IllegalStateException] {
+      Processors.VodProcessor.spillHeadLines(objects, "s", 99L)
+    }
+    assert(shrunk.getMessage.contains("shrunk or lost"))
+    intercept[IllegalStateException] {
+      Processors.VodProcessor.spillHeadLines(objects, "missing", 3L)
+    }
   }
 
   test("spill marker reconciliation: random eviction splits with replay overlaps converge") {
