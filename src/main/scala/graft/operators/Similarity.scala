@@ -149,6 +149,95 @@ object Similarity {
       .map(_._2)
   }
 
+  private[operators] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Running top-`probes` cells by (cosine desc, index asc) — O(C * probes)
+    * per row with probes ~ 1..4, vs O(C log C) for a full sort. */
+  private[operators] def nearestCells(
+      cs: Array[Array[Float]], v: Array[Float], probes: Int): Array[Int] = {
+    val n = math.min(probes, cs.length)
+    if (n == 0) return Array.empty[Int]
+    val topIdx = new Array[Int](n)
+    val topScore = new Array[Double](n)
+    var filled = 0
+    var ci = 0
+    while (ci < cs.length) {
+      val s = cosineLocal(v, cs(ci))
+      if (filled < n || s > topScore(filled - 1)) {
+        var pos = math.min(filled, n - 1)
+        while (pos > 0 && topScore(pos - 1) < s) {
+          topIdx(pos) = topIdx(pos - 1); topScore(pos) = topScore(pos - 1); pos -= 1
+        }
+        topIdx(pos) = ci; topScore(pos) = s
+        if (filled < n) filled += 1
+      }
+      ci += 1
+    }
+    java.util.Arrays.copyOf(topIdx, filled)
+  }
+
+  /** Lloyd-refined IVF coarse quantizer (spherical k-means iterations over
+    * the hash-sample init): each iteration assigns every corpus vector to
+    * its nearest centroid (the same mapPartitions argmin kernel the join
+    * uses) and re-centers each cell at its member mean. The re-center is a
+    * `reduceGroups` — partially aggregated map-side — so the only data that
+    * ever reaches the driver per iteration is the C x d re-centered sums
+    * (<= 16 MB at [[DefaultMaxCentroids]]); the corpus itself never moves.
+    * Empty cells keep their previous centroid.
+    *
+    * The hash-sample init ([[ivfCentroids]]) is unbiased but blind to
+    * cluster structure: on strongly clustered corpora it can seed two cells
+    * in one cluster and none in another, and nProbe=1 queries in the
+    * unseeded cluster then probe a wrong cell. One or two Lloyd passes pull
+    * the seeds onto the real cluster centers (FAISS-style nlist training).
+    * Cost per iteration is one corpus scan at O(n * C * d) — the same as
+    * the final assignment pass. Deterministic: init, assignment
+    * tie-breaking, and the mean are all order-independent. */
+  def ivfCentroidsTrained(
+      corpus: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    import corpus.sparkSession.implicits._
+    var cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val typed = corpus.select(col(vecCol).cast("array<float>")).as[Array[Float]]
+    var it = 0
+    while (it < iterations && cents.nonEmpty) {
+      val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+      val summed = typed
+        .map { v =>
+          val sum = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { sum(i) = v(i).toDouble; i += 1 }
+          (nearestCells(bc.value, v, 1)(0), sum, 1L)
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2
+          var i = 0
+          while (i < s.length) { s(i) += b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect() // <= C rows of (cell, sum, count) — same bound as init
+      val byCell = summed.map(t => t._1 -> t).toMap
+      cents = cents.indices.map { ci =>
+        byCell.get(ci) match {
+          case Some((_, sum, cnt)) => sum.map(x => (x / cnt).toFloat)
+          case None => cents(ci) // empty cell: keep the previous centroid
+        }
+      }.toArray
+      bc.unpersist(blocking = false)
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate k-NN — the second ANN scale path
     * beside LSH. A deterministic coarse quantizer ([[ivfCentroids]])
     * partitions the corpus into cells; each query probes its `nProbe`
@@ -166,10 +255,14 @@ object Similarity {
     * array is imperative, not relational, and a crossJoin would blow the
     * row count to n*C.
     *
-    * @param centroids  precomputed quantizer from [[ivfCentroids]] — pass it
-    *                   when calling repeatedly so training runs once.
+    * @param centroids  precomputed quantizer from [[ivfCentroids]] /
+    *                   [[ivfCentroidsTrained]] — pass it when calling
+    *                   repeatedly so training runs once.
     * @param corpusSize amortization: skips the sizing count() when >0 and
-    *                   `nCentroids`/`centroids` are not given. */
+    *                   `nCentroids`/`centroids` are not given.
+    * @param trainIterations Lloyd passes refining the hash-sample quantizer
+    *                   (see [[ivfCentroidsTrained]]); 0 (default) keeps the
+    *                   pure hash sample. Ignored when `centroids` given. */
   def ivfKnnJoin(
       corpus: DataFrame,
       queries: DataFrame,
@@ -179,7 +272,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       centroids: Array[Array[Float]] = null,
-      corpusSize: Long = -1): DataFrame = {
+      corpusSize: Long = -1,
+      trainIterations: Int = 0): DataFrame = {
     import corpus.sparkSession.implicits._
     val typedCorpus = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
@@ -191,49 +285,20 @@ object Similarity {
         val c = if (nCentroids > 0) nCentroids
           else math.min(DefaultMaxCentroids,
             math.max(2, math.ceil(sizeOf(corpus, corpusSize).toDouble / 64).toInt))
-        ivfCentroids(corpus, c, idCol, vecCol)
+        if (trainIterations > 0) ivfCentroidsTrained(corpus, c, trainIterations, idCol, vecCol)
+        else ivfCentroids(corpus, c, idCol, vecCol)
       }
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
 
-    def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    // Running top-`probes` by (score desc, index asc) — O(C * probes) per
-    // row with probes ~ 1..4, vs O(C log C) for the former full sort.
-    def nearestCells(v: Array[Float], probes: Int): Array[Int] = {
-      val cs = bc.value
-      val n = math.min(probes, cs.length)
-      if (n == 0) return Array.empty[Int]
-      val topIdx = new Array[Int](n)
-      val topScore = new Array[Double](n)
-      var filled = 0
-      var ci = 0
-      while (ci < cs.length) {
-        val s = cosineLocal(v, cs(ci))
-        if (filled < n || s > topScore(filled - 1)) {
-          var pos = math.min(filled, n - 1)
-          while (pos > 0 && topScore(pos - 1) < s) {
-            topIdx(pos) = topIdx(pos - 1); topScore(pos) = topScore(pos - 1); pos -= 1
-          }
-          topIdx(pos) = ci; topScore(pos) = s
-          if (filled < n) filled += 1
-        }
-        ci += 1
-      }
-      java.util.Arrays.copyOf(topIdx, filled)
-    }
-
     val corpusCells = typedCorpus.mapPartitions(_.map { case (id, v) =>
-      (nearestCells(v, 1).head, id, v)
+      (nearestCells(bc.value, v, 1).head, id, v)
     }).toDF("cell", "neighbor_id", "corpus_vec")
       .withColumn("corpus_nrm", norm(col("corpus_vec")))
 
     val queryCells = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        nearestCells(v, nProbe).map(cell => (cell, id, v))
+        nearestCells(bc.value, v, nProbe).map(cell => (cell, id, v))
       }).toDF("cell", "query_id", "query_vec")
       .withColumn("query_nrm", norm(col("query_vec")))
 

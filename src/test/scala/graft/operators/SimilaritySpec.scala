@@ -96,6 +96,57 @@ class SimilaritySpec extends SparkSpec {
     assert(again === approx)
   }
 
+  test("ivfCentroidsTrained: Lloyd passes improve recall on a clustered corpus at equal nProbe") {
+    // 8 tight, well-separated clusters. A hash-sample quantizer draws 8
+    // seeds uniformly from the 400 points — P(one seed per cluster) ~ 0.2%,
+    // so some cluster is almost surely unseeded and its nProbe=1 queries
+    // probe a wrong cell. Lloyd passes pull seeds onto the real centers.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val clusters = 8
+    val perCluster = 50
+    val centers = Array.fill(clusters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val points = for {
+      c <- 0 until clusters; i <- 0 until perCluster
+    } yield ((c.toLong * perCluster + i),
+      centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.3f).toSeq)
+    val corpus = points.toDF("vec_id", "embedding").cache()
+    val queries = corpus.filter($"vec_id" % perCluster === 3) // one per cluster
+
+    val exact = Similarity.knnJoin(corpus, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: Array[Array[Float]]): Double = {
+      val approx = Similarity.ivfKnnJoin(corpus, queries, k = 10, nProbe = 1,
+          centroids = cents)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+
+    val sampled = Similarity.ivfCentroids(corpus, clusters)
+    val trained = Similarity.ivfCentroidsTrained(corpus, clusters, iterations = 2)
+    assert(trained.length === sampled.length, "training never changes C")
+    val rSampled = recallOf(sampled)
+    val rTrained = recallOf(trained)
+    info(s"recall@10 nProbe=1: hash-sample $rSampled, trained $rTrained")
+    assert(rTrained >= rSampled, "Lloyd refinement must not lose recall here")
+    assert(rTrained > 0.85, s"trained recall $rTrained should be near-perfect on tight clusters")
+    // deterministic: same data -> same trained quantizer
+    val again = Similarity.ivfCentroidsTrained(corpus, clusters, iterations = 2)
+    assert(trained.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the trainIterations param reaches the same quantizer through the join
+    val viaParam = Similarity.ivfKnnJoin(corpus, queries, k = 10, nProbe = 1,
+        nCentroids = clusters, trainIterations = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCents = Similarity.ivfKnnJoin(corpus, queries, k = 10, nProbe = 1,
+        centroids = trained)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaParam === viaCents)
+  }
+
   test("ANN plan-time actions are amortizable: explicit sizing params run zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     emb.count() // materialize the cache so auto-detection cost isn't conflated
