@@ -58,15 +58,44 @@ object Bench {
           raw.map(t => f"$t%.2f").mkString(" "))
       val times = raw.filter(_ >= 0.0).sorted
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
-      name -> median
+      (name, median, raw)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-rep times as a structured field: medians hide variance, and a
+    // contended driver machine shows up as heavy-tailed reps — publishing
+    // them lets round-over-round comparison separate contention from real
+    // regression without depending on report prose.
+    val repsJson = results.map { case (k, _, raw) =>
+      "\"" + k + "\":[" + raw.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
     // A filtered run's "total" covers only the selected queries — mark it so
     // it can't be mistaken for a full-suite figure.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$filtered,"sf":"$sfDir"}""")
+
+    // Rate-matched streaming latency as structured fields (the BASELINE.md
+    // comparison: reference live p99 ~2,000 ms at 1.32 chunks/s): one
+    // in-memory and one durable-sink run at 2 rows/s, steady-state p99
+    // (warm-up excluded). SPARK_GRAFT_STREAM_BENCH_SEC=0 skips (local
+    // batch-query iteration); the default keeps the official artifact
+    // self-contained.
+    val streamSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_SEC", "60").toInt
+    val streamJson =
+      if (streamSec <= 0 || only.isDefined) ""
+      else {
+        val warmup = math.min(10, streamSec / 3)
+        val mem = graft.streaming.StreamBench.run(spark, streamSec, rps = 2,
+          durable = false, warmupSec = warmup)
+        val dur = graft.streaming.StreamBench.run(spark, streamSec, rps = 2,
+          durable = true, warmupSec = warmup)
+        s""","stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
+          s""""stream_p50_ms":${mem.steadyP50},"stream_p50_ms_durable":${dur.steadyP50},""" +
+          s""""stream_rate_rps":2,"stream_sec":$streamSec"""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""reps":$repsJson$streamJson$filtered,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,8 +28,93 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * min(10, seconds/3)) are excluded from the steady_* percentiles: the
   * first micro-batches pay one-time codegen + RocksDB state-store open,
   * which a long-lived deployment amortizes to zero.
+  *
+  * [[run]] is reusable in an existing session (graft.Bench embeds a
+  * rate-matched run so BENCH artifacts carry `stream_p99_ms` as structured
+  * fields); it adds and removes its own listener, so back-to-back runs
+  * don't cross-contaminate.
   */
 object StreamBench {
+
+  final case class Result(
+      chunksPerSec: Double, chunks: Long, wallSec: Double, rps: Int,
+      batches: Int, p50: Long, p95: Long, p99: Long,
+      warmupSec: Int, steadyBatches: Int,
+      steadyP50: Long, steadyP95: Long, steadyP99: Long,
+      gaps: Long, activeStreams: Long, shufflePartitions: String,
+      durable: Boolean)
+
+  /** Drive the live pipeline for `seconds` at `rps` rows/s and collect
+    * micro-batch percentiles. Safe to call repeatedly in one session. */
+  def run(spark: SparkSession, seconds: Int, rps: Int,
+      durable: Boolean, warmupSec: Int): Result = {
+    // (elapsed-ns-at-completion, triggerExecution ms) per non-empty batch
+    val batches = new ConcurrentLinkedQueue[(Long, Long)]()
+    val benchT0 = System.nanoTime()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        if (e.progress.numInputRows > 0) {
+          // triggerExecution is the end-to-end micro-batch time; the other
+          // durationMs entries are its sub-phases (summing would double-count).
+          Option(e.progress.durationMs.get("triggerExecution"))
+            .foreach(ms => batches.add((System.nanoTime() - benchT0, ms.toLong)))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+
+    Metrics.reset()
+    Pipelines.registerProgressListener(spark) // official totals arrive driver-side
+    Sinks.InMemoryObjectStore.clear("sbench")
+    Sinks.InMemoryMetadataSink.clear("sbench")
+    // durable = filesystem-backed sinks (real atomic-move writes per chunk)
+    // instead of the in-memory stores
+    val (objects, meta): (Sinks.ObjectStore, Sinks.MetadataSink) =
+      if (durable) {
+        val root = java.nio.file.Files.createTempDirectory("graft-sbench-store")
+        (new Sinks.FileObjectStore(s"$root/objects"),
+         new Sinks.FileMetadataSink(s"$root/meta"))
+      } else
+        (new Sinks.InMemoryObjectStore("sbench"), new Sinks.InMemoryMetadataSink("sbench"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-ckpt").toString
+
+    val t0 = System.nanoTime()
+    val q = Pipelines.startLive(
+      StreamSources.syntheticLiveSource(spark, rowsPerSecond = rps, nStreams = 16),
+      objects, meta, ckpt)
+    try q.awaitTermination(seconds * 1000L) finally q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // listener bus is async — let the final progress events drain
+    var prev = -1L
+    var cur = Metrics.counter("spark_live_chunks_processed_total")
+    while (cur != prev) {
+      prev = cur; Thread.sleep(300)
+      cur = Metrics.counter("spark_live_chunks_processed_total")
+    }
+    spark.streams.removeListener(listener)
+    val processed = cur
+    val all = batches.asScala.toSeq
+    val durations = all.map(_._2).sorted
+    val steady = all.filter(_._1 >= warmupSec * 1_000_000_000L).map(_._2).sorted
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L
+      else xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    Result(
+      chunksPerSec = processed / wallSec, chunks = processed, wallSec = wallSec,
+      rps = rps, batches = durations.size,
+      p50 = pct(durations, 0.5), p95 = pct(durations, 0.95), p99 = pct(durations, 0.99),
+      warmupSec = warmupSec, steadyBatches = steady.size,
+      steadyP50 = pct(steady, 0.5), steadyP95 = pct(steady, 0.95),
+      steadyP99 = pct(steady, 0.99),
+      gaps = Metrics.counter("live_chunk_gaps_total"),
+      activeStreams = Metrics.activeLiveStreams,
+      shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions"),
+      durable = durable)
+  }
+
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(30)
     val rps = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
@@ -48,74 +133,22 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // (elapsed-ns-at-completion, triggerExecution ms) per non-empty batch
-    val batches = new ConcurrentLinkedQueue[(Long, Long)]()
-    val benchT0 = System.nanoTime()
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        if (e.progress.numInputRows > 0) {
-          // triggerExecution is the end-to-end micro-batch time; the other
-          // durationMs entries are its sub-phases (summing would double-count).
-          Option(e.progress.durationMs.get("triggerExecution"))
-            .foreach(ms => batches.add((System.nanoTime() - benchT0, ms.toLong)))
-        }
-      }
-    })
-
-    Metrics.reset()
-    Pipelines.registerProgressListener(spark) // official totals arrive driver-side
-    // SPARK_GRAFT_DURABLE=1 benches against the filesystem-backed sinks
-    // (real atomic-move writes per chunk) instead of the in-memory stores.
     val durable = sys.env.get("SPARK_GRAFT_DURABLE").contains("1")
-    Sinks.InMemoryObjectStore.clear("sbench")
-    Sinks.InMemoryMetadataSink.clear("sbench")
-    val (objects, meta): (Sinks.ObjectStore, Sinks.MetadataSink) =
-      if (durable) {
-        val root = java.nio.file.Files.createTempDirectory("graft-sbench-store")
-        (new Sinks.FileObjectStore(s"$root/objects"),
-         new Sinks.FileMetadataSink(s"$root/meta"))
-      } else
-        (new Sinks.InMemoryObjectStore("sbench"), new Sinks.InMemoryMetadataSink("sbench"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-ckpt").toString
-
-    val t0 = System.nanoTime()
-    val q = Pipelines.startLive(
-      StreamSources.syntheticLiveSource(spark, rowsPerSecond = rps, nStreams = 16),
-      objects, meta, ckpt)
-    spark.streams.awaitAnyTermination(seconds * 1000L)
-    q.stop()
-    val wallSec = (System.nanoTime() - t0) / 1e9
-
-    // listener bus is async — let the final progress events drain
-    var prev = -1L
-    var cur = Metrics.counter("spark_live_chunks_processed_total")
-    while (cur != prev) {
-      prev = cur; Thread.sleep(300)
-      cur = Metrics.counter("spark_live_chunks_processed_total")
-    }
-    val processed = cur
-    val all = batches.asScala.toSeq
-    val durations = all.map(_._2).sorted
-    val steady = all.filter(_._1 >= warmupSec * 1_000_000_000L).map(_._2).sorted
-    def pct(xs: Seq[Long], p: Double): Long =
-      if (xs.isEmpty) 0L
-      else xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    val r = run(spark, seconds, rps, durable, warmupSec)
     val json =
-      s"""{"metric":"stream_throughput","chunks_per_sec":${"%.1f".format(processed / wallSec)},""" +
-        s""""chunks":$processed,"wall_sec":${"%.1f".format(wallSec)},""" +
-        s""""rows_per_sec_requested":$rps,""" +
-        s""""batches":${durations.size},"batch_ms_p50":${pct(durations, 0.5)},""" +
-        s""""batch_ms_p95":${pct(durations, 0.95)},"batch_ms_p99":${pct(durations, 0.99)},""" +
-        s""""warmup_sec":$warmupSec,"steady_batches":${steady.size},""" +
-        s""""steady_batch_ms_p50":${pct(steady, 0.5)},""" +
-        s""""steady_batch_ms_p95":${pct(steady, 0.95)},""" +
-        s""""steady_batch_ms_p99":${pct(steady, 0.99)},""" +
-        s""""gaps":${Metrics.counter("live_chunk_gaps_total")},""" +
-        s""""active_streams":${Metrics.activeLiveStreams},""" +
-        s""""shuffle_partitions":$shufflePartitions,""" +
-        s""""durable_sinks":$durable}"""
+      s"""{"metric":"stream_throughput","chunks_per_sec":${"%.1f".format(r.chunksPerSec)},""" +
+        s""""chunks":${r.chunks},"wall_sec":${"%.1f".format(r.wallSec)},""" +
+        s""""rows_per_sec_requested":${r.rps},""" +
+        s""""batches":${r.batches},"batch_ms_p50":${r.p50},""" +
+        s""""batch_ms_p95":${r.p95},"batch_ms_p99":${r.p99},""" +
+        s""""warmup_sec":${r.warmupSec},"steady_batches":${r.steadyBatches},""" +
+        s""""steady_batch_ms_p50":${r.steadyP50},""" +
+        s""""steady_batch_ms_p95":${r.steadyP95},""" +
+        s""""steady_batch_ms_p99":${r.steadyP99},""" +
+        s""""gaps":${r.gaps},""" +
+        s""""active_streams":${r.activeStreams},""" +
+        s""""shuffle_partitions":${r.shufflePartitions},""" +
+        s""""durable_sinks":${r.durable}}"""
     println(json)
     spark.stop()
   }
