@@ -130,6 +130,17 @@ object ApiServer {
           "message" -> "VOD upload accepted; Spark will process asynchronously",
           "kafka_topic" -> vodTopic))
 
+      case ("POST", List("vod", id, "chunks")) =>
+        val b = body
+        api.appendVodChunk(id,
+          durationSeconds = required(b, "duration_seconds").toDouble,
+          fileSizeBytes = required(b, "file_size_bytes").toLong) match {
+          case Some(idx) => respond(ex, 200, obj(
+            "stream_id" -> id, "chunk_index" -> idx, "status" -> "uploaded",
+            "kafka_topic" -> vodTopic))
+          case None => detail(ex, 404, "Stream not found")
+        }
+
       case ("GET", List("vod", id, "manifest")) =>
         api.vodManifestUrl(id) match {
           case Some(url) => respond(ex, 200, obj(

@@ -125,31 +125,32 @@ object ControlPlane {
       finally Metrics.observeApiDuration(endpoint, (System.nanoTime() - t0) / 1e9)
     }
 
-    /** POST /vod/upload — returns the stream_id (api/main.py:205-307). */
-    def uploadVod(req: VodUploadRequest): String = timed("/vod/upload") {
-      val streamId = req.streamId.getOrElse(s"vod-${newId().take(12)}")
-      val chunkIndex = 0L
-      val audioId = req.audioTrackId.getOrElse(s"audio-$streamId")
-      val checksum = md5hex(s"$streamId-$chunkIndex-${req.fileSizeBytes}")
+    /** The per-chunk write sequence shared by upload and chunk-append: raw
+      * placeholder put, status=uploaded metadata upsert, chunk event to the
+      * VOD topic (api/main.py:236-291, parameterized by chunk index). */
+    private def putVodChunk(streamId: String, chunkIndex: Long, title: String,
+        durationSeconds: Double, fileSizeBytes: Long, resolution: String,
+        audioId: String): Unit = {
+      val checksum = md5hex(s"$streamId-$chunkIndex-$fileSizeBytes")
       val ts = now().toString
       val rawKey = s"$streamId/raw/$chunkIndex.ts"
-      val durationMs = (req.durationSeconds * 1000).toLong
+      val durationMs = (durationSeconds * 1000).toLong
 
       objects.put("vod-raw", rawKey, Array.emptyByteArray, "video/mp2t", Map(
         "stream_id" -> streamId, "chunk_index" -> chunkIndex.toString,
-        "title" -> req.title, "size_bytes" -> req.fileSizeBytes.toString))
+        "title" -> title, "size_bytes" -> fileSizeBytes.toString))
 
       meta.upsert("vod_metadata", streamId, chunkIndex, Map(
         "stream_id" -> streamId,
         "chunk_index" -> chunkIndex.toString,
-        "title" -> req.title,
+        "title" -> title,
         "timestamp" -> ts,
-        "size_bytes" -> req.fileSizeBytes.toString,
+        "size_bytes" -> fileSizeBytes.toString,
         "stream_type" -> "vod",
         "status" -> "uploaded",
         "checksum" -> checksum,
         "duration_ms" -> durationMs.toString,
-        "resolution" -> req.resolution,
+        "resolution" -> resolution,
         "keyframe_aligned" -> "true",
         "audio_track_id" -> audioId,
         "raw_path" -> s"vod-raw/$rawKey",
@@ -158,15 +159,47 @@ object ControlPlane {
       // Field set and order per api/main.py:276-291.
       val event =
         s"""{"stream_id":${jsonStr(streamId)},"chunk_index":$chunkIndex,""" +
-          s""""timestamp":${jsonStr(ts)},"size_bytes":${req.fileSizeBytes},""" +
+          s""""timestamp":${jsonStr(ts)},"size_bytes":$fileSizeBytes,""" +
           s""""stream_type":"vod","status":"uploaded","checksum":${jsonStr(checksum)},""" +
-          s""""duration_ms":$durationMs,"resolution":${jsonStr(req.resolution)},""" +
+          s""""duration_ms":$durationMs,"resolution":${jsonStr(resolution)},""" +
           s""""keyframe_aligned":true,"audio_track_id":${jsonStr(audioId)},""" +
-          s""""title":${jsonStr(req.title)},"raw_path":${jsonStr(s"vod-raw/$rawKey")}}"""
+          s""""title":${jsonStr(title)},"raw_path":${jsonStr(s"vod-raw/$rawKey")}}"""
       publish(vodTopic, event)
       Metrics.inc(s"api_kafka_events_published_total{topic=$vodTopic}")
+    }
+
+    /** POST /vod/upload — returns the stream_id (api/main.py:205-307). */
+    def uploadVod(req: VodUploadRequest): String = timed("/vod/upload") {
+      val streamId = req.streamId.getOrElse(s"vod-${newId().take(12)}")
+      putVodChunk(streamId, chunkIndex = 0L, title = req.title,
+        durationSeconds = req.durationSeconds, fileSizeBytes = req.fileSizeBytes,
+        resolution = req.resolution,
+        audioId = req.audioTrackId.getOrElse(s"audio-$streamId"))
       Metrics.inc("api_requests_total{endpoint=/vod/upload,method=POST,status=200}")
       streamId
+    }
+
+    /** POST /vod/{id}/chunks — an EXTENSION beyond the reference (whose
+      * upload is always a single chunk_index=0 event, api/main.py:226):
+      * append the NEXT chunk to an existing VOD, so multi-chunk VODs — the
+      * regime where [[Processors.VodProcessor]]'s manifest state cap spills
+      * to the object store — can be driven end-to-end through the HTTP
+      * layer. Chunk index is the stream's latest index + 1 (the API is the
+      * single writer of vod_metadata chunk docs); title/resolution/audio
+      * default from the latest chunk document. Returns the appended chunk
+      * index, or None for an unknown stream. */
+    def appendVodChunk(streamId: String, durationSeconds: Double,
+        fileSizeBytes: Long): Option[Long] = timed("/vod/chunks") {
+      meta.findLatest("vod_metadata", streamId, _ => true).map { latest =>
+        val chunkIndex = latest.getOrElse("chunk_index", "-1").toLong + 1
+        putVodChunk(streamId, chunkIndex,
+          title = latest.getOrElse("title", ""),
+          durationSeconds = durationSeconds, fileSizeBytes = fileSizeBytes,
+          resolution = latest.getOrElse("resolution", "1920x1080"),
+          audioId = latest.getOrElse("audio_track_id", s"audio-$streamId"))
+        Metrics.inc("api_requests_total{endpoint=/vod/chunks,method=POST,status=200}")
+        chunkIndex
+      }
     }
 
     /** POST /streams/start (api/main.py:360-418). */

@@ -136,6 +136,36 @@ class ApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk append: POST /vod/{id}/chunks increments the index, one event per chunk") {
+    withServer { (base, published, _) =>
+      val up = post(s"$base/vod/upload",
+        """{"title":"Ep","duration_seconds":3.0,"file_size_bytes":100}""")
+      assert(up.statusCode() === 200)
+      val id = om.readTree(up.body()).get("stream_id").asText()
+
+      val r1 = post(s"$base/vod/$id/chunks",
+        """{"duration_seconds":3.0,"file_size_bytes":101}""")
+      assert(r1.statusCode() === 200)
+      assert(om.readTree(r1.body()).get("chunk_index").asLong() === 1L)
+      assert(om.readTree(r1.body()).get("status").asText() === "uploaded")
+      val r2 = post(s"$base/vod/$id/chunks",
+        """{"duration_seconds":3.0,"file_size_bytes":102}""")
+      assert(om.readTree(r2.body()).get("chunk_index").asLong() === 2L)
+
+      // one VOD-topic event per chunk, indices 0..2, title inherited
+      val events = published.filter(_._1 == "vod-chunks").map(_._2)
+      assert(events.map(e => om.readTree(e).get("chunk_index").asLong()).toSeq
+        === Seq(0L, 1L, 2L))
+      assert(events.forall(e => om.readTree(e).get("title").asText() === "Ep"))
+
+      // unknown stream -> FastAPI-shaped 404
+      val missing = post(s"$base/vod/nope/chunks",
+        """{"duration_seconds":1.0,"file_size_bytes":1}""")
+      assert(missing.statusCode() === 404)
+      assert(om.readTree(missing.body()).get("detail").asText() === "Stream not found")
+    }
+  }
+
   test("metrics scrape reflects HTTP-driven calls; malformed body is a 422") {
     withServer { (base, _, _) =>
       post(s"$base/vod/upload",

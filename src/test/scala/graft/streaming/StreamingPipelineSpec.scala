@@ -437,6 +437,78 @@ class StreamingPipelineSpec extends SparkSpec {
       Processors.VodProcessor.spillKey("vod-cap")).get === spill)
   }
 
+  test("multi-chunk VOD driven through the HTTP layer: state-cap spill, byte-exact manifest") {
+    // upload + appends go over REAL HTTP; the captured VOD-topic events are
+    // the pipeline input, exactly the reference's API -> Kafka -> Spark path
+    Metrics.reset()
+    Sinks.InMemoryObjectStore.clear("t-http-vod")
+    Sinks.InMemoryMetadataSink.clear("t-http-vod")
+    val objects = new Sinks.InMemoryObjectStore("t-http-vod")
+    val meta = new Sinks.InMemoryMetadataSink("t-http-vod")
+    val published = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val api = new ControlPlane.Api(objects, meta,
+      publish = (t, v) => { published.add((t, v)); () },
+      now = () => java.time.Instant.parse("2026-03-01T10:00:00Z"),
+      newId = () => "cafebabe0123456789abcdef")
+    val server = ApiServer.start(api, port = 0)
+    val total = 10
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(url: String, b: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val up = post(s"$base/vod/upload",
+        """{"title":"Ep","duration_seconds":3.0,"file_size_bytes":100,"stream_id":"vod-http"}""")
+      assert(up.statusCode() === 200)
+      (1 until total).foreach { i =>
+        val r = post(s"$base/vod/vod-http/chunks",
+          s"""{"duration_seconds":3.0,"file_size_bytes":${100 + i}}""")
+        assert(r.statusCode() === 200)
+      }
+    } finally server.stop(0)
+    val events = {
+      val it = published.iterator()
+      val buf = Vector.newBuilder[String]
+      while (it.hasNext) { val (t, v) = it.next(); if (t == "vod-chunks") buf += v }
+      buf.result()
+    }
+    assert(events.size === total)
+
+    // the captured events through the VOD pipeline, cap tight enough to
+    // force the manifest spill path (state holds 3 of 10 segments)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-http-vod").toString
+    val q = Pipelines.startVod(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "vod-http",
+      maxStateSegments = 3)
+    try {
+      events.grouped(4).foreach { chunk => // several micro-batches
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // byte-exact: header (TARGETDURATION = 3s + 1) + all 10 lines in order
+    val manifest = objects.getString("manifests", "vod-http/vod_manifest.m3u8").get
+    val expected =
+      "#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:4\n#EXT-X-PLAYLIST-TYPE:VOD\n" +
+        (0 until total).map(i => s"#EXTINF:3.000,\nvod-http/1080p/$i.ts\n").mkString
+    assert(manifest === expected)
+    // the cap really spilled: head object carries the evicted lines
+    val spill = objects.getString("manifests",
+      Processors.VodProcessor.spillKey("vod-http")).get
+    assert(spill.startsWith(s"#GRAFT-SPILL-COUNT:${total - 3}\n"))
+    // metadata saw the full lifecycle: ready status on the last chunk
+    assert(meta.find("vod_metadata", "vod-http", (total - 1).toLong)
+      .get("status") === "ready")
+  }
+
   test("spillHeadLines truncates to the state's count when the store ran ahead (replay safety)") {
     val objects = new Sinks.InMemoryObjectStore("spill-trunc")
     val segs = (0 until 10).map(i => Segment(3.0, s"d/$i.ts"))
