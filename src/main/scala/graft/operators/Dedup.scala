@@ -26,12 +26,16 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Default per-bucket membership cap for the candidate self-joins (see
-    * [[capBuckets]]). 1024 is far above target occupancy for every banding
-    * in this file (LSH buckets aim at tens of members), so on healthy data
-    * the cap never fires — it exists to bound the DEGENERATE bucket, e.g.
-    * millions of near-identical boilerplate docs sharing one (band, bucket),
-    * where the within-bucket self-join would otherwise go locally O(m²). */
+  /** Default per-bucket membership cap for the SIMILARITY-keyed candidate
+    * self-joins — minhash banding and embedding LSH, whose buckets only
+    * fill when members are actually near-identical (background collision
+    * ~1e-4; measured max occupancy 4 on the sf0.1 fixture). 1024 is far
+    * above target occupancy there, so on healthy data the cap never fires —
+    * it exists to bound the DEGENERATE bucket, e.g. millions of
+    * near-identical boilerplate docs sharing one (band, bucket), where the
+    * within-bucket self-join would otherwise go locally O(m²). SimHash
+    * block keys are excluded from this default (see [[simhashCandidates]]:
+    * their occupancy grows by background collision, not similarity). */
   val DefaultMaxBucket = 1024
 
   /** Rows dropped by a bucket-occupancy cap, and how many buckets hit it. */
@@ -62,9 +66,15 @@ object Dedup {
     *
     * No silent truncation: when any bucket exceeds the cap, the dropped row
     * and bucket counts are computed ([[bucketCapStats]]) and logged at WARN.
-    * The row_number window shuffles by the bucket keys — the same
-    * partitioning the candidate self-join needs, so the exchange is reused,
-    * not added. */
+    *
+    * Cost shape: on healthy data (no bucket over the cap — every fixture and
+    * any exact-deduped corpus) the guard costs exactly the one stats
+    * aggregate and the join plan is UNTOUCHED — the short-circuit matters
+    * because the row_number window would otherwise sit on both self-join
+    * sides, where no exchange boundary exists for Spark to reuse, and
+    * execute twice (measured ~2x the whole uncapped candidate step at
+    * sf0.1). Only a corpus that actually has a degenerate bucket pays for
+    * the window — there it replaces a locally-O(m²) join blowup. */
   private[operators] def capBuckets(
       banded: DataFrame,
       keys: Seq[String],
@@ -72,11 +82,10 @@ object Dedup {
       opName: String): DataFrame = {
     if (cap <= 0) return banded
     val stats = bucketCapStats(banded, keys, cap)
-    if (stats.droppedRows > 0) {
-      log.warn(s"$opName: bucket occupancy cap $cap dropped ${stats.droppedRows} " +
-        s"banded rows across ${stats.cappedBuckets} degenerate buckets " +
-        "(recall-only loss; run Dedup.exact first to collapse identical docs)")
-    }
+    if (stats.droppedRows == 0) return banded
+    log.warn(s"$opName: bucket occupancy cap $cap dropped ${stats.droppedRows} " +
+      s"banded rows across ${stats.cappedBuckets} degenerate buckets " +
+      "(recall-only loss; run Dedup.exact first to collapse identical docs)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
     banded.withColumn("occ_rank", row_number().over(w))
       .filter(col("occ_rank") <= cap)
@@ -480,7 +489,7 @@ object Dedup {
       idCol: String = "doc_id",
       blocks: Int = 6,
       shingle: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     // A shared block only GUARANTEES capture up to hamming blocks-1, so
     // filtering candidates at that bound loses nothing the operator promises
     // — and it removes virtually all random block collisions (hamming ~32
@@ -510,14 +519,17 @@ object Dedup {
       bands: Int = 16,
       blocks: Int = 6,
       shingle: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      simhashMaxBucket: Int = 0): DataFrame = {
     val mh = minhashCandidates(docs, textCol, idCol, k, bands, shingle, maxBucket)
     // hamming <= blocks-1 keeps exactly what the simhash side GUARANTEES
     // (see simhashNearDups): random block collisions sit at hamming ~32 and
     // would otherwise drag corpus-sized shingle arrays through the
     // refinement join for nothing — the minhash side owns everything beyond
-    // the hamming bound.
-    val sh = simhashCandidates(docs, textCol, idCol, blocks, maxBucket)
+    // the hamming bound. The simhash cap defaults OFF (see
+    // [[simhashCandidates]]) — its buckets grow by background collision,
+    // not similarity, so a fixed cap cuts guaranteed pairs on normal data.
+    val sh = simhashCandidates(docs, textCol, idCol, blocks, simhashMaxBucket)
       .filter(col("hamming") <= blocks - 1)
       .select(col("id_a"), col("id_b"))
     // one eager materialization: the union-distinct is referenced several
@@ -530,13 +542,28 @@ object Dedup {
 
   /** Near-dup candidates by SimHash block match: split the 64-bit fingerprint
     * into `blocks` equal bit-blocks; docs agreeing on any block are candidates
-    * (Hamming distance < blocks guarantees at least one exact block match). */
+    * (Hamming distance < blocks guarantees at least one exact block match).
+    *
+    * `maxBucket` defaults OFF here, unlike the minhash/embedding generators:
+    * their buckets fill by SIMILARITY (background collision ~1e-4), so a
+    * big bucket means degenerate near-identical docs and capping loses
+    * nothing healthy — but a simhash block key is only 64/blocks bits wide,
+    * so bucket occupancy grows as n/2^width by BACKGROUND collision alone
+    * (measured: 1,176 of 5,000 docs sharing one 10-bit (block, key) on the
+    * ordinary sf0.1 fixture). A fixed cap here cuts hamming-guaranteed
+    * pairs on perfectly normal corpora long before true degeneracy. The
+    * quadratic protections for this generator at scale are the ones already
+    * in place — exact-dedup first (identical docs collapse before banding),
+    * the hamming prefilter before the expensive refinement, and sizing
+    * `blocks` to the corpus (wider keys = fewer background collisions) —
+    * plus this cap opt-in for corpora known to contain giant near-identical
+    * cohorts. */
   def simhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       blocks: Int = 4,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     val width = 64 / blocks
     // Persisted for the same reason as minhashCandidates' signature table
     // (computed once instead of on both join sides), and released the same

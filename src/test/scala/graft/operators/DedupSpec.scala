@@ -130,6 +130,14 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(small, maxBucket = 0).count() === 100L * 99 / 2)
     // and the default cap never fires on healthy fixtures (same result)
     assert(Dedup.minhashCandidates(small).count() === 100L * 99 / 2)
+
+    // simhash: the cap is OPT-IN (block buckets fill by background
+    // collision, so a default cap would cut guaranteed pairs on normal
+    // corpora) — identical docs share every block, so uncapped is all
+    // pairs; an explicit cap bounds it the same way as minhash
+    assert(Dedup.simhashCandidates(small, blocks = 6).count() === 100L * 99 / 2)
+    assert(Dedup.simhashCandidates(small, blocks = 6, maxBucket = cap).count()
+      === cap.toLong * (cap - 1) / 2)
   }
 
   test("winnowing fingerprints: shared >= w+k-1 substrings guarantee overlap; short docs handled") {
