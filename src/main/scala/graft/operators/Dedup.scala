@@ -319,6 +319,82 @@ object Dedup {
       minhashCandidates(docs, textCol, idCol, k, bands, shingle, maxBucket),
       threshold, textCol, idCol, shingle)
 
+  /** Canonical near-duplicate clusters: connected components over a
+    * near-dup pair graph, labeling every member with its component's
+    * MINIMUM doc id — the canonical id a production dedup pipeline keeps.
+    * This is the step after [[minhashNearDups]]/[[ensembleNearDups]]:
+    * pairwise output alone cannot answer "which docs survive" when
+    * near-dups CHAIN (A~B and B~C with A!~C must still collapse into one
+    * cluster with one canonical).
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Each round, (a) every node takes the min label over itself and its
+    * neighbors — one hash join (edges x labels, partitioned by node id)
+    * plus one map-side-combined groupBy-min — then (b) labels POINT-JUMP
+    * through the label graph (label(x) := label(label(x))), which doubles
+    * the distance the component minimum travels per round. Convergence is
+    * O(log diameter) rounds instead of plain propagation's O(diameter) —
+    * the round-shape of the alternating-star MapReduce CC algorithms, so
+    * a 2^25-diameter chain (far beyond any real near-dup graph) converges
+    * within the default round budget. Every round materializes eagerly
+    * (localCheckpoint) so lineage depth stays constant and the convergence
+    * check (a changed-label count) doesn't recompute the history.
+    *
+    * Returns (doc_id, cluster_id) for every doc THAT APPEARS IN A PAIR;
+    * singleton docs are absent by construction — left-join the corpus and
+    * coalesce to the doc's own id for whole-corpus cluster labels (q58's
+    * shape). Input pair orientation does not matter; self-pairs are
+    * harmless. */
+  def nearDupClusters(
+      pairs: DataFrame,
+      idColA: String = "id_a",
+      idColB: String = "id_b",
+      maxRounds: Int = 25): DataFrame = {
+    // each round's output is re-wrapped over its (checkpointed) RDD with
+    // FRESH attribute ids — iterative self-referencing plans otherwise trip
+    // Catalyst's Union constraint rewrite (round N's plan contains round
+    // N-1's attribute ids on both sides)
+    def freshIds(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val edges = freshIds(
+      pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
+        .union(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
+        .localCheckpoint(true)) // referenced once per round; keep it materialized
+    var labels = freshIds(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // (a) neighbor-min
+      val viaNbr = edges.as("e").join(labels.as("l"), col("e.src") === col("l.node"))
+        .select(col("e.dst").as("node"), col("l.label").as("label"))
+      val stepped = viaNbr.union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // (b) pointer jump: label(x) := label(label(x)) (labels are node ids,
+      // so the lookup side is `stepped` itself)
+      val jumped = freshIds(stepped.as("a")
+        .join(stepped.as("b"), col("a.label") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.label"), col("a.label")).as("label"))
+        .localCheckpoint(true))
+      val changed = jumped.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = jumped
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged) {
+      // per the no-silent-caps rule: a non-converged labeling is PARTIAL
+      // (some cluster ids are not yet the component minimum) — fail loudly.
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxRounds rounds " +
+          "(graph diameter > 2^rounds? raise maxRounds)")
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
     * rolling-hash fingerprinting family): hash every character k-gram of
     * the normalized text, slide a w-hash window, keep each window's

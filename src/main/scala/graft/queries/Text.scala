@@ -241,6 +241,48 @@ object Text extends QueryModule {
         WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- q58
+    // Cluster canonicalization: near-dup PAIRS -> connected components ->
+    // one canonical id (the component minimum) per document, singletons
+    // keeping their own id. This is the step a real dedup pipeline runs
+    // after pair generation — chained near-dups (A~B~C) must collapse into
+    // ONE cluster even when A!~C directly. Spark side: min-label
+    // propagation with pointer jumping (O(log diameter) joined rounds);
+    // oracle side: exhaustive pairs + a recursive-CTE transitive closure —
+    // the O(n^2)/recursive work exists only in DuckDB.
+    QueryDef("q58_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.nearDupClusters(
+          Dedup.minhashNearDups(docs, threshold = 0.5))
+        docs.select($"doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b FROM jp
+          WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT e.src AS node, t.r FROM edges e JOIN reach t ON e.dst = t.node),
+        mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node)
+        SELECT d.doc_id,
+          COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
+        ORDER BY d.doc_id""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants

@@ -140,6 +140,30 @@ class DedupSpec extends SparkSpec {
       === cap.toLong * (cap - 1) / 2)
   }
 
+  test("nearDupClusters: chains collapse, components labeled by minimum, long paths converge") {
+    import spark.implicits._
+    // component {1,2,3,9} via chain 1-2, 2-3, 3-9; component {5,7}; and a
+    // LONG PATH 100-101-...-140 (diameter 40 > plain-propagation round
+    // budget intuition — pointer jumping must cover it in O(log) rounds)
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L && got(9L) === 1L)
+    assert(got(5L) === 5L && got(7L) === 5L)
+    (100L to 140L).foreach(i => assert(got(i) === 100L, s"node $i"))
+    assert(got.size === 4 + 2 + 41, "exactly the pair members, no extras")
+    // orientation-independence: reversed pairs give the same clusters
+    val rev = Dedup.nearDupClusters(
+      pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev === got)
+    // empty pair set -> empty clustering (no crash)
+    assert(Dedup.nearDupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().isEmpty)
+  }
+
   test("winnowing fingerprints: shared >= w+k-1 substrings guarantee overlap; short docs handled") {
     val shared = "the quick brown fox jumps over the lazy dog repeatedly tonight"
     val d = Seq(
