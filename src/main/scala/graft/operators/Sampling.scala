@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting, and packing for training-data
+  * pipelines. Everything here is a pure function of (id, salt) — no RNG
+  * state, no seed-per-partition coupling — so results are identical across
+  * runs, cluster sizes, partitionings, AND engines: the hash is md5 (not
+  * xxhash64) precisely so an external system (or the DuckDB oracle) can
+  * reproduce every assignment from the same SQL.
+  *
+  * Scale notes: all assignments are per-row map-side expressions (no
+  * shuffle); [[packByTokenBudget]] is the one windowed operator and it
+  * partitions by an explicit shard key first — a global-order running sum
+  * would drag the corpus into ONE partition, the classic
+  * window-without-partition scale trap.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(salt || id) — a uniform 32-bit value as
+    * fixed-width lowercase hex, so LEXICOGRAPHIC comparison equals numeric
+    * comparison and any engine with md5 can reproduce the decision without
+    * float arithmetic. */
+  private def hashHex(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** The comparison threshold for `fraction`: floor(fraction * 2^32) as
+    * 8-digit hex. Exposed so callers can embed the same literal in
+    * external SQL. */
+  def fractionThresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    f"${(fraction * 4294967296.0).toLong.min(0xffffffffL)}%08x"
+  }
+
+  /** Deterministic train/validation split: `split = "val"` for the
+    * `valFraction` of ids whose hash falls below the threshold, `"train"`
+    * otherwise. Per-row, shuffle-free, stable under re-runs and data
+    * reordering — the properties a reproducible training pipeline needs
+    * from its split (a `rand()` split has none of them). Different salts
+    * give independent splits (e.g. k-fold via k salts). */
+  def deterministicSplit(
+      docs: DataFrame,
+      valFraction: Double,
+      idCol: String = "doc_id",
+      salt: String = "graft-split"): DataFrame =
+    docs.withColumn("split",
+      when(hashHex(col(idCol), salt) < lit(fractionThresholdHex(valFraction)), "val")
+        .otherwise("train"))
+
+  /** Deterministic per-stratum sample: keeps `fraction` of each stratum
+    * (the hash is salted with the id only, so membership is independent of
+    * the stratum column and the kept set is stable as strata are re-labeled).
+    * Filter is a per-row predicate — pushes below shuffles/joins placed on
+    * top. */
+  def stratifiedSample(
+      docs: DataFrame,
+      fraction: Double,
+      idCol: String = "doc_id",
+      salt: String = "graft-sample"): DataFrame =
+    docs.filter(hashHex(col(idCol), salt) < lit(fractionThresholdHex(fraction)))
+
+  /** Sharded sequence packing: assign each document a (shard, bin) so that
+    * consecutive documents (by `idCol` order, within a shard) accumulate
+    * into bins of roughly `budget` tokens — the standard pre-tokenization
+    * grouping for LLM training batches. `bin = floor(tokens_before / budget)`
+    * over the shard-local running sum, so every bin holds at least `budget`
+    * tokens once closed EXCEPT via its last document overflowing the
+    * boundary (the streaming-friendly approximation; true first-fit packing
+    * is an inherently sequential scan and belongs in the tokenizer, not a
+    * distributed shuffle).
+    *
+    * Sharding comes first (`shard = id mod shards`) because a running sum
+    * over a global order is a single-partition window — at corpus scale the
+    * window MUST be partitioned, and any real packing pipeline shards
+    * before packing anyway. Returns the input plus (shard, bin,
+    * tokens_before). */
+  def packByTokenBudget(
+      docs: DataFrame,
+      tokensCol: String,
+      budget: Long,
+      shards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shard = pmod(col(idCol), lit(shards.toLong)).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs.withColumn("shard", shard)
+      .withColumn("tokens_before",
+        coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / lit(budget.toDouble)).cast("bigint"))
+  }
+}

@@ -283,6 +283,92 @@ object Text extends QueryModule {
         FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
         ORDER BY d.doc_id""")),
 
+    // ---------------------------------------------------------------- q59
+    // The deduplicated corpus: near-dup clusters (q58's machinery) filtered
+    // to the canonical member of each cluster — "which documents survive
+    // dedup", the actual deliverable of the dedup family. Singletons (no
+    // near-dup) survive by definition.
+    QueryDef("q59_deduped_corpus",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.nearDupClusters(
+          Dedup.minhashNearDups(docs, threshold = 0.5))
+        docs.join(clusters, Seq("doc_id"), "left")
+          .filter(coalesce($"cluster_id", $"doc_id") === $"doc_id")
+          .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b FROM jp
+          WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT e.src AS node, t.r FROM edges e JOIN reach t ON e.dst = t.node),
+        mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node)
+        SELECT d.doc_id, CAST(len($wsSql) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
+        WHERE COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q60
+    // Deterministic hash split: the split decision is substr(md5(salt||id),
+    // 1, 8) compared against floor(fraction * 2^32) as fixed-width hex —
+    // lexicographic == numeric, no float rounding, reproducible by ANY
+    // engine with md5 (the oracle runs the identical expression). Per-row,
+    // shuffle-free; a rand() split has none of these properties.
+    QueryDef("q60_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sampling.deterministicSplit(
+            t(s, dir, "documents"), valFraction = 0.1)
+          .select($"doc_id", $"split")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '${graft.operators.Sampling.fractionThresholdHex(0.1)}'
+             THEN 'val' ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q61
+    // Sharded sequence packing: shard-local running token sums assign each
+    // document a (shard, bin) of ~budget tokens — the pre-tokenization
+    // batch grouping for LLM training. The window partitions by the shard
+    // key FIRST: a global-order running sum is a one-partition window, the
+    // classic scale trap this operator exists to avoid.
+    QueryDef("q61_token_packing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"))
+        graft.operators.Sampling.packByTokenBudget(docs, "n_tokens",
+            budget = 256, shards = 8)
+          .select($"doc_id", $"shard", $"tokens_before", $"bin")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, doc_id % 8 AS shard, CAST(len($wsSql) AS BIGINT) AS n
+          FROM documents),
+        cum AS (
+          SELECT doc_id, shard,
+            CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+              AS tokens_before
+          FROM toks)
+        SELECT doc_id, shard, tokens_before,
+          CAST(FLOOR(tokens_before / 256.0) AS BIGINT) AS bin
+        FROM cum ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants
