@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions installer for the engine's native expressions —
@@ -19,10 +20,19 @@ import org.apache.spark.sql.types.IntegerType
   * SELECT word_shingles(text, 3) FROM ...                   -- word n-grams
   * SELECT word_shingle_hashes(text, 3) FROM ...             -- fused shingle hashes
   * SELECT minhash_signature(text, 3, 64) FROM ...           -- per-row MinHash sig
+  * SELECT token_count(text), quality_score(text) FROM ...   -- text analysis
+  * SELECT lang_id(text), doc_fingerprint(text) FROM ...
+  * SELECT jaccard_sim(distinct_shingles(a, 3), distinct_shingles(b, 3)) ...
   * }}}
   *
   * The integer width/size arguments must be literals — they parameterize
   * codegen, exactly like the Scala wrappers' Int parameters.
+  *
+  * The text-analysis family (token_count .. jaccard_sim) registers the
+  * SAME composed expression trees as the `graft.functions.TextFunctions`
+  * Column builders — built-in functions end to end, fully codegen'd, no
+  * UDFs — so SQL-only clients get bit-identical results to the Scala API
+  * (the q30-q36 oracles pin those semantics).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -36,6 +46,38 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
+
+  /** Adapt a TextFunctions-style Column builder into a FunctionBuilder:
+    * the registered function expands to the same composed expression tree
+    * the Scala wrapper builds. */
+  private def composed1(name: String, f: Column => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name expects exactly 1 argument")
+        ExpressionUtils.expression(f(ExpressionUtils.column(children.head)))
+      })
+
+  private def composed2(name: String, f: (Column, Column) => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"$name expects exactly 2 arguments")
+        ExpressionUtils.expression(f(
+          ExpressionUtils.column(children.head), ExpressionUtils.column(children(1))))
+      })
+
+  private def composedStrInt(name: String, f: (Column, Int) => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"$name expects exactly 2 arguments")
+        ExpressionUtils.expression(f(
+          ExpressionUtils.column(children.head), intLit(children(1), name, "n")))
+      })
 
   private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_dot"),
@@ -77,7 +119,14 @@ object GraftExtensions {
         MinHashSignature(children.head,
           intLit(children(1), "minhash_signature", "n"),
           intLit(children(2), "minhash_signature", "k")): Expression
-      }))
+      }),
+    composed1("token_count", graft.functions.TextFunctions.tokenCount),
+    composed1("bpeish_token_count", graft.functions.TextFunctions.bpeishTokenCount),
+    composed1("quality_score", graft.functions.TextFunctions.qualityScore),
+    composed1("lang_id", graft.functions.TextFunctions.langId),
+    composed1("doc_fingerprint", graft.functions.TextFunctions.fingerprint),
+    composedStrInt("distinct_shingles", graft.functions.TextFunctions.distinctShingles),
+    composed2("jaccard_sim", graft.functions.TextFunctions.jaccard))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions
     * configured on the builder only apply to sessions created after. */

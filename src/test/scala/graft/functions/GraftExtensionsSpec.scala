@@ -69,6 +69,42 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql(1) === Seq.fill(64)(Long.MaxValue))
   }
 
+  test("text-analysis family is SQL-callable, parity with TextFunctions wrappers") {
+    GraftExtensions.registerInto(spark)
+    import spark.implicits._
+    import graft.functions.TextFunctions
+
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and then naps.",
+      "der schnelle braune fuchs springt und die katze schaut zu",
+      ""
+    ).toDF("text")
+    df.createOrReplaceTempView("ext_text")
+
+    val sql = spark.sql(
+      """SELECT token_count(text) AS tc, bpeish_token_count(text) AS bc,
+        |       quality_score(text) AS qs, lang_id(text) AS lid,
+        |       doc_fingerprint(text) AS fp,
+        |       jaccard_sim(distinct_shingles(text, 3), distinct_shingles(text, 3)) AS selfj
+        |FROM ext_text""".stripMargin).collect()
+    val wrap = df.select(
+      TextFunctions.tokenCount($"text").as("tc"),
+      TextFunctions.bpeishTokenCount($"text").as("bc"),
+      TextFunctions.qualityScore($"text").as("qs"),
+      TextFunctions.langId($"text").as("lid"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.jaccard(
+        TextFunctions.distinctShingles($"text", 3),
+        TextFunctions.distinctShingles($"text", 3)).as("selfj")).collect()
+    sql.zip(wrap).foreach { case (s, w) =>
+      (0 until 6).foreach(i => assert(s.get(i) === w.get(i), s"column $i"))
+    }
+    // sanity: the English row identifies as en, self-jaccard is 1.0
+    assert(sql(0).getAs[String]("lid") === "en")
+    assert(sql(1).getAs[String]("lid") === "de")
+    assert(sql(0).getAs[Double]("selfj") === 1.0)
+  }
+
   test("width arguments must be integer literals (they parameterize codegen)") {
     GraftExtensions.registerInto(spark)
     val e = intercept[Exception] {
