@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions installer for the engine's native expressions —
@@ -47,6 +47,15 @@ object GraftExtensions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  /** Eagerly lower a functions-API Column tree to catalyst expressions.
+    * `ExpressionUtils.expression` alone wraps the tree in a lazy
+    * `ColumnNodeExpression`, which a FunctionBuilder result must NOT be:
+    * the analyzer treats it as an opaque leaf, so the `UnresolvedFunction`
+    * nodes inside never resolve and execution dies with "Cannot generate
+    * code". The converter emits real catalyst `UnresolvedFunction`s, which
+    * the analyzer then resolves like any parsed SQL. */
+  private def toExpr(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
   /** Adapt a TextFunctions-style Column builder into a FunctionBuilder:
     * the registered function expands to the same composed expression tree
     * the Scala wrapper builds. */
@@ -56,7 +65,7 @@ object GraftExtensions {
       new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name),
       (children: Seq[Expression]) => {
         require(children.length == 1, s"$name expects exactly 1 argument")
-        ExpressionUtils.expression(f(ExpressionUtils.column(children.head)))
+        toExpr(f(ExpressionUtils.column(children.head)))
       })
 
   private def composed2(name: String, f: (Column, Column) => Column)
@@ -65,7 +74,7 @@ object GraftExtensions {
       new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name),
       (children: Seq[Expression]) => {
         require(children.length == 2, s"$name expects exactly 2 arguments")
-        ExpressionUtils.expression(f(
+        toExpr(f(
           ExpressionUtils.column(children.head), ExpressionUtils.column(children(1))))
       })
 
@@ -75,7 +84,7 @@ object GraftExtensions {
       new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, name),
       (children: Seq[Expression]) => {
         require(children.length == 2, s"$name expects exactly 2 arguments")
-        ExpressionUtils.expression(f(
+        toExpr(f(
           ExpressionUtils.column(children.head), intLit(children(1), name, "n")))
       })
 
