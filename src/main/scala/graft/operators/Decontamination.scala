@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with a held-out evaluation set — the overlap check every serious
+  * LLM training pipeline runs before a corpus ships (eval answers leaking
+  * into training data inflate benchmark scores without improving the model).
+  *
+  * Shape at 100 TB: eval/benchmark suites are tiny relative to the corpus
+  * (10^3–10^6 documents vs 10^9+), so the eval gram set is collected into a
+  * broadcast hash table and the corpus side streams through a broadcast
+  * semi-join WITHOUT shuffling a single corpus row — the only corpus-keyed
+  * shuffle is the final per-document count of matched grams, carried as
+  * map-side-combined partials. If the gram set ever outgrows the broadcast
+  * threshold, pass `broadcastEval = false` and Catalyst plans a regular
+  * shuffled join instead.
+  */
+object Decontamination {
+
+  /** Per-document overlap counts against `evalDocs`: one row per corpus
+    * document sharing at least one distinct word n-gram with ANY eval
+    * document, with `n_shared` = how many of its distinct grams are
+    * eval-tainted. Callers drop or review flagged docs; joining the result
+    * back to the corpus as an anti-join yields the decontaminated view.
+    *
+    * Both sides shingle through the native
+    * [[org.apache.spark.sql.graft.WordShingles]] kernel; corpus grams are
+    * per-document DISTINCT before the join, so `count(*)` after it equals
+    * the distinct-overlap cardinality without a count-distinct expand. */
+  def overlap(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(TextFunctions.distinctShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    corpus
+      .select(col(idCol), explode(TextFunctions.distinctShingles(col(textCol), n)).as("gram"))
+      .join(ev, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

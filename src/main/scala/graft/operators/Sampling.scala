@@ -34,6 +34,14 @@ object Sampling {
     f"${(fraction * 4294967296.0).toLong.min(0xffffffffL)}%08x"
   }
 
+  /** [[fractionThresholdHex]] with an exact keep-everything form: rate 1.0
+    * returns a sentinel that compares lexicographically ABOVE every 8-hex
+    * digest ('g' > 'f'), so `hash < threshold` keeps all rows — the clamped
+    * hex form would drop the one-in-2^32 id whose hash is exactly
+    * "ffffffff". Same trick works verbatim in external SQL. */
+  def rateThresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g" else fractionThresholdHex(rate)
+
   /** Deterministic train/validation split: `split = "val"` for the
     * `valFraction` of ids whose hash falls below the threshold, `"train"`
     * otherwise. Per-row, shuffle-free, stable under re-runs and data
@@ -60,6 +68,29 @@ object Sampling {
       idCol: String = "doc_id",
       salt: String = "graft-sample"): DataFrame =
     docs.filter(hashHex(col(idCol), salt) < lit(fractionThresholdHex(fraction)))
+
+  /** Deterministic domain-mixture sampling: keep each row with the rate its
+    * category maps to (`rates`, falling back to `defaultRate`) — the
+    * re-weighting step that turns raw source/language proportions into a
+    * training mixture. The keep decision is `hash(salt, id) < threshold(
+    * rate(category))`: per-row, shuffle-free, reproducible across engines,
+    * and — because the hash ignores the category — a row's membership at a
+    * given rate is stable even when categories are re-labeled (changing only
+    * WHICH threshold applies, never the coin flip). Rates above 1.0 are
+    * capped at keep-all; upsampling is a union of copies, not a filter. */
+  def weightedSample(
+      docs: DataFrame,
+      categoryCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      idCol: String = "doc_id",
+      salt: String = "graft-mix"): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(rateThresholdHex(defaultRate))) { case (els, (cat, rate)) =>
+        when(col(categoryCol) === lit(cat), lit(rateThresholdHex(rate))).otherwise(els)
+      }
+    docs.filter(hashHex(col(idCol), salt) < threshold)
+  }
 
   /** Sharded sequence packing: assign each document a (shard, bin) so that
     * consecutive documents (by `idCol` order, within a shard) accumulate

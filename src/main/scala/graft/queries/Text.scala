@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{CorpusStats, Decontamination, Dedup, Multimodal, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` fixture (the
   * training-data-pipeline operators from BASELINE.json's north star).
@@ -19,6 +19,16 @@ object Text extends QueryModule {
     s"""CASE WHEN len($wsSql) < 3 THEN CAST([] AS VARCHAR[])
         ELSE list_distinct(list_transform(range(1, len($wsSql) - 1),
           i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2])) END"""
+  // Non-distinct n-gram lists (document order, duplicates kept) for the
+  // frequency-based operators (q63/q65).
+  private val grams2Sql =
+    s"""CASE WHEN len($wsSql) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(1, len($wsSql)),
+          i -> $wsSql[i] || ' ' || $wsSql[i+1]) END"""
+  private val grams3Sql =
+    s"""CASE WHEN len($wsSql) < 3 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(1, len($wsSql) - 1),
+          i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2]) END"""
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -368,6 +378,93 @@ object Text extends QueryModule {
         SELECT doc_id, shard, tokens_before,
           CAST(FLOOR(tokens_before / 256.0) AS BIGINT) AS bin
         FROM cum ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q62
+    // Benchmark decontamination: training docs sharing word 3-grams with a
+    // deterministic held-out eval slice (doc_id % 97 == 0). The eval gram
+    // set broadcasts (benchmark suites are tiny next to the corpus), so the
+    // corpus side streams through a broadcast join with NO corpus shuffle;
+    // the only shuffle is the per-doc overlap count. The oracle runs the
+    // identical set algebra exhaustively.
+    QueryDef("q62_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Decontamination.overlap(
+            corpus = docs.filter($"doc_id" % 97 =!= 0),
+            evalDocs = docs.filter($"doc_id" % 97 === 0))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+        ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 97 <> 0)
+        SELECT doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (gram)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q63
+    // Gopher-style repetition signals: per-doc 2-gram total/distinct/top
+    // counts and the derived duplicate-gram and top-gram fractions — the
+    // quality gates that catch boilerplate and degenerate repetition. One
+    // explode, two partially-aggregated shuffles; docs below 2 tokens
+    // re-enter via the left join with zero defaults.
+    QueryDef("q63_repetition_stats",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.repetitionStats(t(s, dir, "documents"), n = 2)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH g AS (SELECT doc_id, unnest($grams2Sql) AS gram FROM documents),
+        pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct_grams, CAST(max(cnt) AS BIGINT) AS top_gram_count
+               FROM pg GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+          CAST(COALESCE(n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+          CAST(COALESCE(top_gram_count, 0) AS BIGINT) AS top_gram_count,
+          round(CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN 1.0 - n_distinct_grams * 1.0 / n_grams ELSE 0.0 END, 6) AS dup_gram_frac,
+          round(CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN top_gram_count * 1.0 / n_grams ELSE 0.0 END, 6) AS top_gram_frac
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q64
+    // Deterministic domain-mixture sampling: per-language keep rates turn
+    // raw corpus proportions into a training mixture. Per-row md5 decision,
+    // shuffle-free, reproduced bit-for-bit by the oracle's identical CASE.
+    QueryDef("q64_domain_mix",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.weightedSample(t(s, dir, "documents"), "lang",
+            rates = Map("en" -> 0.35, "zh" -> 1.0, "de" -> 0.5),
+            defaultRate = 0.8)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE substr(md5('graft-mix' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'de' THEN '${Sampling.rateThresholdHex(0.5)}'
+                    WHEN 'en' THEN '${Sampling.rateThresholdHex(0.35)}'
+                    WHEN 'zh' THEN '${Sampling.rateThresholdHex(1.0)}'
+                    ELSE '${Sampling.rateThresholdHex(0.8)}' END
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q65
+    // Corpus top-k n-grams: the global frequency ranking behind stop-list
+    // construction and contamination triage. Explode -> partial agg -> one
+    // shuffle on gram -> TakeOrderedAndProject (k rows per partition cross
+    // the wire; no global sort). Total order via the (count desc, gram asc)
+    // tie-break.
+    QueryDef("q65_ngram_topk",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.topNgrams(t(s, dir, "documents"), n = 3, k = 50)
+      },
+      Some(s"""WITH g AS (SELECT unnest($grams3Sql) AS gram FROM documents)
+        SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        ORDER BY cnt DESC, gram LIMIT 50""")),
 
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have

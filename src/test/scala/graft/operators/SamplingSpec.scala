@@ -47,6 +47,44 @@ class SamplingSpec extends SparkSpec {
     assert(kept.subsetOf(keptMore), "thresholded hash samples must nest")
   }
 
+  test("weightedSample: per-category rates, id-only coin flip, exact keep-all") {
+    val d = ids(3000).withColumn("lang",
+      when($"doc_id" % 3 === 0, "en")
+        .when($"doc_id" % 3 === 1, "zh").otherwise("de"))
+    val rates = Map("en" -> 0.2, "zh" -> 1.0)
+    val kept = Sampling.weightedSample(d, "lang", rates, defaultRate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // rate 1.0 keeps EVERY row of the category (sentinel, not clamped hex)
+    assert(kept.values.count(_ == "zh") === 1000)
+    assert(Sampling.rateThresholdHex(1.0) === "g")
+    assert(Sampling.rateThresholdHex(0.5) === "80000000")
+    // approximate rates for the thresholded categories (~5 sigma bands)
+    val en = kept.values.count(_ == "en")
+    val de = kept.values.count(_ == "de")
+    assert(en > 140 && en < 260, s"en rate off: $en/1000 at 0.2")
+    assert(de > 420 && de < 580, s"de rate off: $de/1000 at 0.5")
+
+    // the coin flip ignores the category: a doc kept at rate r stays kept
+    // when its category is renamed to another rate-r category
+    val renamed = Sampling.weightedSample(
+      d.withColumn("lang", when($"lang" === "en", "xx").otherwise($"lang")),
+      "lang", Map("xx" -> 0.2, "zh" -> 1.0), defaultRate = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(renamed === kept.keySet)
+
+    // deterministic across runs and input order
+    val rerun = Sampling.weightedSample(d.orderBy($"doc_id".desc), "lang",
+      rates, defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    assert(rerun === kept.keySet)
+
+    // rate 0 drops the category entirely
+    val none = Sampling.weightedSample(d, "lang", Map("en" -> 0.0),
+      defaultRate = 1.0).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!none.values.exists(_ == "en"))
+    assert(none.values.count(_ == "zh") === 1000 && none.values.count(_ == "de") === 1000)
+  }
+
   test("packByTokenBudget: shard-local contiguous bins, boundary-straddle bounded") {
     val docs = (1L to 400L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tokens")
     val budget = 100L
