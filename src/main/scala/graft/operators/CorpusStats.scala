@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -75,4 +76,40 @@ object CorpusStats {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(k)
+
+  /** Per-document top-k terms by smoothed tf-idf
+    * (`tf · (ln((N+1)/(df+1)) + 1)`) — keyword extraction for corpus triage
+    * and index construction. All counts flow from ONE tokenize/explode: tf
+    * is the (doc, term) count, df re-aggregates tf (its input is already
+    * one row per distinct doc-term — no second corpus scan), and N joins in
+    * as a broadcast single-row aggregate so the plan stays action-free. The
+    * final top-k is a row_number window partitioned BY DOCUMENT — thousands
+    * of rows per partition key at worst, never a global sort.
+    *
+    * Scale note: the tf⋈df join keys on term; at vocabulary sizes that fit
+    * the broadcast threshold AQE converts it to a broadcast join, otherwise
+    * it shuffles both sides on term — either is sound, and df is bounded by
+    * vocabulary, not corpus size. Ties inside a document resolve by term
+    * text, so the result is a total order. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
 }

@@ -92,6 +92,32 @@ object Sampling {
     docs.filter(hashHex(col(idCol), salt) < threshold)
   }
 
+  /** Deterministic per-category quota: keep at most `k` rows of each
+    * category, chosen by hash order — the "cap the dominant domain" step of
+    * corpus curation (a threshold sample can't promise an exact per-domain
+    * maximum; a quota needs a rank). The rank orders by `hash(salt, id)`
+    * with the id as tie-break, so the kept set is a uniform, reproducible
+    * choice, stable under input reordering — NOT "first k encountered".
+    *
+    * Scale note: row_number partitions by category, so the sort is
+    * per-category and distributed across them; for a pathological single
+    * category holding most of the corpus, pre-filter with
+    * [[stratifiedSample]] at a rate that lands near k and cap the
+    * remainder. */
+  def capPerCategory(
+      docs: DataFrame,
+      categoryCol: String,
+      k: Int,
+      idCol: String = "doc_id",
+      salt: String = "graft-cap"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(categoryCol))
+      .orderBy(hashHex(col(idCol), salt), col(idCol))
+    docs.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= k)
+      .drop("cap_rank")
+  }
+
   /** Sharded sequence packing: assign each document a (shard, bin) so that
     * consecutive documents (by `idCol` order, within a shard) accumulate
     * into bins of roughly `budget` tokens — the standard pre-tokenization

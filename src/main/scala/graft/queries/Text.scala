@@ -466,6 +466,48 @@ object Text extends QueryModule {
         SELECT gram, count(*) AS cnt FROM g GROUP BY gram
         ORDER BY cnt DESC, gram LIMIT 50""")),
 
+    // ---------------------------------------------------------------- q66
+    // Per-doc top-5 terms by smoothed tf-idf. One tokenize feeds tf; df
+    // re-aggregates tf; N joins in as a broadcast scalar; the top-k window
+    // partitions by document. ln() is the one non-IEEE-exact op in the
+    // score — round(,6) absorbs the ulp-level libm divergence between
+    // JVM and DuckDB.
+    QueryDef("q66_tfidf_topterms",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.tfidfTopTerms(t(s, dir, "documents"), k = 5)
+          .orderBy($"doc_id", $"term")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, term, tf,
+          round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rn FROM scored)
+        WHERE rn <= 5 ORDER BY doc_id, term""")),
+
+    // ---------------------------------------------------------------- q67
+    // Per-domain quota: at most 10 docs per source, chosen by hash order
+    // (uniform, reproducible, reorder-stable — not "first 10 encountered").
+    // The row_number window partitions by source, so the sort distributes
+    // across domains.
+    QueryDef("q67_domain_cap",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.capPerCategory(t(s, dir, "documents"), "source", k = 10)
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY source
+            ORDER BY substr(md5('graft-cap' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants

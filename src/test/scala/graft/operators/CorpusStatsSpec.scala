@@ -48,6 +48,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Seq(("p q r", 3L), ("a b c", 1L), ("q r p", 1L)))
   }
 
+  test("tfidfTopTerms: exact smoothed scores, per-doc total order, k honored") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.tfidfTopTerms(corpus, k = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Double]("tfidf"))))
+      .toMap
+    // N=3; df: apple 2, banana 2, cherry 1
+    // idf(df=2) = ln(4/3)+1 = 1.287682...; idf(df=1) = ln(2)+1 = 1.693147...
+    assert(got(1L) === (("apple", 2L, 2.575364)), "tf=2 dominates doc 1")
+    assert(got(2L) === (("cherry", 1L, 1.693147)), "rarer term outranks equal-tf banana")
+    assert(got(3L) === (("apple", 1L, 1.287682)))
+    // k=2 adds the runner-ups in (score desc, term asc) order
+    val k2 = CorpusStats.tfidfTopTerms(corpus, k = 2)
+      .orderBy($"doc_id", $"tfidf".desc)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(k2.toSeq === Seq((1L, "apple"), (1L, "banana"),
+      (2L, "cherry"), (2L, "banana"), (3L, "apple")))
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort") {
     val plan = CorpusStats.topNgrams(docs, n = 2, k = 5)
       .queryExecution.executedPlan.toString

@@ -85,6 +85,26 @@ class SamplingSpec extends SparkSpec {
     assert(none.values.count(_ == "zh") === 1000 && none.values.count(_ == "de") === 1000)
   }
 
+  test("capPerCategory: exact quota, hash-chosen, reorder-stable") {
+    val d = ids(300).withColumn("source",
+      when($"doc_id" <= 200, "big").otherwise("small"))
+    val kept = Sampling.capPerCategory(d, "source", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.count(_._2 == "big") === 5)
+    assert(kept.count(_._2 == "small") === 5)
+    // stable under input reordering (rank is over hash, not arrival)
+    val reordered = Sampling.capPerCategory(d.orderBy($"doc_id".desc), "source", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.toSet === reordered.toSet)
+    // a quota above the category size keeps the whole category
+    val all = Sampling.capPerCategory(d, "source", k = 1000)
+    assert(all.count() === 300)
+    // membership is the k smallest hashes per category, so shrinking k nests
+    val kept3 = Sampling.capPerCategory(d, "source", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept3.subsetOf(kept.map(_._1).toSet), "quota sets must nest as k shrinks")
+  }
+
   test("packByTokenBudget: shard-local contiguous bins, boundary-straddle bounded") {
     val docs = (1L to 400L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tokens")
     val budget = 100L
