@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -29,6 +30,32 @@ object Text extends QueryModule {
     s"""CASE WHEN len($wsSql) < 3 THEN CAST([] AS VARCHAR[])
         ELSE list_transform(range(1, len($wsSql) - 1),
           i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2]) END"""
+  // TextFunctions.qualityScore / fingerprint as SQL (shared by q31/q33/q68)
+  private val qualitySql =
+    s"""round(least(len($wsSql) / 100.0, 1.0) * 0.4
+        + (CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+            ELSE 0.0 END) * 0.4
+        + (1.0 - CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+            ELSE 0.0 END) * 0.2, 4)"""
+  private val fingerprintSql =
+    """md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))"""
+  // TextFunctions.langId as SQL: per-language marker hit counts (select-list
+  // fragment) + the argmax CASE over them (shared by q32/q68)
+  private val langScoreSql: String = TextFunctions.langMarkers.map { case (lang, ws) =>
+    val sum = ws.map(w =>
+      s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"($sum) AS s_$lang"
+  }.mkString(", ")
+  private val langPredSql: String = {
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseExpr = langs.map(l =>
+      s"WHEN s_$l > 0 AND s_$l = $maxExpr THEN '$l'").mkString(" ")
+    s"CASE $caseExpr ELSE 'unknown' END"
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -57,14 +84,7 @@ object Text extends QueryModule {
           .select($"doc_id", TextFunctions.qualityScore($"text").as("quality"))
           .orderBy($"doc_id")
       },
-      Some(s"""SELECT doc_id,
-        round(least(len($wsSql) / 100.0, 1.0) * 0.4
-          + (CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
-              ELSE 0.0 END) * 0.4
-          + (1.0 - CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
-              ELSE 0.0 END) * 0.2, 4) AS quality
+      Some(s"""SELECT doc_id, $qualitySql AS quality
         FROM documents ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- q32
@@ -75,22 +95,9 @@ object Text extends QueryModule {
           .select($"doc_id", $"lang", TextFunctions.langId($"text").as("lang_pred"))
           .orderBy($"doc_id")
       },
-      Some {
-        val scoreSql = TextFunctions.langMarkers.map { case (lang, ws) =>
-          val sum = ws.map(w =>
-            s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
-            .mkString(" + ")
-          s"($sum) AS s_$lang"
-        }.mkString(", ")
-        val langs = TextFunctions.langMarkers.map(_._1)
-        val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-        val caseExpr = langs.map(l =>
-          s"WHEN s_$l > 0 AND s_$l = $maxExpr THEN '$l'").mkString(" ")
-        s"""SELECT doc_id, lang,
-            CASE $caseExpr ELSE 'unknown' END AS lang_pred
-            FROM (SELECT doc_id, lang, text, $scoreSql FROM documents)
-            ORDER BY doc_id"""
-      }),
+      Some(s"""SELECT doc_id, lang, $langPredSql AS lang_pred
+        FROM (SELECT doc_id, lang, text, $langScoreSql FROM documents)
+        ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- q33
     QueryDef("q33_fingerprint",
@@ -507,6 +514,66 @@ object Text extends QueryModule {
             ORDER BY substr(md5('graft-cap' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
           FROM documents)
         WHERE rn <= 10 ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q68
+    // The curation funnel end-to-end: language gate -> quality gate ->
+    // repetition gate -> exact-dedup survivors -> deterministic split ->
+    // per-(split, lang) doc/token accounting. This is the composition a
+    // real corpus pipeline runs nightly; every stage is an operator this
+    // catalog already verifies in isolation, and the oracle re-derives the
+    // whole funnel from the shared SQL fragments. Gates compare ROUNDED
+    // scores (quality@4, dup_frac@6) so both engines make identical keep
+    // decisions at the thresholds. Plan shape: per-row scoring in one
+    // codegen stage, the repetition profile's two partial-agg shuffles, one
+    // fp-window for survivors, one final partial-agg shuffle — no
+    // collects, no global sorts before the 10-row result.
+    QueryDef("q68_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val profiled = docs.select($"doc_id", $"text",
+          TextFunctions.langId($"text").as("lang_pred"),
+          TextFunctions.qualityScore($"text").as("quality"),
+          TextFunctions.fingerprint($"text").as("fp"))
+        val rep = CorpusStats.repetitionStats(docs, n = 2)
+          .select($"doc_id", $"dup_gram_frac")
+        val gated = profiled.join(rep, "doc_id")
+          .filter($"lang_pred" =!= "unknown" &&
+            $"quality" >= 0.5 && $"dup_gram_frac" <= 0.6)
+        val surv = gated.withColumn("rn",
+            row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+          .filter($"rn" === 1)
+        Sampling.deterministicSplit(surv, valFraction = 0.1)
+          .groupBy($"split", $"lang_pred")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount($"text")).as("n_tokens"))
+          .orderBy($"split", $"lang_pred")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, text, $langScoreSql FROM documents),
+        base AS (SELECT doc_id, text, $langPredSql AS lang_pred,
+          $qualitySql AS quality, $fingerprintSql AS fp FROM scored),
+        pg AS (SELECT doc_id, gram, count(*) AS cnt
+          FROM (SELECT doc_id, unnest($grams2Sql) AS gram FROM documents)
+          GROUP BY 1, 2),
+        rep AS (SELECT doc_id,
+          round(CASE WHEN sum(cnt) > 0
+            THEN 1.0 - count(*) * 1.0 / sum(cnt) ELSE 0.0 END, 6) AS dup_gram_frac
+          FROM pg GROUP BY doc_id),
+        gated AS (SELECT b.doc_id, b.text, b.lang_pred, b.fp
+          FROM base b LEFT JOIN rep r USING (doc_id)
+          WHERE b.lang_pred <> 'unknown' AND b.quality >= 0.5
+            AND COALESCE(r.dup_gram_frac, 0.0) <= 0.6),
+        surv AS (SELECT doc_id, text, lang_pred,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM gated),
+        final AS (SELECT doc_id, text, lang_pred,
+            CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split
+          FROM surv WHERE rn = 1)
+        SELECT split, lang_pred, count(*) AS n_docs,
+          CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+        FROM final GROUP BY 1, 2 ORDER BY split, lang_pred""")),
 
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
