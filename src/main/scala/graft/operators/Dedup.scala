@@ -495,6 +495,51 @@ object Dedup {
         .otherwise(array().cast("array<bigint>")).as("gh"))
   }
 
+  /** Passage-level near-dup pairs: documents sharing at least `minShared`
+    * winnowing fingerprints — the bucket-join, Spark-native analogue of
+    * suffix-array substring dedup over a training corpus (catching VERBATIM
+    * passage reuse that whole-document Jaccard under-scores when the shared
+    * passage is a small fraction of each doc). The winnowing guarantee
+    * makes candidates complete for long matches: any shared normalized
+    * substring of length >= k + w − 1 chars selects at least one common
+    * fingerprint, so every pair sharing a passage that long IS a candidate
+    * at minShared = 1; raising minShared trades the guarantee for
+    * precision (more shared windows ≈ longer or repeated shared passages).
+    *
+    * Scale shape: explode the per-doc DISTINCT fingerprint arrays and
+    * self-join on the fingerprint value — sub-quadratic exactly like the
+    * LSH band buckets, with the same degenerate-bucket guard (a boilerplate
+    * passage shared by millions of docs is THE common pathology here; drops
+    * are logged, recall-only). The exploded frame — one (id, long) row per
+    * fingerprint, ~1/w of the gram count — is persisted so the guard's
+    * stats pass and both self-join sides share one computation, and the
+    * pair aggregate is eagerly checkpointed so the cache releases before
+    * return (the [[minhashCandidates]] lifecycle).
+    *
+    * Returns (id_a, id_b, n_shared_fp) with id_a < id_b. */
+  def sharedFingerprintPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnowingFingerprintTable(docs, textCol, idCol, k, w)
+      .select(col("id"), explode(col("fingerprints")).as("fph"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(fps, Seq("fph"), maxBucket, "sharedFingerprintPairs")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.fph") === col("b.fph") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+      .localCheckpoint(true) // eager: lets fps be unpersisted before return
+    fps.unpersist(blocking = false)
+    pairs
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
     * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)).
     * Per-row column form; corpus scans should use [[simhashTable]]

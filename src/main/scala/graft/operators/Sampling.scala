@@ -92,6 +92,41 @@ object Sampling {
     docs.filter(hashHex(col(idCol), salt) < threshold)
   }
 
+  /** Mixture planning: the per-category keep rates that turn observed
+    * category counts into a target mixture with MAXIMUM retention and no
+    * upsampling. `K = min over c of n_c / share_c` is the largest total
+    * corpus for which every category can still meet its share from the rows
+    * it has; `rate_c = K * share_c / n_c` (= 1 for the binding category, < 1
+    * elsewhere; 0 for categories absent from `shares`). Feed the result
+    * into [[weightedSample]] to execute the plan.
+    *
+    * Returns one row per category: (category, n, share, rate). The
+    * category table is vocabulary-sized, so the global-min cross join is a
+    * broadcast of one row against a tiny aggregate — corpus data is touched
+    * exactly once, by the count. */
+  def mixtureRates(
+      docs: DataFrame,
+      categoryCol: String,
+      shares: Map[String, Double]): DataFrame = {
+    require(shares.values.forall(s => s >= 0.0),
+      s"shares must be non-negative, got $shares")
+    require(shares.values.exists(_ > 0.0), "at least one share must be positive")
+    val shareCol = shares.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (els, (c, s)) => when(col("category") === lit(c), lit(s)).otherwise(els)
+    }
+    val counts = docs.groupBy(col(categoryCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", shareCol)
+    val k = counts.agg(
+      min(when(col("share") > 0, col("n") / col("share"))).as("k_total"))
+    counts.crossJoin(broadcast(k))
+      .withColumn("rate",
+        round(when(col("share") > 0,
+          least(lit(1.0), col("k_total") * col("share") / col("n")))
+          .otherwise(0.0), 6))
+      .select(col("category"), col("n"), col("share"), col("rate"))
+  }
+
   /** Deterministic per-category quota: keep at most `k` rows of each
     * category, chosen by hash order — the "cap the dominant domain" step of
     * corpus curation (a threshold sample can't promise an exact per-domain

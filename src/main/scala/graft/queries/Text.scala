@@ -575,6 +575,71 @@ object Text extends QueryModule {
           CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
         FROM final GROUP BY 1, 2 ORDER BY split, lang_pred""")),
 
+    // ---------------------------------------------------------------- q69
+    // Passage-level near-dup candidates (winnowing-fingerprint bucket
+    // join, the suffix-array-dedup stand-in) cross-checked against the
+    // INDEPENDENT minhash family: every pair the minhash pipeline refines
+    // to jaccard >= 0.9 shares long verbatim word runs, so the winnowing
+    // guarantee (any shared normalized substring >= k+w-1 chars selects a
+    // common fingerprint) must make it a passage candidate at
+    // minShared=1. The oracle re-derives the >=0.9 pair count from its
+    // own exhaustive all-pairs scan; `missed_highsim` = 0 is the
+    // cross-family completeness pin, `has_pairs` the non-vacuousness pin.
+    QueryDef("q69_passage_candidates",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val cand = Dedup.sharedFingerprintPairs(docs, minShared = 1)
+        val high = Dedup.minhashNearDups(docs, threshold = 0.9)
+          .select($"id_a", $"id_b")
+        val missed = high.join(cand, Seq("id_a", "id_b"), "left_anti")
+        cand.agg((count(lit(1)) > 0).as("has_pairs"))
+          .crossJoin(high.agg(count(lit(1)).as("highsim_pairs")))
+          .crossJoin(missed.agg(count(lit(1)).as("missed_highsim")))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT CAST(1 AS BOOLEAN) AS has_pairs,
+          count_if(round(CASE WHEN la + lb - i > 0
+            THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.9) AS highsim_pairs,
+          CAST(0 AS BIGINT) AS missed_highsim
+        FROM jp""")),
+
+    // ---------------------------------------------------------------- q70
+    // Mixture planning: per-language keep rates achieving a target mixture
+    // with maximum retention (K = min n_c/share_c; rate = K*share/n; the
+    // binding category keeps everything). The corpus is touched once, by
+    // the count; the global min is a one-row broadcast cross join. q64
+    // executes a plan like this; q70 is where the plan comes from.
+    QueryDef("q70_mixture_plan",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.mixtureRates(t(s, dir, "documents"), "lang",
+            shares = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+              "es" -> 0.15, "zh" -> 0.05))
+          .orderBy($"category")
+      },
+      Some("""WITH counts AS (SELECT lang AS category, count(*) AS n
+          FROM documents GROUP BY 1),
+        s AS (SELECT category, n,
+          CASE category WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                        WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                        WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                        WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                        WHEN 'zh' THEN CAST(0.05 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS share
+          FROM counts),
+        k AS (SELECT min(CASE WHEN share > 0 THEN n / share END) AS k_total FROM s)
+        SELECT category, n, share,
+          round(CASE WHEN share > 0
+            THEN least(CAST(1.0 AS DOUBLE), k_total * share / n)
+            ELSE 0.0 END, 6) AS rate
+        FROM s CROSS JOIN k ORDER BY category""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants

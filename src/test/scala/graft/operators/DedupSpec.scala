@@ -319,4 +319,43 @@ class DedupSpec extends SparkSpec {
       .collect().toSeq
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
+
+  test("sharedFingerprintPairs: planted verbatim passage found, unrelated docs absent") {
+    val passage = "the quick brown fox jumps over the lazy dog"
+    val planted = Seq(
+      (1L, s"opening words then $passage and a tail"),
+      (2L, s"a completely different preamble yet $passage closes it"),
+      (3L, "nothing in common with anybody else at all zebra xylophone"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    // guarantee: the shared normalized passage (~36 chars) far exceeds
+    // k + w - 1 = 15, so (1,2) MUST share a fingerprint
+    val pairs = Dedup.sharedFingerprintPairs(planted, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"planted passage pair missing: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+    // a ~36-char shared passage spans many winnowing windows -> several
+    // distinct shared fingerprints, so the pair survives minShared = 2
+    assert(pairs((1L, 2L)) >= 2L)
+    val strict = Dedup.sharedFingerprintPairs(planted, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 2L)))
+  }
+
+  test("sharedFingerprintPairs: n_shared_fp counts DISTINCT fingerprints (repeats collapse)") {
+    val rep = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"$rep $rep $rep"), // passage repeated within one doc
+      (2L, rep)
+    ).toDF("doc_id", "text")
+    val once = Dedup.sharedFingerprintPairs(d, minShared = 1).collect()
+    assert(once.length === 1)
+    val nShared = once.head.getLong(2)
+    // repeating the passage in doc 1 must not inflate the shared count
+    // beyond doc 2's own distinct fingerprint count
+    val doc2Fps = Dedup.winnowingFingerprintTable(d.filter($"doc_id" === 2))
+      .select(size($"fingerprints")).head().getInt(0).toLong
+    assert(nShared <= doc2Fps)
+  }
 }

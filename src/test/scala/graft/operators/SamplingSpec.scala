@@ -85,6 +85,34 @@ class SamplingSpec extends SparkSpec {
     assert(none.values.count(_ == "zh") === 1000 && none.values.count(_ == "de") === 1000)
   }
 
+  test("mixtureRates: max-retention plan, binding category keeps all, absent share drops") {
+    val d = ids(1000).withColumn("lang",
+      when($"doc_id" <= 600, "en")
+        .when($"doc_id" <= 900, "de")
+        .when($"doc_id" <= 1000 - 50, "zh").otherwise("xx"))
+    // counts: en 600, de 300, zh 50, xx 50; shares en .5, de .3, zh .2
+    // n/share: en 1200, de 1000, zh 250 -> K = 250
+    // rates: en 250*.5/600 = 0.208333, de 250*.3/300 = 0.25, zh 1.0, xx 0
+    val got = Sampling.mixtureRates(d, "lang",
+        Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(got("en") === ((600L, 0.208333)))
+    assert(got("de") === ((300L, 0.25)))
+    assert(got("zh") === ((50L, 1.0)), "binding category keeps everything")
+    assert(got("xx") === ((50L, 0.0)), "category without a share is dropped")
+    // executing the plan yields the target mixture in expectation:
+    // kept ~ K * share = (125, 75, 50)
+    val rates = got.view.mapValues(_._2).toMap
+    val kept = Sampling.weightedSample(d, "lang", rates).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("zh") === 50L)
+    assert(!kept.contains("xx"))
+    val en = kept("en").toDouble
+    assert(en > 85 && en < 165, s"en kept $en, expected ~125") // ±5 sigma
+  }
+
   test("capPerCategory: exact quota, hash-chosen, reorder-stable") {
     val d = ids(300).withColumn("source",
       when($"doc_id" <= 200, "big").otherwise("small"))
