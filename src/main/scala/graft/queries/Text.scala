@@ -584,11 +584,21 @@ object Text extends QueryModule {
     // common fingerprint) must make it a passage candidate at
     // minShared=1. The oracle re-derives the >=0.9 pair count from its
     // own exhaustive all-pairs scan; `missed_highsim` = 0 is the
-    // cross-family completeness pin, `has_pairs` the non-vacuousness pin.
+    // cross-family completeness pin, `has_pairs` the non-vacuousness pin
+    // (verified non-vacuous at all three SFs).
+    //
+    // The CONTRACT is bounded to doc_id < 500 — the q37/q57 pattern: the
+    // oracle side is an O(n^2) exhaustive scan, and this fixture's ~30-word
+    // vocabulary makes 15-char normalized substrings coincide across a
+    // large fraction of ALL doc pairs, so the passage-candidate set itself
+    // is inherently near-quadratic HERE (measured 28 s at sf0.1 unbounded
+    // vs sub-second bounded; a real corpus's passage-sharing rate is what
+    // bounds the operator at scale, plus the occupancy guard for
+    // boilerplate fingerprints).
     QueryDef("q69_passage_candidates",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
+        val docs = t(s, dir, "documents").filter($"doc_id" < 500)
         val cand = Dedup.sharedFingerprintPairs(docs, minShared = 1)
         val high = Dedup.minhashNearDups(docs, threshold = 0.9)
           .select($"id_a", $"id_b")
@@ -597,7 +607,8 @@ object Text extends QueryModule {
           .crossJoin(high.agg(count(lit(1)).as("highsim_pairs")))
           .crossJoin(missed.agg(count(lit(1)).as("missed_highsim")))
       },
-      Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+      Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+          WHERE doc_id < 500),
         jp AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
