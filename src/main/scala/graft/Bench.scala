@@ -49,6 +49,14 @@ object Bench {
       // is JVM-lifetime cost, not query cost — medians measure the steady
       // state a long-lived session (or any real deployment) runs at.
       evalFully(name)
+      // Drain the previous queries' garbage before timing: localCheckpoint
+      // blocks and shuffle buffers release via the async ContextCleaner
+      // only after their frames are GC'd, so by late catalog positions the
+      // GC-sensitive bucket self-joins were paying earlier queries' heap
+      // debt (measured q47 5.6 s isolated vs 13 s at catalog position 47
+      // of a 70-query run). An explicit collection here makes each query's
+      // reps measure ITS steady state, not its predecessors' garbage.
+      System.gc()
       val raw = (1 to reps).map(_ => evalFully(name))
       // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr, for spotting
       // session-age drift (a growing sequence means accumulated state —
