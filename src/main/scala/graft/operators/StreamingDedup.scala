@@ -161,6 +161,121 @@ object StreamingDedup {
         timeMode, OutputMode.Update())(Encoders.product[Verdict])
   }
 
+  final case class FpDoc(id: String, fph: Long)
+
+  /** One row per (document, fingerprint): `owner` is the fingerprint's
+    * first claimant — the document itself when it claimed the fingerprint,
+    * an earlier document when the fingerprint was already owned (a shared
+    * passage window). */
+  final case class FpHit(id: String, owner: String)
+
+  /** One verdict per document with at least one fingerprint: flagged when
+    * it shares >= minShared fingerprint windows with a single earlier
+    * document. */
+  final case class PassageVerdict(
+      id: String, flagged: Boolean, overlap_with: Option[String], shared_fp: Long)
+
+  /** Claims winnowing fingerprints for their first arriving document; later
+    * arrivals on an owned fingerprint emit a hit against the owner. State
+    * is ONE owner id per occupied fingerprint — strictly smaller than the
+    * LSH [[Processor]]'s owner hash set. */
+  final class FpClaimProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, FpDoc, FpHit] {
+
+    @transient private var owner: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[String]("fpOwner", Encoders.STRING, ttl)
+
+    override def handleInputRows(fph: Long, rows: Iterator[FpDoc],
+        timerValues: TimerValues): Iterator[FpHit] = {
+      var cur = if (owner.exists()) Some(owner.get()) else None
+      // id order within the batch, for determinism under multi-partition input
+      val out = rows.toSeq.sortBy(_.id).map { d =>
+        cur match {
+          case Some(o) => FpHit(d.id, o)
+          case None => cur = Some(d.id); FpHit(d.id, d.id)
+        }
+      }
+      cur.foreach(owner.update)
+      out.iterator
+    }
+  }
+
+  /** Folds one document's fingerprint hits into a verdict: flagged when
+    * some single earlier owner accounts for >= minShared of them (ties on
+    * the count attribute to the smallest owner id). Stateless — a doc's
+    * hits are emitted in one micro-batch; the grouping is only the per-doc
+    * shuffle. */
+  final class PassageCombineProcessor(minShared: Int)
+      extends StatefulProcessor[String, FpHit, PassageVerdict] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+    override def handleInputRows(id: String, rows: Iterator[FpHit],
+        timerValues: TimerValues): Iterator[PassageVerdict] = {
+      val byOwner = new scala.collection.mutable.HashMap[String, Long]()
+      rows.foreach { h =>
+        if (h.owner != id) byOwner.update(h.owner, byOwner.getOrElse(h.owner, 0L) + 1L)
+      }
+      val best = byOwner.toSeq.sortBy { case (o, n) => (-n, o) }.headOption
+      Iterator.single(best match {
+        case Some((o, n)) if n >= minShared => PassageVerdict(id, flagged = true, Some(o), n)
+        case Some((_, n)) => PassageVerdict(id, flagged = false, None, n)
+        case None => PassageVerdict(id, flagged = false, None, 0L)
+      })
+    }
+  }
+
+  /** Streaming passage-level near-dup filter — the ingestion-time analogue
+    * of [[Dedup.sharedFingerprintPairs]]: each arriving document's
+    * winnowing fingerprints (the SAME per-row expression chain as the batch
+    * table — native CharGramHashes + SlidingMin kernels, distinct) claim
+    * keyed state per fingerprint value; a document sharing >= `minShared`
+    * fingerprints with a single earlier document is flagged. The winnowing
+    * guarantee carries over: a verbatim shared passage of >= k + w - 1
+    * normalized chars ALWAYS produces at least one shared fingerprint, so
+    * at minShared = 1 no long passage reuse escapes the filter (modulo
+    * owner attribution, below).
+    *
+    * Attribution semantics: a fingerprint belongs to its FIRST claimant —
+    * exactly like the LSH bucket claim — so when three docs share a
+    * passage, the third's hits all point at the first (count still >=
+    * minShared); a hit count against a SPECIFIC owner can undercount the
+    * batch pair's `n_shared_fp` only when a third doc claimed some of the
+    * shared windows first. Flag recall is what matters at ingestion; the
+    * batch operator is the forensic tool.
+    *
+    * Cost shape: one state entry (a single owner id) per distinct
+    * fingerprint in the horizon, `~2/(w+1)` of the corpus gram count —
+    * pass `ttl` to bound it. Per-doc shuffle fan-out is the fingerprint
+    * count (tens of rows/doc), heavier than multi-band LSH's fixed
+    * `bands` rows — inherent to passage indexing, which must key by
+    * content windows, not documents. Docs with no grams (normalized
+    * length < k) emit no verdict: they have nothing to match. */
+  def passageVerdicts(
+      docs: DataFrame,
+      minShared: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      w: Int = 8,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[PassageVerdict] = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = docs.select(
+      col(idCol).cast("string").as("id"),
+      explode(array_distinct(org.apache.spark.sql.graft.ArrayExpressions.slidingMin(
+        org.apache.spark.sql.graft.ArrayExpressions.charGramHashes(
+          graft.functions.TextFunctions.normalized(col(textCol)), k), w))).as("fph"))
+      .as[FpDoc](Encoders.product[FpDoc])
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    fps.groupByKey(_.fph)(Encoders.scalaLong)
+      .transformWithState(new FpClaimProcessor(ttl),
+        timeMode, OutputMode.Update())(Encoders.product[FpHit])
+      .groupByKey(_.id)(Encoders.STRING)
+      .transformWithState(new PassageCombineProcessor(minShared),
+        TimeMode.None(), OutputMode.Update())(Encoders.product[PassageVerdict])
+  }
+
   /** Multi-band streaming near-dup — the packaged b-instance composition of
     * [[nearDupVerdicts]], with batch-LSH recall instead of single-probe:
     * each document is routed to ALL `bands` band buckets (the per-row

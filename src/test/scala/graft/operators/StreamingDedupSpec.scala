@@ -129,4 +129,54 @@ class StreamingDedupSpec extends SparkSpec {
     val (dup3, of3, _) = verdicts("3")
     assert(!dup3 && of3.isEmpty)
   }
+
+  test("streaming passage filter: cross-batch verbatim passage flagged, count matches batch pairs") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docA = s"first document preamble then $passage and an ending"
+    val docB = s"totally unrelated opening where $passage appears verbatim too"
+    val docC = "columnar engines vectorize expression evaluation across batches"
+
+    graft.streaming.Pipelines.configureStateStore(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-passage").toString
+    val q = StreamingDedup.passageVerdicts(
+        stream.toDF().toDF("doc_id", "text"), minShared = 2)
+      .writeStream.queryName("passage_t").outputMode("update").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData((1L, docA))
+      q.processAllAvailable()
+      // separate batch: fingerprint claims must persist in state
+      stream.addData(Seq((2L, docB), (3L, docC)))
+      q.processAllAvailable()
+      // third doc sharing the passage still attributes to the FIRST claimant
+      stream.addData((4L, docB + " with an extra tail"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.table("passage_t")
+      .collect().map(r => r.getAs[String]("id") ->
+        ((r.getAs[Boolean]("flagged"), Option(r.getAs[String]("overlap_with")),
+          r.getAs[Long]("shared_fp"))))
+      .toMap
+    assert(verdicts("1")._1 === false, "first claimant is clean")
+    val (fb, ob, nb) = verdicts("2")
+    assert(fb && ob === Some("1"), s"doc 2 must flag against doc 1: ${verdicts("2")}")
+    // streamed shared-fingerprint count equals the batch pair operator's
+    // n_shared_fp (no third claimant stole any window here)
+    import spark.implicits._
+    val batch = Dedup.sharedFingerprintPairs(
+        Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"), minShared = 1)
+      .collect()
+    assert(batch.length === 1)
+    assert(nb === batch.head.getAs[Long]("n_shared_fp"),
+      "streamed count must equal the batch pair count")
+    assert(verdicts("3") === ((false, None, 0L)), "unrelated doc gets a clean verdict")
+    val (f4, o4, _) = verdicts("4")
+    assert(f4 && o4 === Some("1"),
+      "later passage copies attribute to the first claimant, cross-batch")
+  }
 }
