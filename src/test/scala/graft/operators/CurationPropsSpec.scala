@@ -1,0 +1,163 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Independent-reimplementation oracle for the curation operators: random
+  * (seeded) corpora are run through the Spark operators and through plain
+  * Scala recomputations of the same definitions; results must match
+  * EXACTLY. This is the in-suite analogue of the DuckDB gate — a second,
+  * dependency-free implementation of each operator's contract, over inputs
+  * the fixtures don't cover (empty docs, single tokens, heavy repetition,
+  * unseen categories). */
+class CurationPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "x1", "y2")
+
+  /** Deterministic random corpus: ~1/8 empty docs, ~1/8 single-token,
+    * lengths 0..24, tokens drawn from a 10-word vocab (dense repetition). */
+  private def corpus(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      val len = rnd.nextInt(8) match {
+        case 0 => 0
+        case 1 => 1
+        case _ => 2 + rnd.nextInt(23)
+      }
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
+  private def toks(text: String): Seq[String] =
+    text.trim.split("\\s+").toSeq // mirrors TextFunctions.tokens (incl. "" -> Seq(""))
+
+  private def grams(text: String, n: Int): Seq[String] =
+    toks(text).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("repetitionStats == local recomputation on random corpora") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val data = corpus(seed, 120)
+      val got = CorpusStats.repetitionStats(data.toDF("doc_id", "text"), n = 2)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"),
+            r.getAs[Long]("top_gram_count"),
+            r.getAs[Double]("dup_gram_frac"), r.getAs[Double]("top_gram_frac"))))
+        .toMap
+      assert(got.size === data.size, "one row per input doc")
+      data.foreach { case (id, text) =>
+        val g = grams(text, 2)
+        val counts = g.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (total, distinct) = (g.size.toLong, counts.size.toLong)
+        val top = if (counts.isEmpty) 0L else counts.values.max
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expect = (total, distinct, top,
+          if (total > 0) r6(1.0 - distinct.toDouble / total) else 0.0,
+          if (total > 0) r6(top.toDouble / total) else 0.0)
+        assert(got(id) === expect, s"doc $id (seed $seed): '$text'")
+      }
+    }
+  }
+
+  test("topNgrams == local top-k with (count desc, gram asc) tie-break") {
+    for (seed <- Seq(7L, 8L)) {
+      val data = corpus(seed, 150)
+      val k = 12
+      val got = CorpusStats.topNgrams(data.toDF("doc_id", "text"), n = 2, k = k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val all = data.flatMap { case (_, t) => grams(t, 2) }
+      val expect = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (g, c) => (g, c) }
+        .sortBy { case (g, c) => (-c, g) }
+        .take(k)
+      assert(got === expect, s"seed $seed")
+    }
+  }
+
+  test("tfidfTopTerms == local recomputation (smoothed idf, rounded)") {
+    for (seed <- Seq(11L, 12L)) {
+      val data = corpus(seed, 60)
+      val k = 3
+      val got = CorpusStats.tfidfTopTerms(data.toDF("doc_id", "text"), k = k)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+          ((r.getAs[Long]("tf"), r.getAs[Double]("tfidf"))))
+        .toMap
+      val tf = data.flatMap { case (id, t) => toks(t).map(id -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nDocs = data.size.toLong
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val scored = tf.map { case ((id, term), f) =>
+        (id, term) -> ((f, r6(f * (math.log((nDocs + 1.0) / (df(term) + 1.0)) + 1.0))))
+      }
+      val expect = scored.groupBy(_._1._1).flatMap { case (_, terms) =>
+        terms.toSeq.sortBy { case ((_, term), (_, s)) => (-s, term) }.take(k)
+      }
+      assert(got === expect, s"seed $seed")
+    }
+  }
+
+  test("Decontamination.overlap == local distinct-gram set intersection") {
+    for (seed <- Seq(21L, 22L)) {
+      val data = corpus(seed, 100)
+      val (ev, tr) = data.partition(_._1 % 11 == 0)
+      val got = Decontamination.overlap(
+          tr.toDF("doc_id", "text"), ev.toDF("doc_id", "text"), n = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared"))
+        .toMap
+      val evalGrams = ev.flatMap { case (_, t) => grams(t, 2) }.toSet
+      val expect = tr.map { case (id, t) =>
+        id -> grams(t, 2).toSet.count(evalGrams.contains).toLong
+      }.filter(_._2 > 0).toMap
+      assert(got === expect, s"seed $seed")
+    }
+  }
+
+  test("weightedSample / capPerCategory / mixtureRates == local md5 + formula recomputation") {
+    val data = corpus(31L, 400).map { case (id, t) =>
+      (id, t, vocab((id % 4).toInt)) // 4 categories, 100 docs each
+    }
+    val df = data.toDF("doc_id", "text", "cat")
+
+    // weightedSample membership: hash(salt, id) < threshold(rate)
+    val rates = Map(vocab(0) -> 0.3, vocab(1) -> 1.0, vocab(2) -> 0.0)
+    val kept = Sampling.weightedSample(df, "cat", rates, defaultRate = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    val expectKept = data.filter { case (id, _, cat) =>
+      val rate = rates.getOrElse(cat, 0.6)
+      val thr = Sampling.rateThresholdHex(rate)
+      md5hex(s"graft-mix$id").substring(0, 8) < thr
+    }.map(_._1).toSet
+    assert(kept === expectKept)
+
+    // capPerCategory: the k smallest (hash, id) per category
+    val capped = Sampling.capPerCategory(df, "cat", k = 7, salt = "graft-cap")
+      .collect().map(_.getLong(0)).toSet
+    val expectCapped = data.groupBy(_._3).values.flatMap { rows =>
+      rows.map { case (id, _, _) => (md5hex(s"graft-cap$id").substring(0, 8), id) }
+        .sorted.take(7).map(_._2)
+    }.toSet
+    assert(capped === expectCapped)
+
+    // mixtureRates: K = min n_c/share_c; rate = K*share/n rounded
+    val shares = Map(vocab(0) -> 0.5, vocab(1) -> 0.25, vocab(3) -> 0.25)
+    val gotRates = Sampling.mixtureRates(df, "cat", shares)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val counts = data.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val kTotal = shares.collect { case (c, s) if s > 0 => counts(c) / s }.min
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    counts.keys.foreach { c =>
+      val expect = shares.get(c).filter(_ > 0)
+        .map(s => r6(math.min(1.0, kTotal * s / counts(c)))).getOrElse(0.0)
+      assert(gotRates(c) === expect, s"category $c")
+    }
+  }
+}
