@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -30,20 +30,36 @@ object Decontamination {
     * Both sides shingle through the native
     * [[org.apache.spark.sql.graft.WordShingles]] kernel; corpus grams are
     * per-document DISTINCT before the join, so `count(*)` after it equals
-    * the distinct-overlap cardinality without a count-distinct expand. */
+    * the distinct-overlap cardinality without a count-distinct expand.
+    *
+    * `hashGrams = true` is the 100 TB form: both sides join on the fused
+    * [[org.apache.spark.sql.graft.WordShingleHashes]] kernel's xxhash64
+    * values instead of gram strings — the corpus scan materializes ZERO
+    * shingle strings (the same trick the MinHash signature scan uses) and
+    * the broadcast table holds 8-byte longs instead of ~n-word strings.
+    * A hash collision can inflate a count (or flag a clean doc) with
+    * probability ~|eval grams| / 2^64 per corpus gram — negligible against
+    * the fuzziness of n-gram contamination itself; parity with the string
+    * form on real corpora is pinned in spec. The string form (`false`)
+    * stays the externally-reproducible surface (q62's oracle). */
   def overlap(
       corpus: DataFrame,
       evalDocs: DataFrame,
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      broadcastEval: Boolean = true): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(TextFunctions.distinctShingles(col(textCol), n)).as("gram"))
-      .distinct()
+      broadcastEval: Boolean = true,
+      hashGrams: Boolean = false): DataFrame = {
+    def gramsOf(df: DataFrame): Column =
+      if (hashGrams)
+        explode(array_distinct(
+          org.apache.spark.sql.graft.ArrayExpressions.wordShingleHashes(col(textCol), n)))
+      else
+        explode(TextFunctions.distinctShingles(col(textCol), n))
+    val evalGrams = evalDocs.select(gramsOf(evalDocs).as("gram")).distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
     corpus
-      .select(col(idCol), explode(TextFunctions.distinctShingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), gramsOf(corpus).as("gram"))
       .join(ev, "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))

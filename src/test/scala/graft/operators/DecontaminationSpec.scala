@@ -45,4 +45,17 @@ class DecontaminationSpec extends SparkSpec {
     val got = Decontamination.overlap(corpus, evalDocs.filter($"doc_id" < 0), n = 3)
     assert(got.count() === 0L)
   }
+
+  test("hashed-gram form matches the string form (fixture corpus + crafted docs)") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(asMap(Decontamination.overlap(corpus, evalDocs, n = 3, hashGrams = true)) ===
+      asMap(Decontamination.overlap(corpus, evalDocs, n = 3)))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ev = docs.filter($"doc_id" % 97 === 0)
+    val tr = docs.filter($"doc_id" % 97 =!= 0)
+    assert(asMap(Decontamination.overlap(tr, ev, hashGrams = true)) ===
+      asMap(Decontamination.overlap(tr, ev)),
+      "hashed and string grams must agree on the real corpus")
+  }
 }
