@@ -93,6 +93,11 @@ object Bench {
       if (streamSec <= 0 || only.isDefined) ""
       else {
         val warmup = math.min(10, streamSec / 3)
+        // same hygiene as the per-query reps: the stream legs run after
+        // ~280 query evaluations and would otherwise measure p99 against
+        // the batch section's undrained garbage (observed durable p99
+        // 3.1 s vs 1.8 s standalone)
+        System.gc()
         val mem = graft.streaming.StreamBench.run(spark, streamSec, rps = 2,
           durable = false, warmupSec = warmup)
         val dur = graft.streaming.StreamBench.run(spark, streamSec, rps = 2,
