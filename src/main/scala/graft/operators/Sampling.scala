@@ -127,6 +127,33 @@ object Sampling {
       .select(col("category"), col("n"), col("share"), col("rate"))
   }
 
+  /** End-to-end mixture resampling IN ONE PLAN: [[mixtureRates]]' tiny
+    * per-category rate table broadcasts back onto the corpus, each row's
+    * keep threshold derived from its category's rate with the same
+    * fixed-width-hex comparison as [[weightedSample]] — no driver collect
+    * anywhere (the plan's only aggregate is the category count table,
+    * vocabulary-sized). Rates at or above 1.0 take the keep-all sentinel
+    * BEFORE hex formatting (floor(1.0 · 2³²) is 9 hex digits and would
+    * otherwise truncate); categories absent from `shares` carry rate 0 and
+    * drop. The corpus is scanned twice (count, then filter) — at 100 TB
+    * that's still strictly cheaper than materializing any intermediate,
+    * and the second scan's filter is a per-row broadcast-hash probe. */
+  def resampleToMixture(
+      docs: DataFrame,
+      categoryCol: String,
+      shares: Map[String, Double],
+      idCol: String = "doc_id",
+      salt: String = "graft-mix"): DataFrame = {
+    val rates = mixtureRates(docs, categoryCol, shares)
+      .select(col("category"),
+        when(col("rate") >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
+            .cast("long"))), 8, "0")).as("keep_thr"))
+    docs.join(broadcast(rates), docs(categoryCol) === rates("category"))
+      .filter(hashHex(col(idCol), salt) < col("keep_thr"))
+      .drop("category", "keep_thr")
+  }
+
   /** Deterministic per-category quota: keep at most `k` rows of each
     * category, chosen by hash order — the "cap the dominant domain" step of
     * corpus curation (a threshold sample can't promise an exact per-domain

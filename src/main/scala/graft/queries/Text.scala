@@ -651,6 +651,49 @@ object Text extends QueryModule {
             ELSE 0.0 END, 6) AS rate
         FROM s CROSS JOIN k ORDER BY category""")),
 
+    // ---------------------------------------------------------------- q71
+    // Mixture resampling end-to-end IN ONE PLAN: the q70 rate table
+    // broadcasts back onto the corpus and each row's keep decision derives
+    // from its category's rate — plan -> threshold -> filter with no
+    // driver collect (the only aggregate is the vocabulary-sized category
+    // count). The oracle computes the identical rates, hex thresholds, and
+    // md5 decisions in SQL. Rates are compared AFTER their round(,6), so
+    // both engines floor the same double into the same 8-hex threshold.
+    QueryDef("q71_planned_mix",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.resampleToMixture(t(s, dir, "documents"), "lang",
+            shares = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+              "es" -> 0.15, "zh" -> 0.05))
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH counts AS (SELECT lang AS category, count(*) AS n
+          FROM documents GROUP BY 1),
+        s AS (SELECT category, n,
+          CASE category WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                        WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                        WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                        WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                        WHEN 'zh' THEN CAST(0.05 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS share
+          FROM counts),
+        k AS (SELECT min(CASE WHEN share > 0 THEN n / share END) AS k_total FROM s),
+        rates AS (SELECT category,
+          round(CASE WHEN share > 0
+            THEN least(CAST(1.0 AS DOUBLE), k_total * share / n)
+            ELSE 0.0 END, 6) AS rate
+          FROM s CROSS JOIN k),
+        thr AS (SELECT category,
+          CASE WHEN rate >= 1.0 THEN 'g'
+               ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+          END AS keep_thr
+          FROM rates)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr t ON d.lang = t.category
+        WHERE substr(md5('graft-mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.keep_thr
+        ORDER BY d.doc_id""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants

@@ -113,6 +113,26 @@ class SamplingSpec extends SparkSpec {
     assert(en > 85 && en < 165, s"en kept $en, expected ~125") // ±5 sigma
   }
 
+  test("resampleToMixture == mixtureRates + weightedSample, fully in-plan") {
+    val d = ids(1000).withColumn("lang",
+      when($"doc_id" <= 600, "en")
+        .when($"doc_id" <= 900, "de")
+        .when($"doc_id" <= 950, "zh").otherwise("xx"))
+    val shares = Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2)
+    val inPlan = Sampling.resampleToMixture(d, "lang", shares)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference composition: collect the tiny rate table, then weightedSample
+    val rates = Sampling.mixtureRates(d, "lang", shares)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val composed = Sampling.weightedSample(d, "lang", rates, defaultRate = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inPlan === composed, "one-plan form must equal the collected composition")
+    // binding category (zh: n/share = 250, the min) keeps everything
+    assert(inPlan.values.count(_ == "zh") === 50)
+    // absent category drops entirely
+    assert(!inPlan.values.exists(_ == "xx"))
+  }
+
   test("capPerCategory: exact quota, hash-chosen, reorder-stable") {
     val d = ids(300).withColumn("source",
       when($"doc_id" <= 200, "big").otherwise("small"))
