@@ -694,6 +694,116 @@ object Text extends QueryModule {
         WHERE substr(md5('graft-mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.keep_thr
         ORDER BY d.doc_id""")),
 
+    // ---------------------------------------------------------------- q72
+    // THE complete corpus build, one declarative plan: hold out an eval
+    // slice and decontaminate against it -> language/quality gates ->
+    // near-dup CLUSTER survivors (connected components, not just exact
+    // dedup) -> mixture resampling to target language shares (rates derived
+    // in-plan from survivor counts) -> deterministic split -> per-(split,
+    // lang) accounting. Every stage is an operator this catalog verifies in
+    // isolation (q62, q31/q32, q46+q58, q70+q71, q60); the oracle
+    // re-derives the entire pipeline — including the recursive-CTE
+    // transitive closure and the rate->hex-threshold arithmetic — from the
+    // shared SQL fragments. No driver collect anywhere; the only
+    // non-sub-quadratic work (exhaustive pairs, recursive closure) exists
+    // oracle-side.
+    QueryDef("q72_full_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val train = docs.filter($"doc_id" % 97 =!= 0)
+        val tainted = Decontamination.overlap(
+            train, docs.filter($"doc_id" % 97 === 0)).select($"doc_id")
+        val clean = train.join(tainted, Seq("doc_id"), "left_anti")
+        // Stage materialization — the production shape for a multi-stage
+        // funnel: `gated` (decontamination + gates) feeds the near-dup
+        // pipeline, the cluster join, the mixture counts, AND the final
+        // accounting; left lazy it re-runs per consumer (measured 8.0 s at
+        // sf0.1 vs 5.4 s materialized). Persist it across the eager
+        // survivor-id computation, release it, and re-derive text for the
+        // cheap tail stages from a fresh pushdown parquet scan keyed by the
+        // TINY survivor-id frame (one (id, lang) row per survivor) — the
+        // minhashCandidates persist/checkpoint lifecycle, applied at the
+        // pipeline level.
+        val gated = clean.select($"doc_id", $"text",
+            TextFunctions.langId($"text").as("lang_pred"),
+            TextFunctions.qualityScore($"text").as("quality"))
+          .filter($"lang_pred" =!= "unknown" && $"quality" >= 0.4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val clusters = Dedup.nearDupClusters(
+          Dedup.minhashNearDups(gated, threshold = 0.5))
+        val survIds = gated.join(clusters, Seq("doc_id"), "left")
+          .filter(coalesce($"cluster_id", $"doc_id") === $"doc_id")
+          .select($"doc_id", $"lang_pred")
+          .localCheckpoint(true)
+        gated.unpersist(blocking = false)
+        val surv = docs.select($"doc_id", $"text").join(survIds, "doc_id")
+        val mixed = Sampling.resampleToMixture(surv, "lang_pred",
+          shares = Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.15))
+        Sampling.deterministicSplit(mixed, valFraction = 0.1)
+          .groupBy($"split", $"lang_pred")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount($"text")).as("n_tokens"))
+          .orderBy($"split", $"lang_pred")
+      },
+      Some(s"""WITH RECURSIVE
+        sh3 AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+        ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh3 WHERE doc_id % 97 = 0),
+        tainted AS (SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, unnest(s) AS gram FROM sh3 WHERE doc_id % 97 <> 0) t
+          JOIN ev USING (gram)),
+        clean AS (SELECT d.doc_id, d.text FROM documents d
+          WHERE d.doc_id % 97 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM tainted)),
+        scored AS (SELECT doc_id, text, $langScoreSql FROM clean),
+        gated AS (SELECT doc_id, text, $langPredSql AS lang_pred FROM scored
+          WHERE $langPredSql <> 'unknown' AND $qualitySql >= 0.4),
+        gsh AS (SELECT g.doc_id, s.s FROM gated g JOIN sh3 s USING (doc_id)),
+        jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.s, x -> list_contains(b.s, x))) AS i,
+            len(a.s) AS la, len(b.s) AS lb
+          FROM gsh a JOIN gsh b ON a.doc_id < b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM jp
+          WHERE round(CASE WHEN la + lb - i > 0
+            THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (SELECT src AS node, dst AS r FROM edges
+          UNION SELECT e.src AS node, t.r FROM edges e JOIN reach t ON e.dst = t.node),
+        mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node),
+        surv AS (SELECT g.doc_id, g.text, g.lang_pred
+          FROM gated g LEFT JOIN mins m ON g.doc_id = m.node
+          WHERE COALESCE(LEAST(g.doc_id, m.mn), g.doc_id) = g.doc_id),
+        counts AS (SELECT lang_pred AS category, count(*) AS n FROM surv GROUP BY 1),
+        sr AS (SELECT category, n,
+          CASE category WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+                        WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                        WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                        WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS share
+          FROM counts),
+        kk AS (SELECT min(CASE WHEN share > 0 THEN n / share END) AS k_total FROM sr),
+        thr AS (SELECT category,
+          CASE WHEN rate >= 1.0 THEN 'g'
+               ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+          END AS keep_thr
+          FROM (SELECT category,
+            round(CASE WHEN share > 0
+              THEN least(CAST(1.0 AS DOUBLE), k_total * share / n)
+              ELSE 0.0 END, 6) AS rate
+            FROM sr CROSS JOIN kk)),
+        mixed AS (SELECT s.doc_id, s.text, s.lang_pred
+          FROM surv s JOIN thr t ON s.lang_pred = t.category
+          WHERE substr(md5('graft-mix' || CAST(s.doc_id AS VARCHAR)), 1, 8) < t.keep_thr),
+        final AS (SELECT doc_id, text, lang_pred,
+            CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split
+          FROM mixed)
+        SELECT split, lang_pred, count(*) AS n_docs,
+          CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+        FROM final GROUP BY 1, 2 ORDER BY split, lang_pred""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants
