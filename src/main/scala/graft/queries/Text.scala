@@ -804,6 +804,41 @@ object Text extends QueryModule {
           CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
         FROM final GROUP BY 1, 2 ORDER BY split, lang_pred""")),
 
+    // ---------------------------------------------------------------- q73
+    // Per-source corpus report card: the health metrics a curation run
+    // ships alongside its output — doc/token volume, mean quality,
+    // exact-duplicate surplus, predicted-language diversity. One shuffle
+    // (groupBy source, everything partially aggregated; the two
+    // count-distincts expand but stay keyed by source). mean_quality sums
+    // the rounded-4 scores in DECIMAL — exact and order-independent in
+    // both engines — with ONE decimal→double conversion at the edge (the
+    // catalog's stated float-determinism rule); a double sum would drift
+    // by summation order.
+    QueryDef("q73_corpus_report",
+      (s, dir) => {
+        import s.implicits._
+        val quality = TextFunctions.qualityScore($"text")
+        t(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount($"text")).as("n_tokens"),
+            round(sum(quality.cast("decimal(10,4)")).cast("double") /
+              count(lit(1)), 4).as("mean_quality"),
+            countDistinct(TextFunctions.fingerprint($"text")).as("n_distinct_fp"),
+            countDistinct(TextFunctions.langId($"text")).as("n_langs"))
+          .withColumn("dup_docs", $"n_docs" - $"n_distinct_fp")
+          .orderBy($"source")
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+          CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens,
+          round(CAST(sum(CAST($qualitySql AS DECIMAL(10,4))) AS DOUBLE)
+            / count(*), 4) AS mean_quality,
+          count(DISTINCT $fingerprintSql) AS n_distinct_fp,
+          count(DISTINCT $langPredSql) AS n_langs,
+          count(*) - count(DISTINCT $fingerprintSql) AS dup_docs
+        FROM (SELECT source, text, $langScoreSql FROM documents)
+        GROUP BY source ORDER BY source""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants
