@@ -125,6 +125,52 @@ object Vectors extends QueryModule {
       },
       Some(annContractOracle)),
 
+    // ---------------------------------------------------------------- q74
+    // Per-row symmetric int8 quantization profile: maxabs -> scale =
+    // 127/maxabs -> per-element round -> reconstruction RMSE. The storage
+    // step of an embedding pipeline (4x smaller vectors), and fully
+    // oracle-able because every reduction is a PER-ROW index-ordered fold
+    // (deterministic in both engines, unlike cross-row float sums). The
+    // scale is computed once in a prior projection so the lambdas capture a
+    // plain column, not a re-evaluated subtree. Both engines round ties
+    // half-away-from-zero.
+    QueryDef("q74_embedding_quantize",
+      (s, dir) => {
+        import s.implicits._
+        val withScale = t(s, dir, "embeddings")
+          .select($"vec_id", transform($"embedding", v => v.cast("double")).as("xd"))
+          .withColumn("maxabs",
+            aggregate($"xd", lit(0.0), (acc, v) => greatest(acc, abs(v))))
+          .withColumn("scale", when($"maxabs" > 0, lit(127.0) / $"maxabs"))
+        withScale.select($"vec_id",
+            size($"xd").as("n_dims"),
+            round($"maxabs", 6).as("maxabs"),
+            round(when($"scale".isNotNull,
+              sqrt(aggregate(
+                zip_with($"xd", transform($"xd", v => round(v * $"scale", 0)),
+                  (a, q) => (a - q / $"scale") * (a - q / $"scale")),
+                lit(0.0), (acc, e) => acc + e) / size($"xd")))
+              .otherwise(0.0), 6).as("rmse_int8"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH b AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+          FROM embeddings),
+        m AS (SELECT vec_id, xd,
+          COALESCE(list_aggregate(list_transform(xd, v -> abs(v)), 'max'), 0.0) AS maxabs
+          FROM b),
+        sc AS (SELECT vec_id, xd, maxabs,
+          CASE WHEN maxabs > 0 THEN CAST(127.0 AS DOUBLE) / maxabs END AS scale
+          FROM m)
+        SELECT vec_id, CAST(len(xd) AS INTEGER) AS n_dims,
+          round(maxabs, 6) AS maxabs,
+          round(CASE WHEN scale IS NOT NULL THEN
+            sqrt(list_aggregate(list_transform(xd,
+              v -> (v - round(v * scale) / scale) * (v - round(v * scale) / scale)),
+              'sum') / len(xd))
+          ELSE 0.0 END, 6) AS rmse_int8
+        FROM sc ORDER BY vec_id""")),
+
     // ---------------------------------------------------------------- q45
     // Embedding-cosine near-duplicate pairs via corpus-scaled LSH buckets.
     // Threshold calibrated to the fixture's cosine distribution (max
