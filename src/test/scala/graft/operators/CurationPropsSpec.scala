@@ -121,6 +121,31 @@ class CurationPropsSpec extends SparkSpec {
     }
   }
 
+  test("sharedFingerprintPairs invariants on random corpora") {
+    for (seed <- Seq(41L, 42L)) {
+      val data = corpus(seed, 80)
+      val df = data.toDF("doc_id", "text")
+      val loose = Dedup.sharedFingerprintPairs(df, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // pairs are strictly ordered and counts honor the filter
+      loose.foreach { case ((a, b), n) =>
+        assert(a < b, s"pair ($a,$b) not ordered")
+        assert(n >= 1L)
+      }
+      // minShared=2 is exactly the >=2 subset of minShared=1 (same counts)
+      val strict = Dedup.sharedFingerprintPairs(df, minShared = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(strict === loose.filter(_._2 >= 2L), s"seed $seed")
+      // a capped run can only lose pairs / shrink counts, never invent them
+      val capped = Dedup.sharedFingerprintPairs(df, minShared = 1, maxBucket = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      capped.foreach { case (pair, n) =>
+        assert(loose.contains(pair), s"capped invented pair $pair (seed $seed)")
+        assert(n <= loose(pair), s"capped inflated count for $pair (seed $seed)")
+      }
+    }
+  }
+
   test("weightedSample / capPerCategory / mixtureRates == local md5 + formula recomputation") {
     val data = corpus(31L, 400).map { case (id, t) =>
       (id, t, vocab((id % 4).toInt)) // 4 categories, 100 docs each
