@@ -64,4 +64,21 @@ object Decontamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The decontaminated corpus: `corpus` minus every document [[overlap]]
+    * flags — the anti-join most callers want (q72's first stage). Same
+    * parameters and plan shape as [[overlap]] plus one left-anti join on
+    * the id (flagged ids are a tiny frame; AQE broadcast-converts it). */
+  def clean(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastEval: Boolean = true,
+      hashGrams: Boolean = false): DataFrame =
+    corpus.join(
+      overlap(corpus, evalDocs, n, idCol, textCol, broadcastEval, hashGrams)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -711,10 +711,9 @@ object Text extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val train = docs.filter($"doc_id" % 97 =!= 0)
-        val tainted = Decontamination.overlap(
-            train, docs.filter($"doc_id" % 97 === 0)).select($"doc_id")
-        val clean = train.join(tainted, Seq("doc_id"), "left_anti")
+        val clean = Decontamination.clean(
+          docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0))
         // Stage materialization — the production shape for a multi-stage
         // funnel: `gated` (decontamination + gates) feeds the near-dup
         // pipeline, the cluster join, the mixture counts, AND the final

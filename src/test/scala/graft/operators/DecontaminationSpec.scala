@@ -46,6 +46,16 @@ class DecontaminationSpec extends SparkSpec {
     assert(got.count() === 0L)
   }
 
+  test("clean = corpus minus flagged docs (complement of overlap)") {
+    val kept = Decontamination.clean(corpus, evalDocs, n = 3)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Decontamination.overlap(corpus, evalDocs, n = 3)
+      .collect().map(_.getLong(0)).toSet
+    val all = corpus.collect().map(_.getLong(0)).toSet
+    assert(kept === all -- flagged)
+    assert(kept === Set(3L, 4L), "docs sharing eval grams are gone; clean and short docs stay")
+  }
+
   test("hashed-gram form matches the string form (fixture corpus + crafted docs)") {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
