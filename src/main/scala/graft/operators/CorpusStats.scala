@@ -77,6 +77,32 @@ object CorpusStats {
       .orderBy(desc("cnt"), asc("gram"))
       .limit(k)
 
+  /** Snapshot diff between two corpus builds: one row per document id in
+    * either version with its status — `added` (new only), `removed` (old
+    * only), `changed` (both, content fingerprint differs), `unchanged`.
+    * The audit step between successive corpus builds: what entered, what
+    * left, what was edited. Content identity is the normalized
+    * [[TextFunctions.fingerprint]], so formatting-only edits don't count
+    * as changes.
+    *
+    * Scale shape: per-row fingerprints then ONE full-outer sort-merge join
+    * on the id — no shuffle carries text (each side projects to (id, fp)
+    * before the join). */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def fps(df: DataFrame, fpName: String) =
+      df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as(fpName))
+    fps(oldDocs, "fp_old").join(fps(newDocs, "fp_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Per-document top-k terms by smoothed tf-idf
     * (`tf · (ln((N+1)/(df+1)) + 1)`) — keyword extraction for corpus triage
     * and index construction. All counts flow from ONE tokenize/explode: tf

@@ -838,6 +838,43 @@ object Text extends QueryModule {
         FROM (SELECT source, text, $langScoreSql FROM documents)
         GROUP BY source ORDER BY source""")),
 
+    // ---------------------------------------------------------------- q75
+    // Corpus snapshot diff: the audit between successive builds — what
+    // entered, what left, what was edited (by normalized content
+    // fingerprint, so formatting-only edits don't count). Two simulated
+    // versions are carved deterministically from the fixture (old = ids
+    // not 0 mod 5; new = ids not 0 mod 7, with ids 0 mod 11 edited); the
+    // diff is per-row fingerprints into ONE full-outer join on the id —
+    // no shuffle carries text. Output: status counts.
+    QueryDef("q75_corpus_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val oldV = docs.filter($"doc_id" % 5 =!= 0).select($"doc_id", $"text")
+        val newV = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id",
+          when($"doc_id" % 11 === 0, concat($"text", lit(" edited")))
+            .otherwise($"text").as("text"))
+        CorpusStats.snapshotDiff(oldV, newV)
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"status")
+      },
+      Some(s"""WITH oldv AS (SELECT doc_id, $fingerprintSql AS fp_old
+          FROM documents WHERE doc_id % 5 <> 0),
+        newv AS (SELECT doc_id,
+          md5(lower(regexp_replace(
+            CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END,
+            '[^a-zA-Z0-9]', '', 'g'))) AS fp_new
+          FROM documents WHERE doc_id % 7 <> 0),
+        d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 WHEN fp_old <> fp_new THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+        SELECT status, count(*) AS n_docs FROM d
+        GROUP BY status ORDER BY status""")),
+
     // ---------------------------------------------------------------- q57
     // Winnowing (rolling-hash) document fingerprints. xxhash64 grams have
     // no DuckDB equivalent, so the oracle checks the winnowing invariants

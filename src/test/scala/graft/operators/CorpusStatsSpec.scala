@@ -72,6 +72,25 @@ class CorpusStatsSpec extends SparkSpec {
       (2L, "cherry"), (2L, "banana"), (3L, "apple")))
   }
 
+  test("snapshotDiff: exact statuses; formatting-only edits are unchanged") {
+    val oldV = Seq(
+      (1L, "stays the same"),
+      (2L, "will be edited"),
+      (3L, "will be removed"),
+      (4L, "Formatting, only!")
+    ).toDF("doc_id", "text")
+    val newV = Seq(
+      (1L, "stays the same"),
+      (2L, "will be edited for real"),
+      (4L, "formatting only"), // same normalized content
+      (5L, "brand new doc")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.snapshotDiff(oldV, newV)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort") {
     val plan = CorpusStats.topNgrams(docs, n = 2, k = 5)
       .queryExecution.executedPlan.toString
