@@ -107,8 +107,27 @@ object Bench {
           s""""stream_rate_rps":2,"stream_sec":$streamSec"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""reps":$repsJson$streamJson$filtered,"sf":"$sfDir"}""")
-    spark.stop()
+    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""reps":$repsJson$streamJson$filtered,"sf":"$sfDir"}"""
+
+    // The round-6 artifact was lost to a shutdown race: the metric line was
+    // printed BEFORE spark.stop(), and the StateStore-maintenance threads the
+    // streaming legs leave behind dumped a stack trace after it, pushing the
+    // JSON out of the driver's ~2000-char stdout tail capture. Quiesce every
+    // streaming query, stop the session, and only then print the metric JSON
+    // as the process's final stdout — plus a sidecar file so the figure
+    // survives any tail truncation at all.
+    try spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    } catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json"))
+      java.nio.file.Files.write(p,
+        metricLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(metricLine)
+    System.out.flush()
   }
 }

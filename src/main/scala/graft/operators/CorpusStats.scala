@@ -122,8 +122,12 @@ object CorpusStats {
       k: Int = 5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // Blank/whitespace-only docs split to a single empty-string token;
+    // without this filter '' becomes a scored "term" and inflates df
+    // corpus-wide, polluting the keyword surface.
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -68,19 +68,39 @@ object Dedup {
     * and bucket counts are computed ([[bucketCapStats]]) and logged at WARN.
     *
     * Cost shape: on healthy data (no bucket over the cap — every fixture and
-    * any exact-deduped corpus) the guard costs exactly the one stats
-    * aggregate and the join plan is UNTOUCHED — the short-circuit matters
-    * because the row_number window would otherwise sit on both self-join
-    * sides, where no exchange boundary exists for Spark to reuse, and
-    * execute twice (measured ~2x the whole uncapped candidate step at
-    * sf0.1). Only a corpus that actually has a degenerate bucket pays for
-    * the window — there it replaces a locally-O(m²) join blowup. */
+    * any exact-deduped corpus) the guard costs one SAMPLED suspicion probe
+    * (~32/cap of the frame; the r6 version ran the exact groupBy-count over
+    * the full banded frame per generator, which alone cost q47 ~2x) and the
+    * join plan is UNTOUCHED — the short-circuit matters because the
+    * row_number window would otherwise sit on both self-join sides, where no
+    * exchange boundary exists for Spark to reuse, and execute twice
+    * (measured ~2x the whole uncapped candidate step at sf0.1). Only a
+    * corpus that actually has a degenerate bucket pays for the exact stats
+    * pass and the window — there it replaces a locally-O(m²) join blowup.
+    *
+    * Probe math: at fraction f = 32/cap a bucket at occupancy m has
+    * Binomial(m, f) sampled members — mean >= 32 for any m >= cap, so
+    * P(probe < 8) < 1e-7 (Chernoff); a healthy bucket (m <= 8, measured 4 on
+    * the fixtures) triggers with p < 1e-11. A missed degenerate bucket costs
+    * performance only — candidates are refined with exact Jaccard
+    * downstream, so the cap never affects precision. The sample is
+    * seed-pinned, so a given input always takes the same path. Caps under 64
+    * keep the r6 behavior (exact stats pass first — the probe would need
+    * most of the frame anyway, and spec-sized caps stay deterministic). */
   private[operators] def capBuckets(
       banded: DataFrame,
       keys: Seq[String],
       cap: Int,
       opName: String): DataFrame = {
     if (cap <= 0) return banded
+    if (cap >= 64) {
+      val f = 32.0 / cap
+      val suspicious = !banded.sample(withReplacement = false, f, seed = 42)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 8)
+        .isEmpty
+      if (!suspicious) return banded
+    }
     val stats = bucketCapStats(banded, keys, cap)
     if (stats.droppedRows == 0) return banded
     log.warn(s"$opName: bucket occupancy cap $cap dropped ${stats.droppedRows} " +

@@ -144,14 +144,17 @@ object Sampling {
       shares: Map[String, Double],
       idCol: String = "doc_id",
       salt: String = "graft-mix"): DataFrame = {
+    // Collision-proof internal names: DataFrame.drop-by-name removes EVERY
+    // column with that name, so a caller whose categoryCol is literally
+    // "category" would otherwise lose their data column from the result.
     val rates = mixtureRates(docs, categoryCol, shares)
-      .select(col("category"),
+      .select(col("category").as("__mix_category"),
         when(col("rate") >= 1.0, lit("g"))
           .otherwise(lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
-            .cast("long"))), 8, "0")).as("keep_thr"))
-    docs.join(broadcast(rates), docs(categoryCol) === rates("category"))
-      .filter(hashHex(col(idCol), salt) < col("keep_thr"))
-      .drop("category", "keep_thr")
+            .cast("long"))), 8, "0")).as("__mix_keep_thr"))
+    docs.join(broadcast(rates), docs(categoryCol) === rates("__mix_category"))
+      .filter(hashHex(col(idCol), salt) < col("__mix_keep_thr"))
+      .drop("__mix_category", "__mix_keep_thr")
   }
 
   /** Deterministic per-category quota: keep at most `k` rows of each

@@ -369,4 +369,105 @@ object Similarity {
     b.unpersist(blocking = false)
     out
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs: a Lloyd-trained coarse
+    * quantizer ([[ivfCentroidsTrained]]) partitions the corpus into cells
+    * and the exact-cosine pair join runs WITHIN each cell only — the
+    * embedding-space analogue of MinHash banding, completing the dedup
+    * ladder exact → n-gram → passage → semantic. Pairs are (a < b) with
+    * `sim` = round(cosine, 6) >= threshold.
+    *
+    * Recall contract (honest, like every bucketed candidate generator
+    * here): a near-dup pair is found iff both members land in the same
+    * cell. IDENTICAL vectors always do — assignment is a deterministic
+    * per-row argmin over the same broadcast centroids — so exact semantic
+    * duplicates have recall 1.0 structurally; a near-pair straddling a
+    * cell boundary is the accepted SemDeDup trade (recall vs the O(n²)
+    * scan the operator exists to avoid). Precision is 1.0: every emitted
+    * pair carries its exact recomputed cosine.
+    *
+    * Scale shape: C cells bound within-cell membership to ~n/C on balanced
+    * corpora, so pair work is ~n²/C instead of n²; the one shuffle keys by
+    * cell; the occupancy guard ([[Dedup.capBuckets]]) bounds the
+    * degenerate cell (m near-identical embeddings) with logged, never
+    * silent, drops. Assignment is the same broadcast-argmin mapPartitions
+    * kernel as [[ivfKnnJoin]] — O(C·d) per row, corpus never moves.
+    *
+    * @param centroids pass a precomputed quantizer to amortize training
+    *                  across calls; otherwise Lloyd-trains one here.
+    * @param maxCell   per-cell membership cap; <= 0 disables (and keeps
+    *                  the plan lazy). */
+  def semanticNearDups(
+      corpus: DataFrame,
+      threshold: Double,
+      nCells: Int = 0,
+      trainIterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroids: Array[Array[Float]] = null,
+      corpusSize: Long = -1,
+      maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cents: Array[Array[Float]] =
+      if (centroids != null) centroids
+      else {
+        val c = if (nCells > 0) nCells
+          else math.min(DefaultMaxCentroids,
+            math.max(2, math.ceil(sizeOf(corpus, corpusSize).toDouble / 64).toInt))
+        ivfCentroidsTrained(corpus, c, trainIterations, idCol, vecCol)
+      }
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val cells0 = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (nearestCells(bc.value, v, 1).head, id, v)
+      }).toDF("cell", "id", "vec")
+      .withColumn("vec_nrm", norm(col("vec")))
+    val guarded = maxCell > 0
+    val cells =
+      if (guarded) cells0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cells0
+    val capped = Dedup.capBuckets(cells, Seq("cell"), maxCell, "semanticNearDups")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    val pairs = l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(dot(col("l.vec"), col("r.vec")) /
+          (col("l.vec_nrm") * col("r.vec_nrm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+    if (!guarded) return pairs
+    val out = pairs.localCheckpoint(true) // eager: lets the cell cache be released
+    cells.unpersist(blocking = false)
+    out
+  }
+
+  /** Semantic deduplication: drop every corpus row whose embedding is a
+    * semantic near-dup ([[semanticNearDups]]) of a lower-id row — SemDeDup
+    * proper: one canonical representative (the min id, via
+    * [[Dedup.nearDupClusters]]' connected components) survives per
+    * semantic cluster, so chains (a~b, b~c, a!~c) still collapse to one
+    * doc. Returns the surviving corpus rows unchanged.
+    *
+    * The drop set (cluster members that are not their cluster's minimum)
+    * is near-dup-sized — orders of magnitude smaller than the corpus — so
+    * the final anti-join broadcasts it; the corpus is scanned once. */
+  def semanticDedup(
+      corpus: DataFrame,
+      threshold: Double,
+      nCells: Int = 0,
+      trainIterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroids: Array[Array[Float]] = null,
+      corpusSize: Long = -1,
+      maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = semanticNearDups(corpus, threshold, nCells, trainIterations,
+      idCol, vecCol, centroids, corpusSize, maxCell)
+    val drops = Dedup.nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__sem_drop_id"))
+    corpus.join(broadcast(drops),
+      corpus(idCol) === col("__sem_drop_id"), "left_anti")
+  }
 }

@@ -337,11 +337,16 @@ object Events extends QueryModule {
       },
       Some {
         val buckets = graft.streaming.Metrics.LatencyBuckets
-        val latSql = "(event_id % 2000) / 100.0"
+        // Both literals CAST-pinned to DOUBLE: under DECIMAL division
+        // semantics (a legal DuckDB reading of `x / 100.0`) the latency is
+        // exact decimal and floor(0.29 * 1000) = 290, while Spark's double
+        // path gives floor(289.999...) = 289 — a VALUE-level divergence the
+        // current DuckDB only avoids by happening to use float division.
+        val latSql = "(event_id % 2000) / CAST(100.0 AS DOUBLE)"
         s"""SELECT
           ${buckets.map(b => s"count(*) FILTER ($latSql <= $b) AS ${bucketCol(b)},").mkString(" ")}
           count(*) AS le_inf,
-          CAST(sum(floor($latSql * 1000.0)) AS BIGINT) AS sum_ms
+          CAST(sum(floor($latSql * CAST(1000.0 AS DOUBLE))) AS BIGINT) AS sum_ms
           FROM events"""
       }))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Decontamination, Dedup, Multimodal, Sampling}
+import graft.operators.{CorpusStats, Decontamination, Dedup, HeuristicFilters, Multimodal, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` fixture (the
   * training-data-pipeline operators from BASELINE.json's north star).
@@ -20,6 +20,36 @@ object Text extends QueryModule {
     s"""CASE WHEN len($wsSql) < 3 THEN CAST([] AS VARCHAR[])
         ELSE list_distinct(list_transform(range(1, len($wsSql) - 1),
           i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2])) END"""
+  // DuckDB fragments mirroring HeuristicFilters.qualityProfile (q77/q78).
+  // Every gate is integer arithmetic on both sides (see HeuristicFilters) —
+  // no float-boundary risk in the keep decisions.
+  private val heurStopListSql =
+    HeuristicFilters.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val heurStatsSql =
+    s"""w AS (SELECT doc_id, lower(text) AS lt, text,
+        list_filter($wsSql, x -> len(x) > 0) AS ws FROM documents),
+      st AS (SELECT doc_id,
+        len(ws) AS n_words,
+        COALESCE(list_aggregate(list_transform(ws, x -> len(x)), 'sum'), 0) AS sum_len,
+        len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        len(list_filter(ws, x -> contains(x, '#') OR contains(x, '…')
+          OR contains(x, '...'))) AS n_sym,
+        len(list_intersect(list_distinct(ws), $heurStopListSql)) AS stop_hits,
+        (NOT contains(lt, 'lorem ipsum')) AND (NOT contains(text, '{'))
+          AND (NOT contains(lt, 'javascript')) AS g_c4
+        FROM w)"""
+  private val heurGateWcSql =
+    s"(n_words >= ${HeuristicFilters.MinWords} AND n_words <= ${HeuristicFilters.MaxWords})"
+  private val heurGateWlSql =
+    s"(sum_len >= ${HeuristicFilters.MinMeanWordLen} * n_words" +
+      s" AND sum_len <= ${HeuristicFilters.MaxMeanWordLen} * n_words)"
+  private val heurGateSymSql = "(10 * n_sym <= n_words)"
+  private val heurGateAlphaSql = "(5 * n_alpha >= 4 * n_words)"
+  private val heurGateStopSql = s"(stop_hits >= ${HeuristicFilters.MinStopHits})"
+  private val heurKeepSql =
+    s"($heurGateWcSql AND $heurGateWlSql AND $heurGateSymSql" +
+      s" AND $heurGateAlphaSql AND $heurGateStopSql AND g_c4)"
+
   // Non-distinct n-gram lists (document order, duplicates kept) for the
   // frequency-based operators (q63/q65).
   private val grams2Sql =
@@ -486,7 +516,8 @@ object Text extends QueryModule {
           .orderBy($"doc_id", $"term")
       },
       Some(s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE len(term) > 0 GROUP BY 1, 2),
         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         n AS (SELECT count(*) AS n_docs FROM documents),
         scored AS (SELECT doc_id, term, tf,
@@ -595,13 +626,23 @@ object Text extends QueryModule {
     // vs sub-second bounded; a real corpus's passage-sharing rate is what
     // bounds the operator at scale, plus the occupancy guard for
     // boilerplate fingerprints).
+    // highsim_pairs is computed by the SAME bounded exhaustive all-pairs
+    // Jaccard on BOTH sides (doc_id < 500 -> <=125k pairs, trivially cheap):
+    // a probabilistic candidate generator (minhash banding, miss prob ~4e-8
+    // per pair at j>=0.9) must never be hash-compared against an exhaustive
+    // oracle — the r6 driver-red row. The winnowing operator under test
+    // contributes only the candidate side of the missed_highsim anti-join.
     QueryDef("q69_passage_candidates",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").filter($"doc_id" < 500)
         val cand = Dedup.sharedFingerprintPairs(docs, minShared = 1)
-        val high = Dedup.minhashNearDups(docs, threshold = 0.9)
-          .select($"id_a", $"id_b")
+        val sh = docs
+          .select($"doc_id", TextFunctions.distinctShingles($"text", 3).as("sh"))
+        val high = sh.as("a").join(sh.as("b"),
+            col("a.doc_id") < col("b.doc_id"))
+          .filter(round(TextFunctions.jaccard(col("a.sh"), col("b.sh")), 6) >= 0.9)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         val missed = high.join(cand, Seq("id_a", "id_b"), "left_anti")
         cand.agg((count(lit(1)) > 0).as("has_pairs"))
           .crossJoin(high.agg(count(lit(1)).as("highsim_pairs")))
@@ -615,8 +656,9 @@ object Text extends QueryModule {
             len(a.sh) AS la, len(b.sh) AS lb
           FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT CAST(1 AS BOOLEAN) AS has_pairs,
-          count_if(round(CASE WHEN la + lb - i > 0
-            THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.9) AS highsim_pairs,
+          CAST(count_if(round(CASE WHEN la + lb - i > 0
+            THEN CAST(i AS DOUBLE) / (la + lb - i)
+            ELSE 0.0 END, 6) >= 0.9) AS BIGINT) AS highsim_pairs,
           CAST(0 AS BIGINT) AS missed_highsim
         FROM jp""")),
 
@@ -972,5 +1014,72 @@ object Text extends QueryModule {
         md5(text) AS content_md5,
         lower(hex(encode(substring(text, 1, 8)))) AS magic_hex,
         md5(substring(text, 1, 256)) AS frame0_md5
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q77
+    // C4/Gopher heuristic quality gates (HeuristicFilters.qualityProfile):
+    // per-doc token stats + every gate as its own boolean + the composite
+    // keep. All keep/drop decisions are INTEGER arithmetic (10·n_sym <=
+    // n_words, not a float ratio compare), so the cross-engine compare has
+    // no boundary risk; the one float column (mean_word_len) is display-only
+    // and rounded. Pure per-row map — zero shuffles before the final sort.
+    QueryDef("q77_heuristic_gates",
+      (s, dir) => {
+        import s.implicits._
+        HeuristicFilters.qualityProfile(t(s, dir, "documents"))
+          .select($"doc_id", $"n_words", $"mean_word_len", $"stop_hits",
+            $"g_word_count", $"g_word_len", $"g_symbol", $"g_alpha",
+            $"g_stop", $"g_c4", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $heurStatsSql
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          round(CASE WHEN n_words > 0
+            THEN CAST(sum_len AS DOUBLE) / n_words END, 6) AS mean_word_len,
+          CAST(stop_hits AS BIGINT) AS stop_hits,
+          $heurGateWcSql AS g_word_count,
+          $heurGateWlSql AS g_word_len,
+          $heurGateSymSql AS g_symbol,
+          $heurGateAlphaSql AS g_alpha,
+          $heurGateStopSql AS g_stop,
+          g_c4,
+          $heurKeepSql AS keep
+        FROM st ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q78
+    // The curation funnel with the heuristic filter pack wired in as the
+    // first gate (the standard pre-dedup stage q68 approximated with
+    // quality+repetition scores): heuristic gates -> exact-dup survivors ->
+    // deterministic split -> per-(split, source) accounting. Plan shape:
+    // one per-row scoring projection, one fp-window, one final partial-agg
+    // shuffle.
+    QueryDef("q78_funnel_heuristic",
+      (s, dir) => {
+        import s.implicits._
+        val kept = HeuristicFilters.qualityFilter(t(s, dir, "documents"))
+        val surv = kept
+          .withColumn("fp", TextFunctions.fingerprint($"text"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+          .filter($"rn" === 1)
+        Sampling.deterministicSplit(surv, valFraction = 0.1)
+          .groupBy($"split", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount($"text")).as("n_tokens"))
+          .orderBy($"split", $"source")
+      },
+      Some(s"""WITH $heurStatsSql,
+        surv AS (SELECT d.doc_id, d.text, d.source,
+            row_number() OVER (PARTITION BY $fingerprintSql
+              ORDER BY d.doc_id) AS rn
+          FROM documents d JOIN st USING (doc_id)
+          WHERE $heurKeepSql),
+        final AS (SELECT doc_id, text, source,
+            CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '${Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split
+          FROM surv WHERE rn = 1)
+        SELECT split, source, count(*) AS n_docs,
+          CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+        FROM final GROUP BY 1, 2 ORDER BY split, source""")))
 }

@@ -200,7 +200,69 @@ object Vectors extends QueryModule {
             count_if(abs($"sim" - $"exact_sim") > 1e-9)).as("violations"),
           (count(lit(1)) > 0L).as("found_pairs"))
       },
-      Some("SELECT CAST(0 AS BIGINT) AS violations, true AS found_pairs")))
+      Some("SELECT CAST(0 AS BIGINT) AS violations, true AS found_pairs")),
+
+    // ---------------------------------------------------------------- q76
+    // Semantic dedup (SemDeDup-style): Lloyd-trained IVF cells + within-cell
+    // exact cosine — the embedding-space member of the dedup ladder
+    // (exact → n-gram → passage → semantic).
+    //
+    // Bounded-exhaustive contract, the fixed-q69 form: `exhaustive_pairs`
+    // (the compared, data-dependent quantity) is the SAME bounded all-pairs
+    // round-6 cosine count on BOTH sides — the cell-bucketed operator is
+    // never hash-compared against an exhaustive oracle. The operator under
+    // test contributes the two guarantee-backed pins: `subset_violations`
+    // = 0 (every operator pair re-derives from the exhaustive set — exact
+    // within-cell cosine makes precision 1.0 structural) and
+    // `missed_planted` = 0 (25 planted IDENTICAL copies, vec_id+100000;
+    // identical vectors take the same deterministic argmin cell, so
+    // exact-duplicate recall is 1.0 by construction, not by fixture luck).
+    // Boundary-straddling NEAR-pairs are the accepted SemDeDup recall trade
+    // and deliberately NOT pinned; recall on a clustered fixture is
+    // SimilaritySpec's job.
+    QueryDef("q76_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val thr = 0.35
+        val base = t(s, dir, "embeddings").filter($"vec_id" < 300)
+          .select($"vec_id", $"embedding")
+        val planted = base.filter($"vec_id" < 25)
+          .select(($"vec_id" + lit(100000L)).as("vec_id"), $"embedding")
+        val u = base.union(planted)
+        val nd = Similarity.semanticNearDups(u, threshold = thr, nCells = 8,
+          trainIterations = 2, corpusSize = 325, maxCell = 0)
+          .select($"id_a", $"id_b")
+        val v = u.select($"vec_id".cast("long").as("id"),
+            $"embedding".cast("array<float>").as("vec"))
+          .withColumn("vec_nrm", VectorFunctions.norm($"vec"))
+        val ex = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            round(VectorFunctions.dot(col("a.vec"), col("b.vec")) /
+              (col("a.vec_nrm") * col("b.vec_nrm")), 6).as("ex_sim"))
+          .filter($"ex_sim" >= thr)
+          .select($"id_a", $"id_b")
+        val plantedPairs = base.filter($"vec_id" < 25)
+          .select($"vec_id".cast("long").as("id_a"),
+            ($"vec_id" + lit(100000L)).cast("long").as("id_b"))
+        ex.agg(count(lit(1)).as("exhaustive_pairs"))
+          .crossJoin(nd.join(ex, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("subset_violations")))
+          .crossJoin(plantedPairs.join(nd, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("missed_planted")))
+          .crossJoin(nd.agg((count(lit(1)) > 0L).as("found_pairs")))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < 300),
+        u AS (SELECT vec_id, embedding FROM base
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM base WHERE vec_id < 25),
+        jp AS (SELECT ${cosineSql("a.embedding", "b.embedding")} AS sim
+          FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        SELECT CAST(count_if(sim >= CAST(0.35 AS DOUBLE)) AS BIGINT) AS exhaustive_pairs,
+          CAST(0 AS BIGINT) AS subset_violations,
+          CAST(0 AS BIGINT) AS missed_planted,
+          CAST(1 AS BOOLEAN) AS found_pairs
+        FROM jp""")))
 
   /** Shared ANN output contract: recomputed-exact similarity, no self
     * matches, dense correct ranks. One row, violation count 0. */

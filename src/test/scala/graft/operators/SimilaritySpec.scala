@@ -183,4 +183,69 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(nd.forall(_.getAs[Double]("sim") >= thr))
   }
+
+  // Shared clustered fixture for the SemDeDup tests: 8 tight, well-separated
+  // clusters (noise sigma 0.1 against center norm ~20, so within-cluster
+  // cosine ~0.9996, cross-cluster ~0).
+  private lazy val semCorpus = {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val clusters = 8
+    val perCluster = 40
+    val centers = Array.fill(clusters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val points = for {
+      c <- 0 until clusters; i <- 0 until perCluster
+    } yield ((c.toLong * perCluster + i),
+      centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq)
+    points.toDF("vec_id", "embedding").cache()
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("semanticNearDups: precision 1.0 vs exhaustive truth, high within-cluster recall") {
+    val thr = 0.99
+    val v = semCorpus.select($"vec_id".cast("long").as("id"),
+        $"embedding".cast("array<float>").as("vec"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm($"vec"))
+    val ex = pairSet(v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.functions.VectorFunctions.dot(col("a.vec"), col("b.vec")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .filter($"sim" >= thr))
+    val nd = pairSet(Similarity.semanticNearDups(semCorpus, threshold = thr,
+      nCells = 8, trainIterations = 2))
+    assert(ex.nonEmpty, "fixture must actually contain semantic near-dups")
+    assert(nd.subsetOf(ex), "precision must be 1.0 — every pair is exact-cosine verified")
+    val recall = (nd & ex).size.toDouble / ex.size
+    info(s"semantic recall vs exhaustive: $recall (${nd.size}/${ex.size})")
+    // a Lloyd cell split across one cluster costs ~half that cluster's
+    // pairs; 0.6 tolerates one split without passing a broken operator
+    assert(recall >= 0.6, s"within-cluster recall $recall too low")
+  }
+
+  test("semanticNearDups: identical vectors are ALWAYS found (same argmin cell)") {
+    val withCopies = semCorpus.union(
+      semCorpus.filter($"vec_id" < 10)
+        .select(($"vec_id" + lit(1000L)).as("vec_id"), $"embedding"))
+    // 0.99999: above within-cluster cosine (~0.9996), so only the planted
+    // identical copies (cos 1.0) qualify
+    val nd = pairSet(Similarity.semanticNearDups(withCopies, threshold = 0.99999,
+      nCells = 8, trainIterations = 2))
+    val planted = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(nd),
+      s"identical-copy recall must be 1.0, missing ${planted -- nd}")
+  }
+
+  test("semanticDedup: one canonical representative survives per semantic cluster") {
+    val withCopies = semCorpus.union(
+      semCorpus.filter($"vec_id" < 10)
+        .select(($"vec_id" + lit(1000L)).as("vec_id"), $"embedding"))
+    val dd = Similarity.semanticDedup(withCopies, threshold = 0.99999, nCells = 8)
+    val ids = dd.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dd.count() === semCorpus.count(), "exactly the planted copies drop")
+    assert((0L until 10L).forall(ids.contains), "the min id of each pair survives")
+    assert((1000L until 1010L).forall(id => !ids.contains(id)), "copies drop")
+    assert(dd.columns.toSeq === withCopies.columns.toSeq, "corpus schema unchanged")
+  }
 }
