@@ -88,6 +88,40 @@ object Bench {
     // (warm-up excluded). SPARK_GRAFT_STREAM_BENCH_SEC=0 skips (local
     // batch-query iteration); the default keeps the official artifact
     // self-contained.
+    // ANN quality telemetry: recall@k of every approximate index vs the
+    // brute-force truth at this SF, so index quality is tracked
+    // round-over-round like latency (a fast ANN with collapsed recall is a
+    // regression the latency table can't see). Small fixed query set; the
+    // exact truth is |Q| x n dot products — trivial beside the suite.
+    val annJson =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_ANN_SKIP").contains("1")) ""
+      else {
+        import graft.operators.Similarity
+        val k = 10
+        val nQ = 50
+        val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+        val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < nQ)
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        try {
+          val exact = pairs(Similarity.knnJoin(emb, queries, k))
+          def recall(s: Set[(Long, Long)]): Double =
+            if (exact.isEmpty) 0.0 else (s & exact).size.toDouble / exact.size
+          val lsh = recall(pairs(Similarity.lshKnnJoin(emb, queries, k)))
+          val n = emb.count()
+          val cells = math.min(Similarity.DefaultMaxCentroids,
+            math.max(2, math.ceil(n.toDouble / 64).toInt))
+          val ivfU = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
+            nProbe = 2, centroids = Similarity.ivfCentroids(emb, cells))))
+          val ivfT = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
+            nProbe = 2,
+            centroids = Similarity.ivfCentroidsTrained(emb, cells, iterations = 2))))
+          f""","ann_recall":{"k":$k,"n_queries":$nQ,"lsh":$lsh%.4f,""" +
+            f""""ivf":$ivfU%.4f,"ivf_trained":$ivfT%.4f}"""
+        } catch { case _: Throwable => "" }
+      }
+
     val streamSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_SEC", "60").toInt
     val streamJson =
       if (streamSec <= 0 || only.isDefined) ""
@@ -108,7 +142,7 @@ object Bench {
       }
 
     val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""reps":$repsJson$streamJson$filtered,"sf":"$sfDir"}"""
+      s""""reps":$repsJson$annJson$streamJson$filtered,"sf":"$sfDir"}"""
 
     // The round-6 artifact was lost to a shutdown race: the metric line was
     // printed BEFORE spark.stop(), and the StateStore-maintenance threads the

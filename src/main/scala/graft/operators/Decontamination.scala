@@ -65,6 +65,50 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-EVAL-document contamination report — the other direction of
+    * [[overlap]]: for each eval document, how much of it leaked into the
+    * corpus. One row per eval doc: its distinct-gram count, how many of
+    * those grams appear anywhere in the corpus (`n_leaked_grams`), how many
+    * distinct corpus documents carry at least one of them
+    * (`n_tainted_docs`), and the leaked fraction. This is the artifact a
+    * benchmark owner reads to decide which eval items are still
+    * trustworthy; [[overlap]]/[[clean]] is what the corpus owner runs.
+    *
+    * Same 100 TB shape as [[overlap]]: the eval gram table (keyed by eval
+    * id this time) broadcasts, the corpus streams through the join without
+    * a corpus-wide shuffle, and the aggregation keys by the tiny eval-id
+    * set — the two count-distincts expand only the MATCHED (gram,
+    * corpus_id) pairs, a contamination-sized frame, not a corpus-sized
+    * one. */
+  def report(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = evalDocs.select(col(idCol).as("eval_id"),
+      explode(TextFunctions.distinctShingles(col(textCol), n)).as("gram"))
+    val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val matched = corpus
+      .select(col(idCol).as("corpus_id"),
+        explode(TextFunctions.distinctShingles(col(textCol), n)).as("gram"))
+      .join(ev, "gram")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_leaked_grams"),
+        countDistinct(col("corpus_id")).as("n_tainted_docs"))
+    evalDocs
+      .select(col(idCol).as("eval_id"),
+        size(TextFunctions.distinctShingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(matched, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_tainted_docs"), lit(0L)).as("n_tainted_docs"),
+        round(when(col("n_grams") > 0,
+            coalesce(col("n_leaked_grams"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0), 6).as("leak_frac"))
+  }
+
   /** The decontaminated corpus: `corpus` minus every document [[overlap]]
     * flags — the anti-join most callers want (q72's first stage). Same
     * parameters and plan shape as [[overlap]] plus one left-anti join on

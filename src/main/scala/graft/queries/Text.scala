@@ -637,8 +637,13 @@ object Text extends QueryModule {
         import s.implicits._
         val docs = t(s, dir, "documents").filter($"doc_id" < 500)
         val cand = Dedup.sharedFingerprintPairs(docs, minShared = 1)
+        // repartition: the bounded corpus reads as ONE parquet split, and a
+        // nested-loop self-join streams that single partition in a single
+        // task — spreading the 500 rows lets the ~125k-pair Jaccard scan use
+        // every core (measured 7.7 s -> sub-second at sf0.01)
         val sh = docs
           .select($"doc_id", TextFunctions.distinctShingles($"text", 3).as("sh"))
+          .repartition(col("doc_id"))
         val high = sh.as("a").join(sh.as("b"),
             col("a.doc_id") < col("b.doc_id"))
           .filter(round(TextFunctions.jaccard(col("a.sh"), col("b.sh")), 6) >= 0.9)
@@ -1081,5 +1086,40 @@ object Text extends QueryModule {
           FROM surv WHERE rn = 1)
         SELECT split, source, count(*) AS n_docs,
           CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
-        FROM final GROUP BY 1, 2 ORDER BY split, source""")))
+        FROM final GROUP BY 1, 2 ORDER BY split, source""")),
+
+    // ---------------------------------------------------------------- q79
+    // Per-eval-document contamination report (the q62 eval split convention:
+    // eval = doc_id % 97 == 0): for each eval doc, its distinct-gram count,
+    // how many of those grams leak into the corpus, how many corpus docs
+    // carry them, and the leaked fraction — the benchmark owner's view of
+    // the same overlap q62 reports corpus-side. The count-distinct expand
+    // touches only MATCHED (gram, corpus_id) pairs, keyed by the tiny
+    // eval-id set.
+    QueryDef("q79_contamination_report",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Decontamination.report(
+            docs.filter($"doc_id" % 97 =!= 0),
+            docs.filter($"doc_id" % 97 === 0))
+          .orderBy($"eval_id")
+      },
+      Some(s"""WITH ev AS (SELECT doc_id AS eval_id, unnest($shinglesSql) AS gram
+          FROM documents WHERE doc_id % 97 = 0),
+        cg AS (SELECT doc_id AS corpus_id, unnest($shinglesSql) AS gram
+          FROM documents WHERE doc_id % 97 <> 0),
+        j AS (SELECT eval_id, cg.gram AS gram, corpus_id FROM cg JOIN ev USING (gram)),
+        a AS (SELECT eval_id, count(DISTINCT gram) AS n_leaked_grams,
+            count(DISTINCT corpus_id) AS n_tainted_docs
+          FROM j GROUP BY 1),
+        tot AS (SELECT doc_id AS eval_id, len($shinglesSql) AS n_grams
+          FROM documents WHERE doc_id % 97 = 0)
+        SELECT eval_id, CAST(n_grams AS BIGINT) AS n_grams,
+          CAST(COALESCE(n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+          CAST(COALESCE(n_tainted_docs, 0) AS BIGINT) AS n_tainted_docs,
+          round(CASE WHEN n_grams > 0
+            THEN CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams
+            ELSE CAST(0.0 AS DOUBLE) END, 6) AS leak_frac
+        FROM tot LEFT JOIN a USING (eval_id) ORDER BY eval_id""")))
 }

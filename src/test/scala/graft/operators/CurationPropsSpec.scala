@@ -90,7 +90,9 @@ class CurationPropsSpec extends SparkSpec {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
           ((r.getAs[Long]("tf"), r.getAs[Double]("tfidf"))))
         .toMap
-      val tf = data.flatMap { case (id, t) => toks(t).map(id -> _) }
+      // mirror the operator's empty-token filter: blank docs contribute no
+      // terms (and '' never inflates df)
+      val tf = data.flatMap { case (id, t) => toks(t).filter(_.nonEmpty).map(id -> _) }
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
       val nDocs = data.size.toLong

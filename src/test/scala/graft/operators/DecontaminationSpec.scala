@@ -56,6 +56,24 @@ class DecontaminationSpec extends SparkSpec {
     assert(kept === Set(3L, 4L), "docs sharing eval grams are gone; clean and short docs stay")
   }
 
+  test("report: per-eval-doc leak accounting (grams, tainted docs, fraction)") {
+    val evals = Seq(
+      (100L, "q w e r"),   // grams {"q w e","w e r"}: both leak (docs 1, 2)
+      (200L, "m n o p")    // grams {"m n o","n o p"}: nothing leaks
+    ).toDF("doc_id", "text")
+    val got = Decontamination.report(corpus, evals)
+      .collect().map(r => r.getAs[Long]("eval_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_leaked_grams"),
+          r.getAs[Long]("n_tainted_docs"), r.getAs[Double]("leak_frac"))))
+      .toMap
+    // eval 100: doc 1 carries both grams, doc 2 carries "w e r" only ->
+    // 2 leaked grams across 2 tainted docs, fraction 1.0
+    assert(got(100L) === ((2L, 2L, 2L, 1.0)))
+    // eval 200: clean eval item — zeros survive the left join
+    assert(got(200L) === ((2L, 0L, 0L, 0.0)))
+    assert(got.size === 2, "one row per eval doc, leaked or not")
+  }
+
   test("hashed-gram form matches the string form (fixture corpus + crafted docs)") {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap

@@ -179,4 +179,119 @@ class StreamingDedupSpec extends SparkSpec {
     assert(f4 && o4 === Some("1"),
       "later passage copies attribute to the first claimant, cross-batch")
   }
+
+  // The TTL paths are the documented state bound at 100 TB (state holds one
+  // owner per occupied bucket/fingerprint WITHIN THE DEDUP HORIZON, not
+  // forever); these two tests execute the eviction they claim: a dup
+  // arriving after the horizon is no longer flagged — recall honestly
+  // traded — and the freed bucket/fingerprints are re-claimable.
+  //
+  // Harness note: each phase is a SEPARATE one-batch run against the same
+  // checkpoint. A long-lived ProcessingTime(0) query in
+  // TimeMode.ProcessingTime spins continuous empty micro-batches while the
+  // test sleeps past the horizon (observed: ~12k stages before the hang was
+  // killed) and processAllAvailable never settles — and even
+  // Trigger.AvailableNow keeps scheduling those idle batches instead of
+  // terminating (observed: 120 s await timeout per phase). Trigger.Once
+  // runs EXACTLY one micro-batch (draining the phase's added rows) and
+  // stops by construction; TTL expiry is evaluated on state READ, so the
+  // next phase's run observes the eviction deterministically.
+
+  /** Drain `stream`'s pending rows through `ds` in one Trigger.Once batch
+    * against `ckpt`, returning this run's update-mode rows. foreachBatch,
+    * not the memory sink: only fault-tolerant sinks may resume from an
+    * existing checkpoint, and resuming is the whole point of the phase
+    * structure. */
+  private def runPhase[T](ds: => org.apache.spark.sql.Dataset[T],
+      ckpt: String): Array[org.apache.spark.sql.Row] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = ds.toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once())
+      .start()
+    try {
+      val terminated = q.awaitTermination(120000)
+      assert(terminated, "one-batch phase run must self-terminate")
+    } finally q.stop()
+    buf.synchronized { buf.toArray }
+  }
+
+  test("TTL: a claimed LSH bucket evicts after the horizon; the bucket re-claims") {
+    val pairBuckets = Seq(base, nearDup).toDF("text")
+    val collidingBand = (0 until 16).find { b =>
+      pairBuckets.select(StreamingDedup.bandBucket($"text", b).as("k"))
+        .collect().map(_.getLong(0)).distinct.length == 1
+    }
+    assert(collidingBand.isDefined)
+
+    graft.streaming.Pipelines.configureStateStore(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-neardup-ttl").toString
+    // 60 s horizon: phases 1-2 run back-to-back well inside it; the sleep
+    // before phase 3 uses a 65 s wall-clock gap — generous margins
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(60))
+    def verdicts(phase: Int): Map[String, (Boolean, Option[String])] =
+      runPhase(StreamingDedup.nearDupVerdicts(
+          stream.toDF().toDF("doc_id", "text"), threshold = 0.5,
+          band = collidingBand.get, ttl = ttl), ckpt)
+        .map(r => r.getAs[String]("id") ->
+          ((r.getAs[Boolean]("near_dup"), Option(r.getAs[String]("dup_of"))))).toMap
+
+    stream.addData((1L, base))
+    val p1 = verdicts(1)
+    stream.addData((2L, nearDup)) // within TTL: the claim is alive
+    val t2 = System.nanoTime()
+    val p2 = verdicts(2)
+    assert((System.nanoTime() - t2) / 1e9 < 55,
+      "phase 2 must complete inside the horizon for p2's assertion to be meaningful")
+    Thread.sleep(65000) // let the claim expire
+    stream.addData((3L, nearDup)) // post-eviction: clean, re-claims
+    val p3 = verdicts(3)
+    stream.addData((4L, base)) // within the NEW claim's TTL: flagged vs 3
+    val p4 = verdicts(4)
+
+    assert(p1("1") === ((false, None)), "first claimant clean")
+    assert(p2("2") === ((true, Some("1"))), "inside the horizon: flagged")
+    assert(p3("3") === ((false, None)),
+      "after the horizon the claim is GONE — dup passes (recall traded, state bounded)")
+    assert(p4("4") === ((true, Some("3"))),
+      "the freed bucket re-claims: later dups flag against the NEW owner")
+  }
+
+  test("TTL: fingerprint claims evict after the horizon; windows re-claim") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docA = s"first document preamble then $passage and an ending"
+    val docB = s"totally unrelated opening where $passage appears verbatim too"
+
+    graft.streaming.Pipelines.configureStateStore(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-passage-ttl").toString
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(60))
+    def verdicts(phase: Int): Map[String, (Boolean, Option[String])] =
+      runPhase(StreamingDedup.passageVerdicts(
+          stream.toDF().toDF("doc_id", "text"), minShared = 2, ttl = ttl), ckpt)
+        .map(r => r.getAs[String]("id") ->
+          ((r.getAs[Boolean]("flagged"), Option(r.getAs[String]("overlap_with"))))).toMap
+
+    stream.addData((1L, docA))
+    val p1 = verdicts(1)
+    Thread.sleep(65000) // doc 1's fingerprint claims expire
+    stream.addData((2L, docB)) // post-eviction: clean, re-claims the windows
+    val p2 = verdicts(2)
+    stream.addData((3L, docB + " with an extra tail")) // within TTL: flags vs 2
+    val p3 = verdicts(3)
+
+    assert(p1("1") === ((false, None)))
+    assert(p2("2") === ((false, None)),
+      "after the horizon the shared passage no longer flags — claims evicted")
+    assert(p3("3")._1 && p3("3")._2 === Some("2"),
+      "evicted windows re-claim: the passage attributes to the NEW owner")
+  }
 }
