@@ -637,17 +637,48 @@ object Text extends QueryModule {
         import s.implicits._
         val docs = t(s, dir, "documents").filter($"doc_id" < 500)
         val cand = Dedup.sharedFingerprintPairs(docs, minShared = 1)
-        // repartition: the bounded corpus reads as ONE parquet split, and a
-        // nested-loop self-join streams that single partition in a single
-        // task — spreading the 500 rows lets the ~125k-pair Jaccard scan use
-        // every core (measured 7.7 s -> sub-second at sf0.01)
+        // Materialize the shingle arrays BEFORE the self-join: the optimizer
+        // inlines a projection into the nested-loop join's filter, so without
+        // a barrier every one of the ~125k pairs would recompute BOTH sides'
+        // shingle-building (measured 6.7 s -> 1.6 s for the pair scan). The
+        // repartition first spreads the bounded corpus's single parquet split
+        // so the pair scan uses every core; the eager localCheckpoint (the
+        // q72 lifecycle) then pins 500 tiny rows, not a corpus-sized frame.
         val sh = docs
           .select($"doc_id", TextFunctions.distinctShingles($"text", 3).as("sh"))
+          .withColumn("ln", size($"sh"))
           .repartition(col("doc_id"))
-        val high = sh.as("a").join(sh.as("b"),
-            col("a.doc_id") < col("b.doc_id"))
-          .filter(round(TextFunctions.jaccard(col("a.sh"), col("b.sh")), 6) >= 0.9)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .localCheckpoint(true)
+        // The set intersect dominates the exhaustive scan — and left in one
+        // plan the optimizer merges the Jaccard filter INTO the nested-loop
+        // join condition AHEAD of the cheap predicates (plan-audited), so the
+        // triple-array_intersect CASE ran on all ~125k combos (~7.5 s). Two
+        // exact cuts fix it: (1) the similarity-join LENGTH FILTER —
+        // round(j,6) >= 0.9 forces |A∩B| >= 0.8999995·|A∪B|, and
+        // min(|A|,|B|) >= |A∩B|, max(|A|,|B|) <= |A∪B|, so any qualifying
+        // pair has min >= 0.8999·max (the AllPairs/PPJoin family bound) —
+        // two int compares prune 125k -> ~15k pairs inside the join; (2) an
+        // eager checkpoint of the pruned pair frame as a barrier so the
+        // intersect evaluates ONCE per surviving pair in a codegen'd
+        // projection, never inside the join condition. The oracle needs no
+        // mirror: neither cut can drop a qualifying pair, so both sides
+        // still compute the identical count. high feeds two consumers (its
+        // own count + the anti-join); checkpointing also means the pair scan
+        // runs once, not twice.
+        val pruned = sh.as("a").join(sh.as("b"),
+            col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.ln"), col("b.ln")).cast("double") >=
+                greatest(col("a.ln"), col("b.ln")).cast("double") * lit(0.8999))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
+            (col("a.ln") + col("b.ln")).cast("double").as("sz"))
+          .localCheckpoint(true)
+        val high = pruned
+          .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+          .filter(round(when($"sz" - $"inter" > 0.0, $"inter" / ($"sz" - $"inter"))
+            .otherwise(0.0), 6) >= 0.9)
+          .select($"id_a", $"id_b")
+          .localCheckpoint(true)
         val missed = high.join(cand, Seq("id_a", "id_b"), "left_anti")
         cand.agg((count(lit(1)) > 0).as("has_pairs"))
           .crossJoin(high.agg(count(lit(1)).as("highsim_pairs")))
