@@ -142,4 +142,87 @@ object CorpusStats {
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
+
+  /** Per-document mean negative log-likelihood under the corpus's own
+    * unigram LM — the CCNet-style statistical quality score (Wenzek et al.
+    * 2020 rank documents by LM perplexity; a unigram model over the corpus
+    * itself is the dependency-free form). Low scores = stereotypical
+    * high-frequency text, high scores = rare-token-heavy outliers; both
+    * tails are what a curation pass reviews.
+    *
+    * Determinism across engines: a plain SUM of doubles is
+    * addition-order-dependent, so each token's ln(p) contribution is
+    * rounded to 6 dp and accumulated as DECIMAL (exact, order-independent);
+    * only the final per-doc mean returns to double. The ln itself may
+    * differ by 1 ulp between libms — the per-term round absorbs it.
+    *
+    * Plan shape: ONE tokenize feeds the (doc, term) counts; term totals
+    * re-aggregate those partials (vocabulary-keyed, never corpus-keyed);
+    * the corpus token total joins in as a broadcast scalar. Empty docs
+    * re-enter via left join with n_tokens = 0, nll = 0. */
+  def unigramNll(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("m"))
+    val ct = tf.groupBy("term").agg(sum(col("m")).as("c"))
+    val tot = ct.agg(sum(col("c")).as("t"))
+    val perDoc = tf.join(ct, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        round(log(col("c").cast("double") / col("t")), 6)
+          .cast("decimal(28,6)") * col("m"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_tokens"), sum(col("contrib")).as("sum_lp"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("sum_lp").cast("double") / col("n_tokens"), 6).as("nll"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
+  /** Categorical drift between two corpus snapshots: per-category counts,
+    * shares, and the add-one-smoothed log-odds ratio
+    * `ln( ((n_new+1)/(t_new+k)) / ((n_old+1)/(t_old+k)) )` (k = distinct
+    * categories across both snapshots) — the monitor a corpus owner reads
+    * when a source's crawl share moves between builds. Smoothing keeps
+    * categories present in only one snapshot finite, so appearing/vanishing
+    * sources surface as large-magnitude rows instead of NULLs.
+    *
+    * No float sums anywhere (counts are integers; each output float is a
+    * single rounded expression), so the compare is engine-exact. Plan: two
+    * category-keyed partial aggregations, one full-outer join on the
+    * vocabulary-sized category set, scalar totals broadcast back. */
+  def categoryDrift(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      categoryCol: String = "source"): DataFrame = {
+    val o = oldDocs.groupBy(col(categoryCol).as("category"))
+      .agg(count(lit(1)).as("n_old"))
+    val n = newDocs.groupBy(col(categoryCol).as("category"))
+      .agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"), count(lit(1)).as("k"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_old"), col("n_new"),
+        round(when(col("t_old") > 0,
+          col("n_old").cast("double") / col("t_old")).otherwise(0.0), 6)
+          .as("share_old"),
+        round(when(col("t_new") > 0,
+          col("n_new").cast("double") / col("t_new")).otherwise(0.0), 6)
+          .as("share_new"),
+        round(log(
+          ((col("n_new") + lit(1)).cast("double") / (col("t_new") + col("k"))) /
+            ((col("n_old") + lit(1)).cast("double") / (col("t_old") + col("k")))), 6)
+          .as("log_odds_drift"))
+  }
 }

@@ -125,4 +125,40 @@ object Decontamination {
       overlap(corpus, evalDocs, n, idCol, textCol, broadcastEval, hashGrams)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** STATELESS per-row contamination verdict — the streaming ingest gate.
+    * The whole eval gram set folds into ONE static row (an array), which a
+    * stream-static cross join replays against every micro-batch; each doc's
+    * verdict is then a per-row `array_intersect` — no keyed state, no
+    * watermark, append-mode, so the same call works identically on a batch
+    * or a `readStream` frame (parity with [[overlap]] is pinned in spec).
+    *
+    * `hashGrams = true` (default here, unlike [[overlap]]: a long-lived
+    * stream should not pin gram STRINGS) keeps the static row at 8
+    * bytes/gram — the eval suites' ~10^6–10^7 grams cost ~10–100 MB, the
+    * same budget the broadcast join form pays. Output: (id, n_shared,
+    * flagged); callers filter `!flagged` to gate, or route flagged docs to
+    * review. */
+  def gate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minShared: Int = 1,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashGrams: Boolean = true): DataFrame = {
+    def gramsOf(c: Column): Column =
+      if (hashGrams)
+        array_distinct(
+          org.apache.spark.sql.graft.ArrayExpressions.wordShingleHashes(c, n))
+      else TextFunctions.distinctShingles(c, n)
+    val evalSet = evalDocs
+      .select(explode(gramsOf(col(textCol))).as("gram")).distinct()
+      .agg(collect_set(col("gram")).as("__eval_grams"))
+    docs.join(broadcast(evalSet))
+      .select(col(idCol),
+        size(array_intersect(gramsOf(col(textCol)), col("__eval_grams")))
+          .cast("long").as("n_shared"))
+      .withColumn("flagged", col("n_shared") >= minShared)
+  }
 }

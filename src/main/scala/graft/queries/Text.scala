@@ -1152,5 +1152,65 @@ object Text extends QueryModule {
           round(CASE WHEN n_grams > 0
             THEN CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams
             ELSE CAST(0.0 AS DOUBLE) END, 6) AS leak_frac
-        FROM tot LEFT JOIN a USING (eval_id) ORDER BY eval_id""")))
+        FROM tot LEFT JOIN a USING (eval_id) ORDER BY eval_id""")),
+
+    // ---------------------------------------------------------------- q80
+    // Per-document mean negative log-likelihood under the corpus's own
+    // unigram LM — the CCNet-style statistical quality score. Sums of
+    // doubles are order-dependent across engines, so each token's ln(p)
+    // contribution is rounded to 6 dp and accumulated as DECIMAL (exact);
+    // only the final per-doc mean returns to double (IEEE division —
+    // engine-identical).
+    QueryDef("q80_unigram_nll",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.unigramNll(t(s, dir, "documents")).orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS m FROM tok
+          WHERE len(term) > 0 GROUP BY 1, 2),
+        ct AS (SELECT term, sum(m) AS c FROM tf GROUP BY 1),
+        tot AS (SELECT sum(c) AS t FROM ct),
+        perdoc AS (SELECT doc_id, sum(m) AS n_tokens,
+            sum(CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(28,6)) * m)
+              AS sum_lp
+          FROM tf JOIN ct USING (term) CROSS JOIN tot GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+          COALESCE(round(-CAST(sum_lp AS DOUBLE) / n_tokens, 6),
+            CAST(0.0 AS DOUBLE)) AS nll
+        FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q81
+    // Per-source drift between two corpus snapshots (the q75 carve: old =
+    // ids not 0 mod 5, new = ids not 0 mod 7): counts, shares, and the
+    // add-one-smoothed log-odds ratio — the monitor a corpus owner reads
+    // when a source's crawl share moves between builds. Integer counts and
+    // single-rounded-expression floats only; no float sums.
+    QueryDef("q81_source_drift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        CorpusStats.categoryDrift(
+            docs.filter($"doc_id" % 5 =!= 0),
+            docs.filter($"doc_id" % 7 =!= 0))
+          .orderBy($"category")
+      },
+      Some("""WITH o AS (SELECT source AS category, count(*) AS n_old
+          FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        nn AS (SELECT source AS category, count(*) AS n_new
+          FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+        j AS (SELECT COALESCE(o.category, nn.category) AS category,
+            COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+          FROM o FULL OUTER JOIN nn ON o.category = nn.category),
+        t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new,
+            count(*) AS k FROM j)
+        SELECT category, CAST(n_old AS BIGINT) AS n_old,
+          CAST(n_new AS BIGINT) AS n_new,
+          round(CASE WHEN t_old > 0 THEN CAST(n_old AS DOUBLE) / t_old
+            ELSE CAST(0.0 AS DOUBLE) END, 6) AS share_old,
+          round(CASE WHEN t_new > 0 THEN CAST(n_new AS DOUBLE) / t_new
+            ELSE CAST(0.0 AS DOUBLE) END, 6) AS share_new,
+          round(ln((CAST(n_new + 1 AS DOUBLE) / (t_new + k)) /
+            (CAST(n_old + 1 AS DOUBLE) / (t_old + k))), 6) AS log_odds_drift
+        FROM j CROSS JOIN t ORDER BY category""")))
 }

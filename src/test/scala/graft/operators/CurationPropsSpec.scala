@@ -187,4 +187,60 @@ class CurationPropsSpec extends SparkSpec {
       assert(gotRates(c) === expect, s"category $c")
     }
   }
+
+  test("unigramNll == local recomputation (decimal-exact contribution sum)") {
+    for (seed <- Seq(51L, 52L)) {
+      val data = corpus(seed, 80)
+      val got = CorpusStats.unigramNll(data.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Double]("nll"))))
+        .toMap
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val tokens = data.map { case (id, t) => id -> toks(t).filter(_.nonEmpty) }
+      val ct = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = ct.values.sum.toDouble
+      val expect = tokens.map { case (id, ts) =>
+        if (ts.isEmpty) id -> ((0L, 0.0))
+        else {
+          // mirror the operator: per-TERM rounded ln(p) as exact decimal,
+          // weighted by the doc's term count, exact sum, final double mean
+          val sum = ts.groupBy(identity).map { case (term, occ) =>
+            BigDecimal(r6(math.log(ct(term) / total))) * occ.size
+          }.sum
+          id -> ((ts.size.toLong, r6(-sum.toDouble / ts.size)))
+        }
+      }.toMap
+      assert(got === expect, s"seed $seed")
+      assert(got.size === data.size, "one row per doc, empties included")
+    }
+  }
+
+  test("categoryDrift == local recomputation (smoothed log-odds)") {
+    val data = corpus(61L, 200)
+    val oldDocs = data.filter(_._1 % 5 != 0).map { case (id, t) => (id, t, vocab((id % 3).toInt)) }
+    // category vocab(3) exists ONLY in the new snapshot: smoothing must keep it finite
+    val newDocs = data.filter(_._1 % 7 != 0).map { case (id, t) => (id, t, vocab(((id % 3) + (if (id % 13 == 0) 3 else 0)).toInt min 3)) }
+    val got = CorpusStats.categoryDrift(
+        oldDocs.toDF("doc_id", "text", "src"), newDocs.toDF("doc_id", "text", "src"), "src")
+      .collect()
+      .map(r => r.getAs[String]("category") ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("share_old"), r.getAs[Double]("share_new"),
+          r.getAs[Double]("log_odds_drift"))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val no = oldDocs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nn = newDocs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cats = (no.keySet ++ nn.keySet)
+    val (tOld, tNew, k) = (no.values.sum, nn.values.sum, cats.size.toLong)
+    cats.foreach { c =>
+      val (o, n) = (no.getOrElse(c, 0L), nn.getOrElse(c, 0L))
+      val expect = (o, n,
+        r6(o.toDouble / tOld), r6(n.toDouble / tNew),
+        r6(math.log(((n + 1).toDouble / (tNew + k)) / ((o + 1).toDouble / (tOld + k)))))
+      assert(got(c) === expect, s"category $c")
+    }
+    assert(got.keySet === cats)
+  }
 }

@@ -86,4 +86,51 @@ class DecontaminationSpec extends SparkSpec {
       asMap(Decontamination.overlap(tr, ev)),
       "hashed and string grams must agree on the real corpus")
   }
+
+  test("gate: per-row verdicts match overlap, both gram forms, empties covered") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Boolean]("flagged")))).toMap
+    for (hashed <- Seq(true, false)) {
+      val got = asMap(Decontamination.gate(corpus, evalDocs, hashGrams = hashed))
+      // one row per doc (unlike overlap's flagged-only frame), same counts
+      assert(got === Map(1L -> ((2L, true)), 2L -> ((1L, true)),
+        3L -> ((0L, false)), 4L -> ((0L, false))), s"hashGrams=$hashed")
+    }
+    // minShared raises the bar
+    val strict = asMap(Decontamination.gate(corpus, evalDocs, minShared = 2))
+    assert(strict(1L)._2 && !strict(2L)._2)
+    // real corpus: gate's count column == overlap's for every flagged doc
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ev = docs.filter($"doc_id" % 97 === 0)
+    val tr = docs.filter($"doc_id" % 97 =!= 0)
+    val fromGate = Decontamination.gate(tr, ev)
+      .filter($"flagged").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val fromOverlap = Decontamination.overlap(tr, ev, hashGrams = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(fromGate === fromOverlap)
+  }
+
+  test("gate is a stateless STREAMING ingest filter (append mode, cross-batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, String)]
+    val q = Decontamination.gate(stream.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData((1L, "q w e r q w e"), (3L, "a b c d"))
+      q.processAllAvailable()
+      stream.addData((2L, "z z w e r"), (4L, "q w"))
+      q.processAllAvailable()
+      val got = spark.table("gate_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shared"), r.getAs[Boolean]("flagged")))).toMap
+      assert(got === Map(1L -> ((2L, true)), 2L -> ((1L, true)),
+        3L -> ((0L, false)), 4L -> ((0L, false))),
+        "streamed verdicts == batch verdicts, across micro-batches, no state")
+    } finally q.stop()
+  }
 }
