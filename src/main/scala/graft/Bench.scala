@@ -109,16 +109,23 @@ object Bench {
           def recall(s: Set[(Long, Long)]): Double =
             if (exact.isEmpty) 0.0 else (s & exact).size.toDouble / exact.size
           val lsh = recall(pairs(Similarity.lshKnnJoin(emb, queries, k)))
+          // the Hamming-1 multi-probe operating point: same index, the
+          // query side also visits 8 one-bit-flip buckets per table
+          val lshMp = recall(pairs(Similarity.lshKnnJoin(emb, queries, k, probes = 8)))
           val n = emb.count()
           val cells = math.min(Similarity.DefaultMaxCentroids,
             math.max(2, math.ceil(n.toDouble / 64).toInt))
           val ivfU = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
             nProbe = 2, centroids = Similarity.ivfCentroids(emb, cells))))
+          val trained = Similarity.ivfCentroidsTrained(emb, cells, iterations = 2)
           val ivfT = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
-            nProbe = 2,
-            centroids = Similarity.ivfCentroidsTrained(emb, cells, iterations = 2))))
+            nProbe = 2, centroids = trained)))
+          // the quality operating point: 8 cells scanned instead of 2
+          val ivfT8 = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
+            nProbe = 8, centroids = trained)))
           f""","ann_recall":{"k":$k,"n_queries":$nQ,"lsh":$lsh%.4f,""" +
-            f""""ivf":$ivfU%.4f,"ivf_trained":$ivfT%.4f}"""
+            f""""lsh_mp8":$lshMp%.4f,"ivf":$ivfU%.4f,""" +
+            f""""ivf_trained":$ivfT%.4f,"ivf_trained_p8":$ivfT8%.4f}"""
         } catch { case _: Throwable => "" }
       }
 

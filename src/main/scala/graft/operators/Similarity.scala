@@ -77,22 +77,51 @@ object Similarity {
   private def dimOf(df: DataFrame, vecCol: String, given: Int): Int =
     if (given > 0) given else vecDim(df, vecCol)
 
-  /** One (table, bucket) row per input vector per hash table. Multi-table
-    * banding: a true neighbor missed by one table's buckets is caught by
-    * another — recall grows with `tables` at linear (not quadratic) cost. */
+  /** One (table, bucket) row per input vector per hash table — plus, when
+    * `probes > 0`, the Hamming-1 PROBE buckets (the table's bucket with one
+    * sign bit flipped, bits 0..probes-1). Multi-table banding: a true
+    * neighbor missed by one table's buckets is caught by another — recall
+    * grows with `tables` at linear (not quadratic) cost. Multi-probing (Lv
+    * et al., VLDB 2007) is the cheaper recall lever: a near neighbor that
+    * lands one sign-flip away — the dominant miss mode, since a near-equal
+    * projection sits close to SOME plane — is reached WITHOUT another full
+    * hash table, and only the (small) probing side fans out.
+    *
+    * The per-table bucket is aliased through its own projection before the
+    * probe fan-out so the nPlanes sign projections are computed once per
+    * (row, table), not once per probe (CollapseProject keeps multiply-
+    * referenced non-cheap aliases in their own stage). */
   private def bucketed(
       df: DataFrame, idAs: String, vecAs: String, vecCol: String, idCol: String,
-      nPlanes: Int, dim: Int, tables: Int): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-      norm(col(vecCol)).as(s"${vecAs}_nrm"), // norm once per vector, not per pair
-      posexplode(
-        array((0 until tables).map(t => lshBucket(col(vecCol), nPlanes, dim, t)): _*))
-        .as(Seq("tbl", "bucket")))
+      nPlanes: Int, dim: Int, tables: Int, probes: Int = 0): DataFrame = {
+    val withBuckets = df.select(
+      Seq(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        norm(col(vecCol)).as(s"${vecAs}_nrm")) ++ // norm once per vector, not per pair
+        (0 until tables).map(t => lshBucket(col(vecCol), nPlanes, dim, t).as(s"__b$t")): _*)
+    val p = math.min(math.max(probes, 0), nPlanes)
+    val probed = (0 until tables).flatMap { t =>
+      (0 to p).map { pi =>
+        val b = if (pi == 0) col(s"__b$t")
+          else col(s"__b$t").bitwiseXOR(lit(1L << (pi - 1)))
+        struct(lit(t).as("tbl"), b.as("bucket"))
+      }
+    }
+    withBuckets
+      .select(col(idAs), col(vecAs), col(s"${vecAs}_nrm"),
+        explode(array(probed: _*)).as("__tb"))
+      .select(col(idAs), col(vecAs), col(s"${vecAs}_nrm"),
+        col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+  }
 
   /** Approximate k-NN join via random-hyperplane LSH: candidates are pairs
     * sharing a (table, bucket), so the join is hash-partitioned by bucket id
     * instead of a cartesian product. nPlanes <= 0 auto-scales bucket count
-    * to the corpus (see [[autoPlanes]]). */
+    * to the corpus (see [[autoPlanes]]). `probes > 0` enables Hamming-1
+    * multi-probing on the QUERY side only (corpus rows stay one bucket per
+    * table, so the big side's index size is unchanged): each query also
+    * visits the `probes` buckets one sign-flip away in every table,
+    * multiplying candidates — and recall — by up to (probes+1)× at query
+    * fan-out cost only. */
   def lshKnnJoin(
       corpus: DataFrame,
       queries: DataFrame,
@@ -103,12 +132,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       corpusSize: Long = -1,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      probes: Int = 0): DataFrame = {
     val d = dimOf(corpus, vecCol, dim)
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(sizeOf(corpus, corpusSize), targetBucketSize)
     val cb = bucketed(corpus, "neighbor_id", "corpus_vec", vecCol, idCol, planes, d, tables)
-    val qb = bucketed(queries, "query_id", "query_vec", vecCol, idCol, planes, d, tables)
+    val qb = bucketed(queries, "query_id", "query_vec", vecCol, idCol, planes, d, tables,
+      probes = probes)
     val scored = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -75,6 +75,33 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("lshKnnJoin multi-probe: recall monotone in probes, never below single-probe") {
+    val k = 10
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.knnJoin(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallAt(probes: Int): Double = {
+      val approx = Similarity.lshKnnJoin(emb, queries, k, nPlanes = 4, probes = probes)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    // Candidates at probes=p are a SUPERSET of probes=p-1 (the exact bucket
+    // plus p single-bit flips), and a displaced top-k member can only be
+    // displaced by a vector with strictly better (sim, id) order — which is
+    // then itself in the true top-k. So recall is monotone by construction;
+    // this pins the wiring (XOR fan-out on the query side only).
+    val r0 = recallAt(0)
+    val r2 = recallAt(2)
+    val rFull = recallAt(4)
+    assert(r2 >= r0, s"probes=2 recall $r2 < probes=0 recall $r0")
+    assert(rFull >= r2, s"probes=4 recall $rFull < probes=2 recall $r2")
+    // 4 planes fully probed at Hamming 1 = 5 of 16 buckets per query visit
+    // ~31% of a uniform corpus; on the random fixture that lifts recall
+    // WELL clear of the single-bucket ~1/16 — the whole point of probing.
+    assert(rFull > r0, s"full probing must add recall on the random fixture ($r0 -> $rFull)")
+  }
+
   test("ivfKnnJoin: deterministic, no self-matches, recall comparable to probing fraction") {
     val k = 10
     val queries = emb.filter($"vec_id" < 20)
