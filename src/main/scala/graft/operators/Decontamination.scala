@@ -155,10 +155,12 @@ object Decontamination {
     val evalSet = evalDocs
       .select(explode(gramsOf(col(textCol))).as("gram")).distinct()
       .agg(collect_set(col("gram")).as("__eval_grams"))
+    // input columns pass through so the gate composes mid-pipeline
     docs.join(broadcast(evalSet))
-      .select(col(idCol),
+      .withColumn("n_shared",
         size(array_intersect(gramsOf(col(textCol)), col("__eval_grams")))
-          .cast("long").as("n_shared"))
+          .cast("long"))
       .withColumn("flagged", col("n_shared") >= minShared)
+      .drop("__eval_grams")
   }
 }

@@ -1212,5 +1212,58 @@ object Text extends QueryModule {
             ELSE CAST(0.0 AS DOUBLE) END, 6) AS share_new,
           round(ln((CAST(n_new + 1 AS DOUBLE) / (t_new + k)) /
             (CAST(n_old + 1 AS DOUBLE) / (t_old + k))), 6) AS log_odds_drift
-        FROM j CROSS JOIN t ORDER BY category""")))
+        FROM j CROSS JOIN t ORDER BY category""")),
+
+    // ---------------------------------------------------------------- q82
+    // Per-source quality scoreboard: the heuristic gate pack (q77) and the
+    // unigram-LM score (q80) rolled up by source — which sources would the
+    // filter pack drop, and is a source's text statistically typical or
+    // outlier-heavy. Gate decisions are integer-exact; mean_nll sums the
+    // per-doc rounded-6 scores in DECIMAL (exact, order-independent) with
+    // one decimal->double conversion at the edge (the q73 rule). Plan: two
+    // doc-keyed joins (AQE broadcasts the tiny per-doc frames' aggregates
+    // fine at fixture scale; at corpus scale all three sides co-key on
+    // doc_id) into ONE source-keyed shuffle.
+    QueryDef("q82_quality_scoreboard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val keepFlags = graft.operators.HeuristicFilters.qualityProfile(docs)
+          .select($"doc_id", $"keep")
+        val nll = CorpusStats.unigramNll(docs).select($"doc_id", $"nll")
+        docs.select($"doc_id", $"source")
+          .join(keepFlags, "doc_id")
+          .join(nll, "doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+            round(sum(when($"keep", 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 6).as("keep_rate"),
+            round(sum($"nll".cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_nll"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH $heurStatsSql,
+        keepf AS (SELECT doc_id, $heurKeepSql AS keep FROM st),
+        tok AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS m FROM tok
+          WHERE len(term) > 0 GROUP BY 1, 2),
+        ct AS (SELECT term, sum(m) AS c FROM tf GROUP BY 1),
+        tot AS (SELECT sum(c) AS t FROM ct),
+        perdoc AS (SELECT doc_id, sum(m) AS n_tokens,
+            sum(CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(28,6)) * m)
+              AS sum_lp
+          FROM tf JOIN ct USING (term) CROSS JOIN tot GROUP BY 1),
+        nlls AS (SELECT d.doc_id,
+            COALESCE(round(-CAST(sum_lp AS DOUBLE) / n_tokens, 6),
+              CAST(0.0 AS DOUBLE)) AS nll
+          FROM documents d LEFT JOIN perdoc USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS keep_rate,
+          round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*), 6) AS mean_nll
+        FROM documents JOIN keepf USING (doc_id) JOIN nlls USING (doc_id)
+        GROUP BY source ORDER BY source""")))
 }
