@@ -348,7 +348,82 @@ object Events extends QueryModule {
           count(*) AS le_inf,
           CAST(sum(floor($latSql * CAST(1000.0 AS DOUBLE))) AS BIGINT) AS sum_ms
           FROM events"""
-      }))
+      }),
+
+    // ---------------------------------------------------------------- q83
+    // Point-in-time enrichment: each purchase picks up the user's most
+    // recent error at-or-before it (backward as-of join) — the classic
+    // quote-to-trade / feature-store lookup. Spark side is
+    // AsOfJoin.asOf's union–carry-forward (ONE shuffle on user_id, no M×N
+    // candidate expansion); the oracle is DuckDB's native ASOF JOIN, an
+    // independent algorithm. Fixture has no (user_id, ts) duplicates at any
+    // SF, so the tiebreak never decides the answer; it's passed anyway so
+    // the semantics stay deterministic on any input.
+    QueryDef("q83_asof_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", $"event_id", $"value")
+        graft.operators.AsOfJoin.asOf(
+            purchases, errors, Seq("user_id"), "ts", "ts",
+            tiebreak = Some("event_id"))
+          .select($"event_id", $"user_id", $"ts", $"value",
+            $"r_event_id".as("err_event_id"), $"r_value".as("err_value"),
+            (unix_micros($"ts") - unix_micros($"r_ts")).as("us_since_err"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'),
+              e AS (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'error')
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+          e.event_id AS err_event_id, e.value AS err_value,
+          CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT) AS us_since_err
+        FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+        ORDER BY p.event_id""")),
+
+    // ---------------------------------------------------------------- q84
+    // Forward as-of with a tolerance: does a purchase FOLLOW each error
+    // within 6 hours (error -> recovery attribution)? Same single-shuffle
+    // operator walked in the other direction; the tolerance nulls matches
+    // beyond the horizon, and the rollup counts recoveries per user.
+    QueryDef("q84_asof_recovery",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value")
+        graft.operators.AsOfJoin.asOf(
+            errors, purchases, Seq("user_id"), "ts", "ts",
+            direction = "forward", toleranceMicros = Some(6L * 3600 * 1000000),
+            tiebreak = Some("event_id"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_errors"),
+            count($"r_event_id").as("n_recovered"),
+            round(sum(coalesce($"r_value", lit(0.0)).cast("decimal(30,6)"))
+              .cast("double"), 6).as("recovered_value"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'),
+              p AS (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase'),
+              m AS (SELECT e.user_id, e.event_id,
+                  CASE WHEN epoch_us(p.ts) - epoch_us(e.ts)
+                         <= CAST(21600000000 AS BIGINT) THEN p.event_id END AS r_event_id,
+                  CASE WHEN epoch_us(p.ts) - epoch_us(e.ts)
+                         <= CAST(21600000000 AS BIGINT) THEN p.value END AS r_value
+                FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts)
+        SELECT user_id, count(*) AS n_errors,
+          count(r_event_id) AS n_recovered,
+          round(CAST(sum(CAST(COALESCE(r_value, CAST(0.0 AS DOUBLE))
+            AS DECIMAL(30,6))) AS DOUBLE), 6) AS recovered_value
+        FROM m GROUP BY user_id ORDER BY user_id""")))
 
   /** Column-safe bucket name: le_0_25 for the 0.25 s bucket. */
   private def bucketCol(b: Double): String =
