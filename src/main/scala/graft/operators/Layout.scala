@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for multi-dimensional scan pruning at corpus scale.
+  *
+  * A 100 TB table is pruned file-by-file from parquet min/max footers; a
+  * layout sorted on one column gives tight ranges on that column only. A
+  * Z-order (Morton) layout interleaves the bits of several dimensions so a
+  * range predicate on ANY of them maps to a bounded set of code ranges —
+  * every file covers a small hyper-rectangle, and file-level min/max prunes
+  * on all dimensions at once (the technique behind Delta/Iceberg Z-order
+  * clustering).
+  *
+  * The code is computed with plain codegen'd bit arithmetic (shift/and/or on
+  * longs — whole-stage-codegen friendly, no UDF), and the write path is
+  * `repartitionByRange` on the code: Spark samples range boundaries, so the
+  * clustering shuffle is fully parallel — no global sort bottleneck.
+  */
+object Layout {
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of each dimension,
+    * dimension d owning bit positions d, d+n, d+2n, … Total bits must fit a
+    * positive long. Dimensions must already be non-negative integers in
+    * [0, 2^bits); see [[clampDim]]. */
+  def mortonCode(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 1 && n * bits <= 62, s"need 1+ dims, n*bits <= 62; got n=$n bits=$bits")
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Clamp an arbitrary numeric column into the [0, 2^bits) domain a Morton
+    * dimension needs (floor for fractionals, saturate at the edges). */
+  def clampDim(c: Column, bits: Int): Column =
+    greatest(lit(0L), least(floor(c).cast("long"), lit((1L << bits) - 1L)))
+
+  /** Write `df` clustered by the Z-order of `dims`: range-partition on the
+    * code (sampled boundaries — parallel, no single-task sort), sort within
+    * each partition, one file per partition. Each output file then covers a
+    * compact code range = a small hyper-rectangle of the dimension space. */
+  def zorderWrite(df: DataFrame, path: String, dims: Seq[Column], bits: Int,
+      numFiles: Int): Unit =
+    df.withColumn("__z", mortonCode(dims, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max of `statCols` for a parquet directory — the footer
+    * stats a pruning scan consults, materialized for inspection/tests. */
+  def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame =
+    df.withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(min(col(statCols.head)).as(s"min_${statCols.head}"),
+        (Seq(max(col(statCols.head)).as(s"max_${statCols.head}")) ++
+          statCols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed probabilistic sketches with a FULLY SPECIFIED, engine-neutral
+  * construction: every hash is md5-derived and every register update is a
+  * plain aggregate, so the sketch — not just its error bound — is
+  * reproducible bit-for-bit by any engine that can md5 (the DuckDB oracle
+  * mirrors the construction and the estimates compare EXACTLY). That is the
+  * difference from `approx_count_distinct`/t-digest, whose internals are
+  * engine-private: these sketches are portable artifacts a 100 TB pipeline
+  * can write, merge across days, and re-verify anywhere.
+  *
+  * Scale shape: both sketches are one `groupBy` over (group, register) —
+  * map-side partial aggregation shrinks each partition to at most the
+  * register count before the shuffle, so the network cost is O(groups x
+  * registers), independent of row count.
+  */
+object Sketches {
+
+  /** 60 bits of md5(x), as a non-negative long (15 hex chars < 2^63). */
+  def md5Bits60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  // ----------------------------------------------------------------- HLL
+
+  /** HyperLogLog with m = 2^b registers (Flajolet et al. 2007): bucket =
+    * low b bits of the 60-bit hash; rho = 1 + leading-zero count of the
+    * remaining (60-b)-bit suffix (suffix 0 -> maximal rho). Returns one row
+    * per (group, bucket) with the register value — the mergeable sketch. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], item: Column,
+      b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"b in [4,16], got $b")
+    val suffixBits = 60 - b
+    val h = md5Bits60(item)
+    val bucket = h.bitwiseAND(lit((1L << b) - 1L))
+    val w = shiftright(h, b)
+    // bit length of w via bin() string length: exact, no log2 ulp risk
+    val rho = when(w === 0L, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits + 1) - length(bin(w)))
+    df.select((groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Standard HLL estimate with the small-range (linear counting)
+    * correction, from the registers frame. alpha_m per the paper. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], b: Int): DataFrame = {
+    val m = 1L << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("register"))).as("s_nonempty"),
+        count(lit(1)).as("c_nonempty"))
+      .withColumn("raw",
+        lit(alpha * m * m) / (col("s_nonempty") + (lit(m) - col("c_nonempty"))))
+      .withColumn("hll_estimate",
+        when(col("raw") <= lit(2.5 * m) && col("c_nonempty") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("c_nonempty"))))
+          .otherwise(col("raw")))
+      .drop("s_nonempty", "c_nonempty", "raw")
+  }
+
+  // ----------------------------------------------------------- Count-Min
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005), d rows x w columns:
+    * row r hashes the item with md5(r || item). Returns one row per
+    * (group, r, c) with the cell count — the mergeable sketch (cells sum). */
+  def cmsCells(df: DataFrame, groupCols: Seq[String], item: Column,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2, s"bad cms shape d=$d w=$w")
+    val rows = explode(sequence(lit(0), lit(d - 1))).as("r")
+    df.select((groupCols.map(col) :+ item.as("__item") :+ rows): _*)
+      .withColumn("c", pmod(md5Bits60(concat(col("r").cast("string"),
+        lit(":"), col("__item"))), lit(w.toLong)))
+      .groupBy((groupCols.map(col) ++ Seq(col("r"), col("c"))): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query the sketch for each row of `items` (column `__item` must
+    * not pre-exist): estimate = min over rows of the hashed cell — classic
+    * CMS upper-bound estimate, never below the true count. */
+  def cmsQuery(cells: DataFrame, groupCols: Seq[String], items: DataFrame,
+      item: Column, d: Int, w: Int): DataFrame = {
+    val probes = items
+      .withColumn("__item", item)
+      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("c", pmod(md5Bits60(concat(col("r").cast("string"),
+        lit(":"), col("__item"))), lit(w.toLong)))
+    // left join + coalesce: a probe whose cell nobody touched reads 0 (the
+    // sketch's true cell value), not "no row" — min must see it
+    probes.join(cells, groupCols ++ Seq("r", "c"), "left")
+      .groupBy((groupCols.map(col) :+ col("__item")): _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+  }
+}

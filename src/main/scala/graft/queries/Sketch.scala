@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Probabilistic-sketch queries over the documents corpus. Unlike
+  * `approx_count_distinct`/t-digest (engine-private internals, only
+  * bound-checkable), these sketches are built from a fully specified
+  * md5-derived construction (graft.operators.Sketches), so the DuckDB
+  * oracle re-builds the SAME sketch and the estimates compare exactly —
+  * the sketch is a portable, mergeable artifact, not a black box.
+  */
+object Sketch extends QueryModule {
+
+  private val wsSql = """string_split_regex(trim(text), '\s+')"""
+  private val tokSql =
+    s"SELECT source, unnest($wsSql) AS token FROM documents"
+
+  // HLL shape: m = 2^b registers over a 60-bit md5 hash
+  private val B = 12
+  private val M = 1L << B
+  private val SuffixBits = 60 - B
+  // alpha_m * m^2, computed ONCE in Scala and embedded as the same double
+  // literal on both sides (a formula re-evaluated under DuckDB DECIMAL
+  // rules would land on a different grid point)
+  private val AlphaM2: Double = 0.7213 / (1.0 + 1.079 / M) * M * M
+  private val LinearRangeBound: Double = 2.5 * M
+
+  // CMS shape
+  private val D = 4
+  private val W = 1024
+
+  /** 60-bit md5 prefix as BIGINT, DuckDB form (Sketches.md5Bits60 mirror). */
+  private def h60Sql(e: String) =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q86
+    // Per-source distinct-token cardinality: exact vs the HLL estimate from
+    // Sketches.hllRegisters/hllEstimate. Register build is one groupBy over
+    // (source, bucket) — map-side combine caps the shuffle at groups x 4096
+    // rows no matter the corpus size; that's the whole point at 100 TB.
+    // The oracle rebuilds the identical sketch (same hash, same registers,
+    // same correction), so hll_estimate compares exactly, not as a bound.
+    QueryDef("q86_hll_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"source", explode(graft.functions.TextFunctions.tokens($"text"))
+            .as("token"))
+          .filter(length($"token") > 0)
+        val est = Sketches.hllEstimate(
+          Sketches.hllRegisters(toks, Seq("source"), $"token", B), Seq("source"), B)
+        toks.groupBy($"source")
+          .agg(count_distinct($"token").as("exact_distinct"))
+          .join(est, "source")
+          .select($"source", $"exact_distinct",
+            round($"hll_estimate", 6).as("hll_estimate"),
+            round(($"hll_estimate" - $"exact_distinct") / $"exact_distinct", 6)
+              .as("rel_err"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH tk AS (SELECT source, token FROM ($tokSql)
+            WHERE len(token) > 0),
+          h AS (SELECT source, ${h60Sql("token")} AS h FROM tk),
+          hh AS (SELECT source, h & ${M - 1} AS bucket,
+              CASE WHEN (h >> $B) = 0 THEN ${SuffixBits + 1}
+                ELSE ${SuffixBits + 1} - length(printf('%b', h >> $B)) END AS rho
+            FROM h),
+          reg AS (SELECT source, bucket, max(rho) AS register
+            FROM hh GROUP BY 1, 2),
+          agg AS (SELECT source,
+              sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              count(*) AS c FROM reg GROUP BY 1),
+          est AS (SELECT source,
+              CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
+          fin AS (SELECT source,
+              CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
+                THEN CAST($M AS DOUBLE) *
+                  ln(CAST($M AS DOUBLE) / ($M - c))
+                ELSE raw END AS e FROM est),
+          ex AS (SELECT source, count(DISTINCT token) AS exact_distinct FROM tk
+            GROUP BY 1)
+        SELECT source, exact_distinct, round(e, 6) AS hll_estimate,
+          round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+        FROM ex JOIN fin USING (source) ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q87
+    // Count-min heavy hitters: the corpus's exact top-20 tokens point-
+    // queried against a d=4 x w=1024 CMS. cms_estimate >= exact_n always
+    // (CMS never undercounts); overcount is the collision inflation. Cell
+    // build is one groupBy over (r, c) — at most d*w cells reach the
+    // shuffle per partition; the probe side is 20 rows, broadcast for free.
+    QueryDef("q87_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+          .filter(length($"token") > 0)
+        val cells = Sketches.cmsCells(toks, Seq.empty, $"token", D, W)
+        val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+          .orderBy($"exact_n".desc, $"token").limit(20)
+        Sketches.cmsQuery(cells, Seq.empty, top, $"token", D, W)
+          .select($"__item".as("token"), $"cms_estimate")
+          .join(top, "token")
+          .select($"token", $"exact_n", $"cms_estimate",
+            ($"cms_estimate" - $"exact_n").as("overcount"))
+          .orderBy($"token")
+      },
+      Some(s"""WITH tk AS (SELECT token FROM ($tokSql) WHERE len(token) > 0),
+          cnt AS (SELECT token, count(*) AS exact_n FROM tk GROUP BY 1),
+          top AS (SELECT token, exact_n FROM cnt
+            ORDER BY exact_n DESC, token LIMIT 20),
+          rs AS (SELECT unnest([${(0 until D).mkString(", ")}]) AS r),
+          cells AS (SELECT r,
+              ${h60Sql("CAST(r AS VARCHAR) || ':' || token")} % $W AS c,
+              count(*) AS n
+            FROM tk CROSS JOIN rs GROUP BY 1, 2),
+          probe AS (SELECT token, exact_n, r,
+              ${h60Sql("CAST(r AS VARCHAR) || ':' || token")} % $W AS c
+            FROM top CROSS JOIN rs),
+          est AS (SELECT token, exact_n,
+              min(COALESCE(n, 0)) AS cms_estimate
+            FROM probe LEFT JOIN cells USING (r, c) GROUP BY 1, 2)
+        SELECT token, exact_n, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+          CAST(cms_estimate - exact_n AS BIGINT) AS overcount
+        FROM est ORDER BY token""")),
+
+    // ---------------------------------------------------------------- q88
+    // Cross-source vocabulary overlap WITHOUT re-scanning the corpus: the
+    // per-source HLL register frames (the same mergeable artifact q86
+    // builds) max-merge into a pairwise union sketch, and inclusion-
+    // exclusion (|A|+|B|-|A∪B|) yields the intersection. At 100 TB this is
+    // the whole point of a mergeable sketch: each shard/day publishes its
+    // ≤4096-row register frame once, and every pairwise (or rolling-window)
+    // overlap after that is arithmetic on tiny frames. The exact jaccard is
+    // computed alongside for the comparison only — the production path
+    // never needs the distinct() or the token self-join. The oracle
+    // rebuilds the identical sketches, so jaccard_hll compares exactly.
+    QueryDef("q88_hll_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val dt = t(s, dir, "documents")
+          .select($"source", explode(graft.functions.TextFunctions.tokens($"text"))
+            .as("token"))
+          .filter(length($"token") > 0)
+          .distinct()
+        val regs = Sketches.hllRegisters(dt, Seq("source"), $"token", B)
+        val est = Sketches.hllEstimate(regs, Seq("source"), B)
+        val pairs = dt.select($"source").distinct().as("pa")
+          .join(dt.select($"source").distinct().as("pb"),
+            col("pa.source") < col("pb.source"))
+          .select(col("pa.source").as("source_a"), col("pb.source").as("source_b"))
+        val unionRegs = regs.join(broadcast(pairs),
+            $"source" === $"source_a" || $"source" === $"source_b")
+          .groupBy($"source_a", $"source_b", $"bucket")
+          .agg(max($"register").as("register"))
+        val estU = Sketches.hllEstimate(unionRegs, Seq("source_a", "source_b"), B)
+          .withColumnRenamed("hll_estimate", "est_u")
+        val nd = dt.groupBy($"source").agg(count(lit(1)).as("nd"))
+        val inter = dt.as("x").join(dt.as("y"),
+            col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+          .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_inter"))
+        pairs
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(nd.select($"source".as("source_a"), $"nd".as("nd_a")), "source_a")
+          .join(nd.select($"source".as("source_b"), $"nd".as("nd_b")), "source_b")
+          .join(est.select($"source".as("source_a"), $"hll_estimate".as("est_a")),
+            "source_a")
+          .join(est.select($"source".as("source_b"), $"hll_estimate".as("est_b")),
+            "source_b")
+          .join(estU, Seq("source_a", "source_b"))
+          .select($"source_a", $"source_b",
+            $"n_inter".cast("long").as("n_inter"),
+            ($"nd_a" + $"nd_b" - $"n_inter").cast("long").as("n_union"),
+            round($"n_inter".cast("double") /
+              ($"nd_a" + $"nd_b" - $"n_inter").cast("double"), 6)
+              .as("jaccard_exact"),
+            round(($"est_a" + $"est_b" - $"est_u") / $"est_u", 6)
+              .as("jaccard_hll"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some(s"""WITH tk AS (SELECT DISTINCT source, token FROM ($tokSql)
+            WHERE len(token) > 0),
+          hh AS (SELECT source, h & ${M - 1} AS bucket,
+              CASE WHEN (h >> $B) = 0 THEN ${SuffixBits + 1}
+                ELSE ${SuffixBits + 1} - length(printf('%b', h >> $B)) END AS rho
+            FROM (SELECT source, ${h60Sql("token")} AS h FROM tk)),
+          reg AS (SELECT source, bucket, max(rho) AS register
+            FROM hh GROUP BY 1, 2),
+          srcs AS (SELECT DISTINCT source FROM tk),
+          pairs AS (SELECT a.source AS sa, b.source AS sb
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+          ureg AS (SELECT sa, sb, bucket, max(register) AS register
+            FROM pairs JOIN reg ON reg.source = sa OR reg.source = sb
+            GROUP BY 1, 2, 3),
+          est1 AS (SELECT source,
+              CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
+                THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
+                ELSE raw END AS e
+            FROM (SELECT source, CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c
+              FROM (SELECT source, sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+                  count(*) AS c FROM reg GROUP BY 1))),
+          estu AS (SELECT sa, sb,
+              CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
+                THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
+                ELSE raw END AS e
+            FROM (SELECT sa, sb, CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c
+              FROM (SELECT sa, sb, sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+                  count(*) AS c FROM ureg GROUP BY 1, 2))),
+          ex AS (SELECT source, count(*) AS nd FROM tk GROUP BY 1),
+          exi AS (SELECT x.source AS sa, y.source AS sb, count(*) AS ni
+            FROM tk x JOIN tk y ON x.token = y.token AND x.source < y.source
+            GROUP BY 1, 2)
+        SELECT sa AS source_a, sb AS source_b,
+          CAST(COALESCE(ni, 0) AS BIGINT) AS n_inter,
+          CAST(na.nd + nb.nd - COALESCE(ni, 0) AS BIGINT) AS n_union,
+          round(CAST(COALESCE(ni, 0) AS DOUBLE) /
+            CAST(na.nd + nb.nd - COALESCE(ni, 0) AS DOUBLE), 6) AS jaccard_exact,
+          round((ea.e + eb.e - eu.e) / eu.e, 6) AS jaccard_hll
+        FROM pairs
+        LEFT JOIN exi USING (sa, sb)
+        JOIN ex na ON na.source = sa
+        JOIN ex nb ON nb.source = sb
+        JOIN est1 ea ON ea.source = sa
+        JOIN est1 eb ON eb.source = sb
+        JOIN estu eu USING (sa, sb)
+        ORDER BY source_a, source_b"""))
+  )
+}
