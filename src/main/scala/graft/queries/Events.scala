@@ -423,7 +423,98 @@ object Events extends QueryModule {
           count(r_event_id) AS n_recovered,
           round(CAST(sum(CAST(COALESCE(r_value, CAST(0.0 AS DOUBLE))
             AS DECIMAL(30,6))) AS DOUBLE), 6) AS recovered_value
-        FROM m GROUP BY user_id ORDER BY user_id""")))
+        FROM m GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q85
+    // Z-order layout effectiveness, as an oracle-checkable stat: assign the
+    // events to 64 simulated files two ways — clustered by the Morton code
+    // of (user_id, floor(value)) vs arrival (event_id) order — and count how
+    // many files a rectangle predicate (user_id 40..60, value 100..200) has
+    // to touch under each. The Morton code is the same codegen'd bit
+    // arithmetic Layout.mortonCode emits, mirrored verbatim in the oracle.
+    // The ntile here only simulates file IDs for the deterministic compare;
+    // the real write path (Layout.zorderWrite) range-partitions on sampled
+    // boundaries — parallel, no global sort — and is exercised in LayoutSpec.
+    QueryDef("q85_zorder_pruning",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val z = graft.operators.Layout.mortonCode(
+          Seq(graft.operators.Layout.clampDim($"user_id", zBits),
+            graft.operators.Layout.clampDim($"value", zBits)), zBits)
+        val hit = $"user_id".between(40, 60) && $"value".between(100.0, 200.0)
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", $"value", z.as("z"))
+          .withColumn("fz", ntile(64).over(Window.orderBy($"z", $"event_id")))
+          .withColumn("fs", ntile(64).over(Window.orderBy($"event_id")))
+          .agg(count_if(hit).cast("long").as("n_match"),
+            count_distinct(when(hit, $"fz")).as("files_zorder"),
+            count_distinct(when(hit, $"fs")).as("files_seq"))
+      },
+      Some(s"""WITH b AS (SELECT event_id, user_id, value, $mortonSql AS z
+          FROM events),
+        f AS (SELECT user_id, value,
+            ntile(64) OVER (ORDER BY z, event_id) AS fz,
+            ntile(64) OVER (ORDER BY event_id) AS fs
+          FROM b),
+        h AS (SELECT *, user_id BETWEEN 40 AND 60
+            AND value BETWEEN CAST(100.0 AS DOUBLE) AND CAST(200.0 AS DOUBLE)
+            AS hit FROM f)
+        SELECT CAST(count(*) FILTER (hit) AS BIGINT) AS n_match,
+          CAST(count(DISTINCT CASE WHEN hit THEN fz END) AS BIGINT) AS files_zorder,
+          CAST(count(DISTINCT CASE WHEN hit THEN fs END) AS BIGINT) AS files_seq
+        FROM h""")),
+
+    // ---------------------------------------------------------------- q90
+    // CDC fold: the append-only event log becomes an SCD2 dimension history
+    // (one row per value interval per user, valid_from/valid_to/is_current/
+    // version). Two key-partitioned window passes — one hash shuffle on
+    // user_id, no self-join, no driver state; late-writer ties resolve by
+    // event_id so the fold is deterministic on at-least-once logs.
+    QueryDef("q90_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        val log = t(s, dir, "events")
+          .select($"user_id", $"ts", $"value", $"event_id")
+        graft.operators.Scd2.fromLog(log, "user_id", "ts", "value", "event_id")
+          .select($"user_id", $"version".cast("long").as("version"), $"value",
+            $"valid_from", $"valid_to", $"is_current")
+          .orderBy($"user_id", $"version")
+      },
+      Some("""WITH w AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+              ORDER BY event_id DESC) AS rn
+          FROM events),
+        d AS (SELECT user_id, ts, value FROM w WHERE rn = 1),
+        c AS (SELECT user_id, ts, value,
+            lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM d),
+        ch AS (SELECT user_id, ts, value FROM c
+          WHERE value IS DISTINCT FROM prev),
+        scd AS (SELECT user_id, value,
+            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+              AS BIGINT) AS version,
+            ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM ch)
+        SELECT user_id, version, value, valid_from, valid_to,
+          valid_to IS NULL AS is_current
+        FROM scd ORDER BY user_id, version""")))
+
+  private val zBits = 10
+
+  /** The exact bit arithmetic of Layout.mortonCode(user_id, floor(value)),
+    * as DuckDB SQL: dimension d of n owns bit positions i*n+d. Clamp first
+    * (floor + saturate into [0, 2^bits)), then interleave. */
+  private def mortonSql: String = {
+    def clamp(e: String) =
+      s"greatest(0, least(CAST(floor($e) AS BIGINT), ${(1L << zBits) - 1}))"
+    val dims = Seq(clamp("user_id"), clamp("value"))
+    val terms = for {
+      (e, d) <- dims.zipWithIndex
+      i <- 0 until zBits
+    } yield s"((($e >> $i) & 1) << ${i * dims.size + d})"
+    terms.mkString("(", " | ", ")")
+  }
 
   /** Column-safe bucket name: le_0_25 for the 0.25 s bucket. */
   private def bucketCol(b: Double): String =

@@ -506,5 +506,68 @@ object Relational extends QueryModule {
       Some("""SELECT s_nationkey, count(*) AS line_cnt,
         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_nationkey ORDER BY s_nationkey""")))
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---------------------------------------------------------------- q91
+    // Bloom-filter join pruning, audited: build an md5-derived bit-set from
+    // the BUILDING customers, prune orders to rows passing all k bits, and
+    // report what the filter did — rows before/after, the true match count,
+    // false negatives (pinned 0: a Bloom filter can only over-approximate),
+    // and the false-positive spill. The probe side never shuffles: the bit
+    // frame (≤ m rows however large the build side) broadcasts into k
+    // map-only semi joins — the shape that drops most of a 100 TB probe at
+    // the scan instead of carrying it to the join. The oracle rebuilds the
+    // identical filter from the same hashes, so every count matches exactly.
+    QueryDef("q91_bloom_prune_join",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.BloomJoin
+        val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val orders = t(s, dir, "orders")
+        val bits = BloomJoin.buildBits(cust, $"c_custkey")
+        val pruned = BloomJoin.prune(orders, $"o_custkey", bits)
+        val ck = cust.select($"c_custkey")
+        val exact = orders.join(ck, $"o_custkey" === $"c_custkey", "left_semi")
+        val exactAfter = pruned.join(ck, $"o_custkey" === $"c_custkey", "left_semi")
+        orders.agg(count(lit(1)).as("n_probe"))
+          .crossJoin(pruned.agg(count(lit(1)).as("n_after_bloom")))
+          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
+          .crossJoin(exactAfter.agg(count(lit(1)).as("n_true_after")))
+          .select($"n_probe", $"n_after_bloom", $"n_true",
+            ($"n_true" - $"n_true_after").as("false_negatives"),
+            ($"n_after_bloom" - $"n_true_after").as("false_positives"),
+            round(lit(1.0) -
+              $"n_after_bloom".cast("double") / $"n_probe".cast("double"), 6)
+              .as("prune_ratio"))
+      },
+      Some {
+        def bit(i: Int, key: String) =
+          s"CAST(concat('0x', substr(md5('$i:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 16384"
+        val passes = (0 until 3).map(i =>
+          s"EXISTS (SELECT 1 FROM bits WHERE bit = ${bit(i, "o.o_custkey")})")
+          .mkString("\n            AND ")
+        s"""WITH cust AS (SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'),
+          ks AS (SELECT unnest([0, 1, 2]) AS i),
+          bits AS (SELECT DISTINCT
+              CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' ||
+                CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS bit
+            FROM cust CROSS JOIN ks),
+          pruned AS (SELECT o.* FROM orders o
+            WHERE $passes),
+          m AS (SELECT
+            (SELECT count(*) FROM orders) AS np,
+            (SELECT count(*) FROM pruned) AS nab,
+            (SELECT count(*) FROM orders o WHERE EXISTS
+              (SELECT 1 FROM cust WHERE c_custkey = o.o_custkey)) AS nt,
+            (SELECT count(*) FROM pruned o WHERE EXISTS
+              (SELECT 1 FROM cust WHERE c_custkey = o.o_custkey)) AS nta)
+        SELECT CAST(np AS BIGINT) AS n_probe, CAST(nab AS BIGINT) AS n_after_bloom,
+          CAST(nt AS BIGINT) AS n_true,
+          CAST(nt - nta AS BIGINT) AS false_negatives,
+          CAST(nab - nta AS BIGINT) AS false_positives,
+          round(CAST(1.0 AS DOUBLE) - CAST(nab AS DOUBLE) / CAST(np AS DOUBLE), 6)
+            AS prune_ratio
+        FROM m"""
+      }))
 }

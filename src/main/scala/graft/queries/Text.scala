@@ -1265,5 +1265,93 @@ object Text extends QueryModule {
           round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
             / count(*), 6) AS mean_nll
         FROM documents JOIN keepf USING (doc_id) JOIN nlls USING (doc_id)
-        GROUP BY source ORDER BY source""")))
+        GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q89
+    // PII redaction audit. The fixture corpus carries no PII, so the query
+    // first synthesizes a deterministic contact line per document (email,
+    // dotted-quad, account number — all derived from doc_id, identically on
+    // both engines), then runs the Redaction rule pack and reports the
+    // per-source tally plus the invariant that matters: zero residual
+    // matches in the redacted text. The operator itself is a map-only
+    // codegen'd projection — at 100 TB it scales linearly, no shuffle
+    // beyond the final per-source rollup.
+    QueryDef("q89_pii_redaction",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Redaction
+        val dirty = t(s, dir, "documents")
+          .withColumn("text", concat($"text",
+            lit(" contact u"), $"doc_id".cast("string"),
+            lit("@mail.example.com from 10."), ($"doc_id" % 200).cast("string"),
+            lit("."), (($"doc_id" * 7) % 250).cast("string"),
+            lit("."), ($"doc_id" % 97).cast("string"),
+            lit(" ref "), (lit(100000000L) + $"doc_id" * 31).cast("string")))
+        Redaction.redact(dirty, "text")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_email").cast("long").as("n_email"),
+            sum($"n_ipv4").cast("long").as("n_ipv4"),
+            sum($"n_idnum").cast("long").as("n_idnum"),
+            sum(Redaction.residual($"text_redacted")).cast("long").as("residual"),
+            sum(length($"text") - length($"text_redacted")).cast("long")
+              .as("chars_removed"))
+          .orderBy($"source")
+      },
+      Some("""WITH dirty AS (SELECT doc_id, source,
+            text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+            '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+            '.' || CAST((doc_id * 7) % 250 AS VARCHAR) ||
+            '.' || CAST(doc_id % 97 AS VARCHAR) ||
+            ' ref ' || CAST(100000000 + doc_id * 31 AS VARCHAR) AS text
+          FROM documents),
+        r1 AS (SELECT doc_id, source, text,
+            len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_email,
+            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+              '<EMAIL>', 'g') AS t1
+          FROM dirty),
+        r2 AS (SELECT *, len(regexp_extract_all(t1,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+            regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+              '<IP>', 'g') AS t2 FROM r1),
+        r3 AS (SELECT *, len(regexp_extract_all(t2, '\b\d{8,}\b')) AS n_idnum,
+            regexp_replace(t2, '\b\d{8,}\b', '<ID>', 'g') AS t3 FROM r2)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_email) AS BIGINT) AS n_email,
+          CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+          CAST(sum(n_idnum) AS BIGINT) AS n_idnum,
+          CAST(sum(len(regexp_extract_all(t3, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+            + len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+            + len(regexp_extract_all(t3, '\b\d{8,}\b'))) AS BIGINT) AS residual,
+          CAST(sum(len(text) - len(t3)) AS BIGINT) AS chars_removed
+        FROM r3 GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q92
+    // Per-source length profile with EXACT interpolated percentiles (the
+    // distribution shape a mixture planner reads before setting packing
+    // budgets). Spark's percentile and DuckDB's quantile_cont share the
+    // same linear-interpolation definition (pos = p·(n−1)), so the values
+    // compare exactly after the standard round(,6). One keyed sort-agg —
+    // partial aggregation bounds the shuffle at groups × percentile state.
+    QueryDef("q92_length_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_chars").as("min_chars"),
+            round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+            round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+            round(expr("percentile(n_chars, 0.99)"), 6).as("p99_chars"),
+            max($"n_chars").as("max_chars"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+          min(n_chars) AS min_chars,
+          round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+          round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+          round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+          max(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source""")))
 }
