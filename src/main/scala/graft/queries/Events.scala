@@ -498,7 +498,115 @@ object Events extends QueryModule {
           FROM ch)
         SELECT user_id, version, value, valid_from, valid_to,
           valid_to IS NULL AS is_current
-        FROM scd ORDER BY user_id, version""")))
+        FROM scd ORDER BY user_id, version""")),
+
+    // ---------------------------------------------------------------- q93
+    // Ordered conversion funnel: first view, first click strictly AFTER
+    // that view, first purchase strictly after that click — the stage
+    // chaining that a naive per-type min() gets wrong (a click before the
+    // first view must not count). Three aggregations all keyed on user_id:
+    // the shuffle partitioning is computed once and reused down the chain,
+    // and each stage's frame shrinks (users surviving the funnel), so at
+    // 100 TB this is one user-keyed exchange plus joins that only ever
+    // move (user_id, one timestamp).
+    QueryDef("q93_funnel_conversion",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select($"user_id", $"ts", $"event_type")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("tv"))
+        val c = ev.filter($"event_type" === "click").join(v, "user_id")
+          .filter($"ts" > $"tv")
+          .groupBy($"user_id").agg(min($"ts").as("tc"))
+        val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+          .filter($"ts" > $"tc")
+          .groupBy($"user_id").agg(min($"ts").as("tp"))
+        val lat = v.join(p, "user_id")
+          .agg(sum(unix_micros($"tp") - unix_micros($"tv")).as("sum_us"),
+            count(lit(1)).as("n_lat"))
+        ev.agg(count_distinct($"user_id").as("n_users"))
+          .crossJoin(v.agg(count(lit(1)).as("n_view")))
+          .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+          .crossJoin(lat)
+          .select($"n_users", $"n_view", $"n_click_after_view",
+            $"n_purchase_after_click",
+            round($"n_click_after_view".cast("double") /
+              $"n_view".cast("double"), 6).as("view_to_click"),
+            round($"n_purchase_after_click".cast("double") /
+              $"n_click_after_view".cast("double"), 6).as("click_to_purchase"),
+            round($"sum_us".cast("double") / $"n_lat".cast("double") /
+              lit(3600000000.0), 6).as("mean_hours_to_purchase"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS tv
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tc
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.tv
+            GROUP BY 1),
+          p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.tc
+            GROUP BY 1),
+          lat AS (SELECT CAST(sum(epoch_us(tp) - epoch_us(tv)) AS BIGINT)
+              AS sum_us, count(*) AS n_lat
+            FROM v JOIN p USING (user_id)),
+          m AS (SELECT
+            (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+            (SELECT count(*) FROM v) AS n_view,
+            (SELECT count(*) FROM c) AS n_click,
+            (SELECT count(*) FROM p) AS n_purchase)
+        SELECT CAST(n_users AS BIGINT) AS n_users,
+          CAST(n_view AS BIGINT) AS n_view,
+          CAST(n_click AS BIGINT) AS n_click_after_view,
+          CAST(n_purchase AS BIGINT) AS n_purchase_after_click,
+          round(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE), 6)
+            AS view_to_click,
+          round(CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE), 6)
+            AS click_to_purchase,
+          round(CAST(sum_us AS DOUBLE) / CAST(n_lat AS DOUBLE)
+            / CAST(3600000000 AS DOUBLE), 6) AS mean_hours_to_purchase
+        FROM m CROSS JOIN lat""")),
+
+    // ---------------------------------------------------------------- q94
+    // Cohort retention: users grouped by first-seen day, activity counted
+    // per day offset, rate against the cohort's size. Two user-keyed
+    // aggregations plus one join on the tiny (cohort, size) frame — the
+    // offset matrix is bounded by days², never by event count, so the
+    // output and the final join stay small at any scale.
+    QueryDef("q94_cohort_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"user_id", date_trunc("day", $"ts").as("day"))
+        val first = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
+        val act = ev.distinct()
+        val ret = act.join(first, "user_id")
+          .groupBy($"cohort",
+            datediff($"day", $"cohort").cast("long").as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val size = first.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
+        ret.join(size, "cohort")
+          .select($"cohort", $"day_offset", $"n_active", $"cohort_size",
+            round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
+              .as("retention"))
+          .orderBy($"cohort", $"day_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+            date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+          first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+          act AS (SELECT DISTINCT user_id, day FROM ev),
+          ret AS (SELECT cohort,
+              CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+              count(*) AS n_active
+            FROM act JOIN first USING (user_id) GROUP BY 1, 2),
+          sz AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1)
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort, day_offset,
+          CAST(n_active AS BIGINT) AS n_active,
+          CAST(cohort_size AS BIGINT) AS cohort_size,
+          round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+            AS retention
+        FROM ret JOIN sz USING (cohort) ORDER BY cohort, day_offset""")))
 
   private val zBits = 10
 
