@@ -64,16 +64,27 @@ object Sketches {
 
   // ----------------------------------------------------------- Count-Min
 
-  /** Count-min sketch (Cormode & Muthukrishnan 2005), d rows x w columns:
-    * row r hashes the item with md5(r || item). Returns one row per
-    * (group, r, c) with the cell count — the mergeable sketch (cells sum). */
+  /** Row-r cell for the pre-computed 60-bit hash `h`: Kirsch-Mitzenmacher
+    * double hashing, c_r = (h1 + r*h2) mod w with h1 = low 30 bits and
+    * h2 = (high 30 bits | 1) — the odd stride walks the full cycle when w
+    * is a power of two. ONE md5 per item serves all d rows (the same
+    * one-hash-per-string, family-by-arithmetic trick as the MinHash
+    * kernel); Kirsch & Mitzenmacher 2006 shows the estimate quality is
+    * preserved. */
+  def cmsCell(h: Column, r: Column, w: Int): Column =
+    pmod(h.bitwiseAND(lit((1L << 30) - 1L)) +
+      r.cast("long") * shiftright(h, 30).bitwiseOR(lit(1L)), lit(w.toLong))
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005), d rows x w columns.
+    * Returns one row per (group, r, c) with the cell count — the mergeable
+    * sketch (cells sum). The d hashes derive arithmetically from one md5
+    * ([[cmsCell]]), so the scan hashes each item once. */
   def cmsCells(df: DataFrame, groupCols: Seq[String], item: Column,
       d: Int, w: Int): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 2, s"bad cms shape d=$d w=$w")
-    val rows = explode(sequence(lit(0), lit(d - 1))).as("r")
-    df.select((groupCols.map(col) :+ item.as("__item") :+ rows): _*)
-      .withColumn("c", pmod(md5Bits60(concat(col("r").cast("string"),
-        lit(":"), col("__item"))), lit(w.toLong)))
+    df.select((groupCols.map(col) :+ md5Bits60(item).as("__h") :+
+        explode(sequence(lit(0), lit(d - 1))).as("r")): _*)
+      .withColumn("c", cmsCell(col("__h"), col("r"), w))
       .groupBy((groupCols.map(col) ++ Seq(col("r"), col("c"))): _*)
       .agg(count(lit(1)).as("n"))
   }
@@ -86,8 +97,7 @@ object Sketches {
     val probes = items
       .withColumn("__item", item)
       .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("c", pmod(md5Bits60(concat(col("r").cast("string"),
-        lit(":"), col("__item"))), lit(w.toLong)))
+      .withColumn("c", cmsCell(md5Bits60(col("__item")), col("r"), w))
     // left join + coalesce: a probe whose cell nobody touched reads 0 (the
     // sketch's true cell value), not "no row" — min must see it
     probes.join(cells, groupCols ++ Seq("r", "c"), "left")

@@ -100,8 +100,12 @@ object Sketch extends QueryModule {
           .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
           .filter(length($"token") > 0)
         val cells = Sketches.cmsCells(toks, Seq.empty, $"token", D, W)
+        // top feeds two consumers (probe build + the final join); the eager
+        // checkpoint pins its 20 rows so the corpus-wide token explode runs
+        // once for it, not once per consumer (q69/q72 lifecycle pattern)
         val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
           .orderBy($"exact_n".desc, $"token").limit(20)
+          .localCheckpoint(true)
         Sketches.cmsQuery(cells, Seq.empty, top, $"token", D, W)
           .select($"__item".as("token"), $"cms_estimate")
           .join(top, "token")
@@ -114,13 +118,15 @@ object Sketch extends QueryModule {
           top AS (SELECT token, exact_n FROM cnt
             ORDER BY exact_n DESC, token LIMIT 20),
           rs AS (SELECT unnest([${(0 until D).mkString(", ")}]) AS r),
+          th AS (SELECT ${h60Sql("token")} AS h FROM tk),
           cells AS (SELECT r,
-              ${h60Sql("CAST(r AS VARCHAR) || ':' || token")} % $W AS c,
+              ((h & 1073741823) + r * ((h >> 30) | 1)) % $W AS c,
               count(*) AS n
-            FROM tk CROSS JOIN rs GROUP BY 1, 2),
+            FROM th CROSS JOIN rs GROUP BY 1, 2),
           probe AS (SELECT token, exact_n, r,
-              ${h60Sql("CAST(r AS VARCHAR) || ':' || token")} % $W AS c
-            FROM top CROSS JOIN rs),
+              ((h & 1073741823) + r * ((h >> 30) | 1)) % $W AS c
+            FROM (SELECT token, exact_n, ${h60Sql("token")} AS h FROM top)
+            CROSS JOIN rs),
           est AS (SELECT token, exact_n,
               min(COALESCE(n, 0)) AS cms_estimate
             FROM probe LEFT JOIN cells USING (r, c) GROUP BY 1, 2)

@@ -28,6 +28,21 @@ class BloomJoinSpec extends SparkSpec {
     assert(big <= 512, "bit positions must live in [0, m)")
   }
 
+  test("probe side never shuffles: k broadcast semi joins, zero exchanges on the probe path") {
+    // pre-materialize the filter (the deployment shape: built once,
+    // persisted, reused) so the plan under audit is exactly the probe pass
+    val build = (0L until 100L).toDF("key")
+    val bits = BloomJoin.buildBits(build, $"key")
+      .as[Long].collect().toSeq.toDF("bit")
+    val probe = (0L until 5000L).toDF("key")
+    val pruned = BloomJoin.prune(probe, $"key", bits)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val semiJoins = "BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).size
+    assert(semiJoins === 3, s"expected 3 broadcast semi joins, plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe path must be map-only, plan:\n$plan")
+  }
+
   test("empty build side prunes everything") {
     val bits = BloomJoin.buildBits(
       Seq.empty[Long].toDF("key"), $"key")

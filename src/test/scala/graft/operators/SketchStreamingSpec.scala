@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sketches at ingestion time: because an HLL register is a plain
+  * `max` aggregate, the register frame is INCREMENTAL for free under
+  * Structured Streaming — no custom state processor, no replay. This spec
+  * pins the property that makes the sketch family a streaming citizen:
+  * registers built from a stream across multiple triggers equal the batch
+  * registers over the union of the data, so estimates agree exactly. */
+class SketchStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 8
+
+  test("streaming HLL registers across batches == batch registers over the union") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val regs = Sketches.hllRegisters(
+      stream.toDF().withColumnRenamed("value", "x").withColumn("g", lit(1)),
+      Seq("g"), col("x"), B)
+    val q = regs.writeStream
+      .format("memory").queryName("hll_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData((1 to 400).map(i => s"a-$i"): _*)
+      q.processAllAvailable()
+      stream.addData((200 to 600).map(i => s"a-$i"): _*) // overlap: dups must not move registers
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hll_stream")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val batch = Sketches.hllRegisters(
+        (1 to 600).map(i => s"a-$i").toDF("x").withColumn("g", lit(1)),
+        Seq("g"), col("x"), B)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(streamed === batch,
+      "cross-trigger streaming registers must equal the batch sketch")
+
+    // and the estimate computed from the streamed registers is the batch one
+    val se = Sketches.hllEstimate(spark.table("hll_stream"), Seq("g"), B)
+      .collect().head.getAs[Double]("hll_estimate")
+    val be = Sketches.hllEstimate(
+      (1 to 600).map(i => s"a-$i").toDF("x").withColumn("g", lit(1))
+        .transform(d => Sketches.hllRegisters(d, Seq("g"), col("x"), B)),
+      Seq("g"), B).collect().head.getAs[Double]("hll_estimate")
+    assert(se === be)
+  }
+
+  test("streaming CMS cells across batches == batch cells over the union") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val cells = Sketches.cmsCells(
+      stream.toDF().withColumnRenamed("value", "x"), Seq.empty, col("x"),
+      d = 4, w = 256)
+    val q = cells.writeStream
+      .format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(Seq.fill(30)("hot") ++ Seq("a", "b", "c"): _*)
+      q.processAllAvailable()
+      stream.addData(Seq.fill(12)("hot") ++ Seq("d", "e"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.cmsCells(
+        (Seq.fill(42)("hot") ++ Seq("a", "b", "c", "d", "e")).toDF("x"),
+        Seq.empty, col("x"), d = 4, w = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "cross-trigger streaming cells must equal the batch sketch")
+    // the point query over the streamed sketch sees the full history
+    val est = Sketches.cmsQuery(spark.table("cms_stream"), Seq.empty,
+        Seq("hot").toDF("x"), col("x"), d = 4, w = 256)
+      .collect().head.getAs[Long]("cms_estimate")
+    assert(est === 42L)
+  }
+}
