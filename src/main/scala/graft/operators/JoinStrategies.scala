@@ -51,4 +51,68 @@ object JoinStrategies {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Key-distribution profile for a prospective join/aggregation key — the
+    * measurement that decides BETWEEN the strategies above before a 100 TB
+    * shuffle is launched, instead of discovering the hot key from a dying
+    * executor. One keyed count plus one tiny aggregate; emits the max/mean
+    * skew ratio, the exact p99 per-key count, and a salt recommendation
+    * (ceil of the skew ratio, capped, 1 when the key is balanced). */
+  def skewProfile(df: DataFrame, key: String, label: String,
+      maxSalts: Int = 32): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+      .withColumn("mean_cnt",
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6))
+      .withColumn("skew_ratio",
+        round(col("max_cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 6))
+      .withColumn("recommended_salts",
+        least(lit(maxSalts.toLong),
+          greatest(lit(1L), ceil(col("skew_ratio")).cast("long"))))
+      .select(lit(label).as("rel"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("p99_cnt"), col("mean_cnt"), col("skew_ratio"),
+        col("recommended_salts"))
+  }
+
+  /** The decision [[skewProfile]] feeds: pick the physical join strategy
+    * for an equi-join BEFORE launching it. Rules, in order:
+    *   1. either side fits the broadcast budget (row count, the planner's
+    *      own proxy) → broadcast the smaller side: zero shuffle;
+    *   2. the shuffled key is skewed past `skewThreshold` → salted
+    *      shuffle with [[skewProfile]]'s capped salt count;
+    *   3. otherwise → plain shuffle (sort-merge / shuffled-hash, Spark's
+    *      choice).
+    * One row out; cost is two keyed counts — vanishing next to the join
+    * it sizes. Thresholds are explicit parameters so the policy is
+    * testable, not buried. */
+  def adviseJoin(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, label: String,
+      broadcastRows: Long = 1000000L, skewThreshold: Double = 4.0,
+      maxSalts: Int = 32): DataFrame = {
+    def side(df: DataFrame, key: String, prefix: String) =
+      skewProfile(df, key, prefix, maxSalts)
+        .select(col("n_rows").as(s"${prefix}_rows"),
+          col("n_keys").as(s"${prefix}_keys"),
+          col("skew_ratio").as(s"${prefix}_skew"),
+          col("recommended_salts").as(s"${prefix}_salts"))
+    side(left, leftKey, "left").crossJoin(side(right, rightKey, "right"))
+      .withColumn("strategy",
+        when(least(col("left_rows"), col("right_rows")) <= lit(broadcastRows),
+          when(col("right_rows") <= col("left_rows"), lit("broadcast_right"))
+            .otherwise(lit("broadcast_left")))
+        .when(greatest(col("left_skew"), col("right_skew")) >= lit(skewThreshold),
+          lit("salted_shuffle"))
+        .otherwise(lit("shuffle")))
+      .withColumn("salts",
+        when(col("strategy") === "salted_shuffle",
+          greatest(col("left_salts"), col("right_salts"))).otherwise(lit(1L)))
+      .select(lit(label).as("rel"), col("left_rows"), col("right_rows"),
+        col("left_keys"), col("right_keys"), col("left_skew"),
+        col("right_skew"), col("strategy"), col("salts"))
+  }
 }

@@ -60,4 +60,29 @@ object Layout {
         (Seq(max(col(statCols.head)).as(s"max_${statCols.head}")) ++
           statCols.tail.flatMap(c =>
             Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+
+  /** Compaction/write plan: for each partition of the output (e.g. per
+    * source), how many files to write and how many rows per file so files
+    * land near `targetBytes`. `bytes` is a per-row size proxy the caller
+    * owns (uncompressed text length, serialized width — anything summable),
+    * which keeps the plan engine-reproducible instead of depending on one
+    * engine's private size estimate. One map-side-combined groupBy; the
+    * plan is then executed with repartitionByRange(target_files) per group.
+    * This is the small-files defense at 100 TB: a thousand executors
+    * writing a partitioned table without a plan produce millions of
+    * KB-sized files; with one, file count is bytes/targetBytes by design. */
+  def compactionPlan(df: DataFrame, groupCols: Seq[String], bytes: Column,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(bytes).cast("long").as("est_bytes"))
+      .withColumn("target_files",
+        greatest(lit(1L), ceil(col("est_bytes").cast("double") /
+          lit(targetBytes.toDouble)).cast("long")))
+      .withColumn("rows_per_file",
+        ceil(col("n_rows").cast("double") /
+          col("target_files").cast("double")).cast("long"))
+      .withColumn("avg_row_bytes",
+        round(col("est_bytes").cast("double") / col("n_rows").cast("double"), 6))
+  }
 }

@@ -104,4 +104,45 @@ object Sketches {
       .groupBy((groupCols.map(col) :+ col("__item")): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
   }
+
+  // ----------------------------------------------------------- Histogram
+
+  /** Fixed-grid histogram sketch over a non-negative numeric column:
+    * bucket = min(floor(value/width), b-1), one count row per occupied
+    * (group, bucket). Mergeable by summing counts; shuffle bounded at
+    * groups x b rows however many input rows — the quantile companion to
+    * the HLL/CMS family (and, like them, engine-reproducible: the grid is
+    * the spec, not an engine's private digest). */
+  def histogramCells(df: DataFrame, groupCols: Seq[String], value: Column,
+      width: Double, b: Int): DataFrame = {
+    require(width > 0 && b >= 2, s"bad histogram shape width=$width b=$b")
+    df.select((groupCols.map(col) :+
+        least(floor(value / lit(width)).cast("long"), lit(b - 1L)).as("bucket")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimate from the histogram: rank r = ceil(p*total), walk the
+    * cumulative counts to the covering bucket, linear-interpolate inside
+    * it. Exact to within one grid cell — the error bound is `width`, by
+    * construction, independent of data size. */
+  def histogramQuantile(cells: DataFrame, groupCols: Seq[String], p: Double,
+      width: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val cum = grp.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__total", sum(col("n")).over(grp))
+      .withColumn("__cum", sum(col("n")).over(cum))
+      .withColumn("__rank",
+        greatest(lit(1L), ceil(lit(p) * col("__total")).cast("long")))
+      .filter(col("__cum") >= col("__rank"))
+      .withColumn("__pick", row_number().over(grp.orderBy(col("bucket"))))
+      .filter(col("__pick") === 1)
+      .select((groupCols.map(col) :+
+        (col("bucket").cast("double") * lit(width) + lit(width) *
+          (col("__rank") - (col("__cum") - col("n"))).cast("double") /
+          col("n").cast("double")).as("quantile_estimate")): _*)
+  }
 }

@@ -569,5 +569,127 @@ object Relational extends QueryModule {
           round(CAST(1.0 AS DOUBLE) - CAST(nab AS DOUBLE) / CAST(np AS DOUBLE), 6)
             AS prune_ratio
         FROM m"""
-      }))
+      }),
+
+    // ---------------------------------------------------------------- q96
+    // Join-key skew profiles for the three hot keys in the schema — the
+    // measurement that picks between plain shuffle, AQE skew-split, and
+    // JoinStrategies.saltedJoin BEFORE a 100 TB shuffle launches, instead
+    // of learning the hot key from a dying executor. One keyed count per
+    // relation (map-side combined) plus a one-row aggregate; the salt
+    // recommendation is ceil(max/mean) capped at 32.
+    QueryDef("q96_skew_profile",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.JoinStrategies.skewProfile
+        skewProfile(t(s, dir, "events"), "user_id", "events.user_id")
+          .unionByName(skewProfile(t(s, dir, "lineitem"), "l_suppkey",
+            "lineitem.l_suppkey"))
+          .unionByName(skewProfile(t(s, dir, "orders"), "o_custkey",
+            "orders.o_custkey"))
+          .orderBy($"rel")
+      },
+      Some {
+        def one(rel: String, key: String, table: String) = {
+          val skew = "round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)" +
+            " / CAST(sum(cnt) AS DOUBLE), 6)"
+          s"""SELECT '$rel' AS rel, CAST(sum(cnt) AS BIGINT) AS n_rows,
+            count(*) AS n_keys, max(cnt) AS max_cnt,
+            round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+            round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+              AS mean_cnt,
+            $skew AS skew_ratio,
+            CAST(least(32, greatest(1, CAST(ceil($skew) AS BIGINT)))
+              AS BIGINT) AS recommended_salts
+          FROM (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1)"""
+        }
+        s"""SELECT * FROM (
+          ${one("events.user_id", "user_id", "events")}
+          UNION ALL ${one("lineitem.l_suppkey", "l_suppkey", "lineitem")}
+          UNION ALL ${one("orders.o_custkey", "o_custkey", "orders")})
+        ORDER BY rel"""
+      }),
+
+    // ---------------------------------------------------------------- q97
+    // The decision q96's measurement feeds: a strategy verdict per
+    // prospective join — broadcast the smaller side when it fits the
+    // budget, salt when the shuffled key is skewed past threshold, plain
+    // shuffle otherwise. Three pairs exercise all three verdicts; the
+    // thresholds are explicit parameters (per-pair here), so the policy
+    // itself is what the oracle pins, not one engine's size estimate.
+    QueryDef("q97_join_advisor",
+      (s, dir) => {
+        import graft.operators.JoinStrategies.adviseJoin
+        adviseJoin(t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey", "orders*customer")
+          .unionByName(adviseJoin(t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "lineitem*orders",
+            broadcastRows = 1000L, skewThreshold = 100.0))
+          .unionByName(adviseJoin(t(s, dir, "lineitem"), "l_suppkey",
+            t(s, dir, "supplier"), "s_suppkey", "lineitem*supplier",
+            broadcastRows = 10L, skewThreshold = 1.0))
+          .orderBy(col("rel"))
+      },
+      Some {
+        def one(rel: String, lt: String, lk: String, rt: String, rk: String,
+            bRows: Long, skewThr: Double) = {
+          def prof(table: String, key: String, p: String) =
+            s"""(SELECT CAST(sum(cnt) AS BIGINT) AS ${p}_rows,
+              count(*) AS ${p}_keys,
+              round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                / CAST(sum(cnt) AS DOUBLE), 6) AS ${p}_skew,
+              least(32, greatest(1, CAST(ceil(
+                round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                  / CAST(sum(cnt) AS DOUBLE), 6)) AS BIGINT))) AS ${p}_salts
+            FROM (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1))"""
+          s"""SELECT '$rel' AS rel, left_rows, right_rows, left_keys,
+            right_keys, left_skew, right_skew,
+            CASE WHEN least(left_rows, right_rows) <= $bRows THEN
+                CASE WHEN right_rows <= left_rows THEN 'broadcast_right'
+                  ELSE 'broadcast_left' END
+              WHEN greatest(left_skew, right_skew)
+                  >= CAST($skewThr AS DOUBLE) THEN 'salted_shuffle'
+              ELSE 'shuffle' END AS strategy,
+            CASE WHEN least(left_rows, right_rows) > $bRows
+                AND greatest(left_skew, right_skew)
+                  >= CAST($skewThr AS DOUBLE)
+              THEN greatest(left_salts, right_salts)
+              ELSE CAST(1 AS BIGINT) END AS salts
+          FROM ${prof(lt, lk, "left")} AS l CROSS JOIN ${prof(rt, rk, "right")} AS r"""
+        }
+        s"""SELECT * FROM (
+          ${one("orders*customer", "orders", "o_custkey", "customer",
+            "c_custkey", 1000000L, 4.0)}
+          UNION ALL ${one("lineitem*orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey", 1000L, 100.0)}
+          UNION ALL ${one("lineitem*supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey", 10L, 1.0)})
+        ORDER BY rel"""
+      }),
+
+    // ---------------------------------------------------------------- q98
+    // Write/compaction plan for the documents corpus partitioned by
+    // source: files-per-partition and rows-per-file sized so output files
+    // land near the 64 KB target (scaled down for the fixture; the real
+    // knob is 256 MB-1 GB). One map-side-combined groupBy over a byte
+    // proxy the caller owns (n_chars), so the plan is engine-reproducible
+    // — this is the small-files defense for a 1000-executor write.
+    QueryDef("q98_compaction_plan",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Layout.compactionPlan(
+            t(s, dir, "documents"), Seq("source"), $"n_chars", 65536L)
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_rows,
+          CAST(sum(n_chars) AS BIGINT) AS est_bytes,
+          greatest(CAST(1 AS BIGINT), CAST(ceil(
+            CAST(sum(n_chars) AS DOUBLE) / 65536.0) AS BIGINT)) AS target_files,
+          CAST(ceil(CAST(count(*) AS DOUBLE) /
+            CAST(greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(sum(n_chars)
+              AS DOUBLE) / 65536.0) AS BIGINT)) AS DOUBLE)) AS BIGINT)
+            AS rows_per_file,
+          round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS avg_row_bytes
+        FROM documents GROUP BY source ORDER BY source""")))
 }

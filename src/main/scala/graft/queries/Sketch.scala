@@ -235,6 +235,82 @@ object Sketch extends QueryModule {
         JOIN est1 ea ON ea.source = sa
         JOIN est1 eb ON eb.source = sb
         JOIN estu eu USING (sa, sb)
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    // ---------------------------------------------------------------- q95
+    // Histogram-sketch quantiles vs exact: the mergeable quantile
+    // companion to q86/q87. The sketch is one groupBy bounded at
+    // groups x 256 rows whatever the corpus size (a 100 TB run publishes
+    // per-shard histograms and sums them); the estimate is provably within
+    // one grid cell of truth, pinned per row by within_bound. The oracle
+    // rebuilds the identical grid, so the estimates compare exactly.
+    QueryDef("q95_histogram_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val cells = Sketches.histogramCells(docs, Seq("source"), $"n_chars",
+          HistW, HistB)
+        val est = Seq(50 -> 0.5, 90 -> 0.9, 99 -> 0.99).map { case (tag, p) =>
+          Sketches.histogramQuantile(cells, Seq("source"), p, HistW)
+            .withColumn(s"est_p$tag", round($"quantile_estimate", 6))
+            .drop("quantile_estimate")
+        }.reduce(_.join(_, "source"))
+        docs.groupBy($"source")
+          .agg(round(expr("percentile(n_chars, 0.5)"), 6).as("exact_p50"),
+            round(expr("percentile(n_chars, 0.9)"), 6).as("exact_p90"),
+            round(expr("percentile(n_chars, 0.99)"), 6).as("exact_p99"))
+          .join(est, "source")
+          .select($"source", $"est_p50", $"exact_p50", $"est_p90",
+            $"exact_p90", $"est_p99", $"exact_p99",
+            (abs($"est_p50" - $"exact_p50") <= lit(HistW) &&
+              abs($"est_p90" - $"exact_p90") <= lit(HistW) &&
+              abs($"est_p99" - $"exact_p99") <= lit(HistW))
+              .as("within_bound"))
+          .orderBy($"source")
+      },
+      Some {
+        def pick(tag: String, p: String) =
+          s"""$tag AS (SELECT source, est FROM (
+              SELECT source, CAST(bucket AS DOUBLE) * $HistW + $HistW *
+                  CAST(rk - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE) AS est,
+                row_number() OVER (PARTITION BY source ORDER BY bucket) AS pk
+              FROM (SELECT *, greatest(1,
+                  CAST(ceil(CAST($p AS DOUBLE) * total) AS BIGINT)) AS rk
+                FROM hc)
+              WHERE cum >= greatest(1,
+                CAST(ceil(CAST($p AS DOUBLE) * total) AS BIGINT)))
+            WHERE pk = 1)"""
+        s"""WITH cells AS (SELECT source,
+              least(CAST(floor(n_chars / CAST($HistW AS DOUBLE)) AS BIGINT),
+                ${HistB - 1}) AS bucket, count(*) AS n
+            FROM documents GROUP BY 1, 2),
+          hc AS (SELECT source, bucket, n,
+              sum(n) OVER (PARTITION BY source ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(n) OVER (PARTITION BY source) AS total
+            FROM cells),
+          ${pick("e50", "0.5")},
+          ${pick("e90", "0.9")},
+          ${pick("e99", "0.99")},
+          ex AS (SELECT source,
+              round(quantile_cont(n_chars, 0.5), 6) AS exact_p50,
+              round(quantile_cont(n_chars, 0.9), 6) AS exact_p90,
+              round(quantile_cont(n_chars, 0.99), 6) AS exact_p99
+            FROM documents GROUP BY 1)
+        SELECT source, round(e50.est, 6) AS est_p50, exact_p50,
+          round(e90.est, 6) AS est_p90, exact_p90,
+          round(e99.est, 6) AS est_p99, exact_p99,
+          abs(round(e50.est, 6) - exact_p50) <= $HistW AND
+            abs(round(e90.est, 6) - exact_p90) <= $HistW AND
+            abs(round(e99.est, 6) - exact_p99) <= $HistW AS within_bound
+        FROM ex JOIN e50 USING (source) JOIN e90 USING (source)
+          JOIN e99 USING (source)
+        ORDER BY source"""
+      })
   )
+
+  // Histogram shape for q95: 16-char cells, 256 buckets (4 KB of longs per
+  // source — mergeable across shards by summing)
+  private val HistW = 16.0
+  private val HistB = 256
 }

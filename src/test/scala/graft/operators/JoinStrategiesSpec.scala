@@ -48,4 +48,59 @@ class JoinStrategiesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("skewProfile: balanced key recommends 1 salt, hot key recommends ceil(skew)") {
+    // balanced: 10 keys x 10 rows each → skew_ratio 1.0, salts 1
+    val balanced = (0 until 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
+    val b = JoinStrategies.skewProfile(balanced, "k", "balanced").collect().head
+    assert(b.getAs[Long]("n_rows") === 100L)
+    assert(b.getAs[Long]("n_keys") === 10L)
+    assert(b.getAs[Double]("skew_ratio") === 1.0)
+    assert(b.getAs[Long]("recommended_salts") === 1L)
+
+    // hot: one key holds 91 of 100 rows over 10 keys → skew 9.1 → 10 salts
+    val hot = ((1 to 91).map(i => (i.toLong, 0)) ++
+      (92 to 100).map(i => (i.toLong, i % 9 + 1))).toDF("id", "k")
+    val h = JoinStrategies.skewProfile(hot, "k", "hot").collect().head
+    assert(h.getAs[Long]("max_cnt") === 91L)
+    assert(h.getAs[Double]("skew_ratio") === 9.1)
+    assert(h.getAs[Long]("recommended_salts") === 10L)
+
+    // the cap: 999 rows on one key + 99 singleton keys → skew ~91, capped 32
+    val extreme = ((1 to 999).map(i => (i.toLong, 0)) ++
+      (1 to 99).map(i => (1000L + i, i))).toDF("id", "k")
+    val s = JoinStrategies.skewProfile(extreme, "k", "extreme", maxSalts = 32)
+      .collect().head
+    assert(s.getAs[Double]("skew_ratio") > 32.0)
+    assert(s.getAs[Long]("recommended_salts") === 32L)
+  }
+
+  test("adviseJoin picks broadcast / salted / shuffle by the stated rules") {
+    val big = (1 to 2000).map(i => (i.toLong, i % 100)).toDF("id", "k")
+    val small = (1 to 50).map(i => (i.toLong, i % 50)).toDF("id", "k")
+    val hot = ((1 to 1800).map(i => (i.toLong, 0)) ++
+      (1 to 200).map(i => (2000L + i, i % 99 + 1))).toDF("id", "k")
+
+    // rule 1: the smaller side fits the budget → broadcast it
+    val b = JoinStrategies.adviseJoin(big, "k", small, "k", "b",
+      broadcastRows = 100L).collect().head
+    assert(b.getAs[String]("strategy") === "broadcast_right")
+    assert(b.getAs[Long]("salts") === 1L)
+    val bl = JoinStrategies.adviseJoin(small, "k", big, "k", "bl",
+      broadcastRows = 100L).collect().head
+    assert(bl.getAs[String]("strategy") === "broadcast_left")
+
+    // rule 2: no broadcast fit, skew past threshold → salted with the
+    // bigger side's salt recommendation
+    val sa = JoinStrategies.adviseJoin(hot, "k", big, "k", "sa",
+      broadcastRows = 10L, skewThreshold = 4.0).collect().head
+    assert(sa.getAs[String]("strategy") === "salted_shuffle")
+    assert(sa.getAs[Long]("salts") > 1L)
+
+    // rule 3: neither → plain shuffle
+    val sh = JoinStrategies.adviseJoin(big, "k", big, "k", "sh",
+      broadcastRows = 10L, skewThreshold = 4.0).collect().head
+    assert(sh.getAs[String]("strategy") === "shuffle")
+    assert(sh.getAs[Long]("salts") === 1L)
+  }
 }

@@ -60,4 +60,25 @@ class LayoutSpec extends SparkSpec {
     // same rows survive either layout (clustering is a permutation)
     assert(spark.read.parquet(s"$dir/z").count() === events.count())
   }
+
+  test("compactionPlan sizes files to the byte target") {
+    // group a: 100 rows x 1000 bytes = 100 KB at a 64 KB target → 2 files
+    // group b: 10 rows x 100 bytes = 1 KB → floor at 1 file
+    val df = ((1 to 100).map(i => ("a", 1000L)) ++
+      (1 to 10).map(i => ("b", 100L))).toDF("g", "nbytes")
+    val plan = Layout.compactionPlan(df, Seq("g"), $"nbytes", 65536L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+          r.getAs[Long]("target_files"), r.getAs[Long]("rows_per_file")))
+      .toMap
+    assert(plan("a") === ((100L, 100000L, 2L, 50L)))
+    assert(plan("b") === ((10L, 1000L, 1L, 10L)))
+
+    // the invariant the plan exists for: no partition exceeds ~target
+    // bytes per file once split into target_files pieces
+    plan.values.foreach { case (_, bytes, files, _) =>
+      assert(bytes.toDouble / files <= 65536.0 ||
+        files >= Math.ceil(bytes / 65536.0).toLong)
+    }
+  }
 }

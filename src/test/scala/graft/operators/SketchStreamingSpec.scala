@@ -83,4 +83,44 @@ class SketchStreamingSpec extends SparkSpec {
       .collect().head.getAs[Long]("cms_estimate")
     assert(est === 42L)
   }
+
+  test("streaming histogram cells across batches == batch cells over the union") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Double]
+    val cells = Sketches.histogramCells(
+      stream.toDF().withColumnRenamed("value", "v").withColumn("g", lit(1)),
+      Seq("g"), col("v"), width = 5.0, b = 32)
+    val q = cells.writeStream
+      .format("memory").queryName("hist_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData((1 to 300).map(i => (i % 90).toDouble): _*)
+      q.processAllAvailable()
+      stream.addData((1 to 200).map(i => (i * 3 % 145).toDouble): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hist_stream")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val batch = Sketches.histogramCells(
+        ((1 to 300).map(i => (i % 90).toDouble) ++
+          (1 to 200).map(i => (i * 3 % 145).toDouble)).toDF("v")
+          .withColumn("g", lit(1)),
+        Seq("g"), col("v"), width = 5.0, b = 32)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "cross-trigger streaming histogram must equal the batch histogram")
+
+    // quantiles read off the streamed cells match quantiles off batch cells
+    val sq = Sketches.histogramQuantile(spark.table("hist_stream"), Seq("g"),
+      0.9, 5.0).collect().head.getAs[Double]("quantile_estimate")
+    val bq = Sketches.histogramQuantile(
+      Sketches.histogramCells(
+        ((1 to 300).map(i => (i % 90).toDouble) ++
+          (1 to 200).map(i => (i * 3 % 145).toDouble)).toDF("v")
+          .withColumn("g", lit(1)), Seq("g"), col("v"), 5.0, 32),
+      Seq("g"), 0.9, 5.0).collect().head.getAs[Double]("quantile_estimate")
+    assert(sq === bq)
+  }
 }

@@ -61,4 +61,43 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getAs[Long]("cms_estimate")
     assert(est === 15L)
   }
+
+  test("histogram quantile is within one cell width of the exact percentile") {
+    // skewed fixture: heavy mass at low values plus a long tail
+    val vals = ((1 to 900).map(i => (i % 50).toDouble) ++
+      (1 to 100).map(i => (i * 7 % 400).toDouble)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vals.toDF("id", "v").withColumn("g", lit(1))
+    val w = 8.0
+    val cells = Sketches.histogramCells(df, Seq("g"), $"v", w, 64)
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val est = Sketches.histogramQuantile(cells, Seq("g"), p, w)
+        .collect().head.getAs[Double]("quantile_estimate")
+      val exact = df.agg(expr(s"percentile(v, $p)")).head.getDouble(0)
+      assert(math.abs(est - exact) <= w,
+        s"p=$p: estimate $est vs exact $exact exceeds cell width $w")
+    }
+  }
+
+  test("histogram cells merge by sum: sharded build equals whole build") {
+    val all = (1 to 1000).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v")
+      .withColumn("g", lit(1))
+    val (a, b) = ((1 to 500), (501 to 1000))
+    def shard(r: Range) = Sketches.histogramCells(
+      r.map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v")
+        .withColumn("g", lit(1)), Seq("g"), $"v", 4.0, 32)
+    val merged = shard(a).unionByName(shard(b))
+      .groupBy($"g", $"bucket").agg(sum($"n").as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val whole = Sketches.histogramCells(all, Seq("g"), $"v", 4.0, 32)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
+  test("histogram clamps overflow values into the top bucket") {
+    val df = Seq((1L, 5.0), (2L, 1e9)).toDF("id", "v").withColumn("g", lit(1))
+    val buckets = Sketches.histogramCells(df, Seq("g"), $"v", 10.0, 16)
+      .collect().map(_.getLong(1)).sorted
+    assert(buckets === Array(0L, 15L))
+  }
 }
