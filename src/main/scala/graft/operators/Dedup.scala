@@ -732,4 +732,95 @@ object Dedup {
     withSim.unpersist(blocking = false)
     cands
   }
+
+  // -------------------------------------------------- incremental ingest
+
+  /** Cross-corpus LSH candidates: (corpus id, incoming id) pairs that share
+    * a MinHash band bucket. Unlike [[minhashCandidates]]' self-join, each
+    * side is banded separately and joined corpus-against-incoming only —
+    * the candidate set scales with |incoming| × collision rate, never with
+    * |corpus|², which is what makes re-deduplicating a 100 TB corpus on
+    * every ingest batch unnecessary. */
+  def crossCandidates(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    def banded(docs: DataFrame) = {
+      val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
+      sig.select(col("id"), posexplode(
+        array((0 until bands).map { b =>
+          xxhash64((lit(b) +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1))): _*)
+        }: _*)).as(Seq("band", "bucket")))
+    }
+    // cap only the corpus side: it is the one that grows without bound
+    val l = capBuckets(banded(corpus), Seq("band", "bucket"), maxBucket,
+      "crossCandidates").as("l")
+    val r = banded(incoming).as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** Ingest-time verdict for each incoming document against an existing
+    * corpus: `exact_dup` (verbatim text already present — md5 semi-join),
+    * `near_dup` (shares a band bucket with a corpus doc and refines to
+    * Jaccard >= threshold; the max such Jaccard is reported), else
+    * `accepted`. The shape a production pipeline runs per batch: every
+    * join is keyed by content hash or LSH bucket, the corpus is never
+    * pairwise-compared with itself, and the text of corpus docs is only
+    * read for the (tiny) candidate set. */
+  /** Flag the canonical member of each near-dup cluster: the member a
+    * production pipeline KEEPS. Highest score wins; ascending id breaks
+    * ties deterministically. `members` = (id, cluster, score, ...); one
+    * cluster-keyed window pass, no self-join. This replaces min-id
+    * canonicalization ([[nearDupClusters]]' label) as the keep-policy:
+    * the label is for identity, the score is for survival. */
+  def canonicalByScore(members: DataFrame, scoreCol: String,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    members.withColumn("is_canonical", row_number().over(w) === 1)
+  }
+
+  def incrementalVerdicts(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val exact = incoming
+      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
+        md5(incoming(textCol)) === col("__h"), "left_semi")
+      .select(col(idCol), lit("exact_dup").as("__verdict"))
+    val near = refineByJaccard(
+        corpus.select(col(idCol), col(textCol))
+          .unionByName(incoming.select(col(idCol), col(textCol))),
+        crossCandidates(corpus, incoming, textCol, idCol, k, bands, shingle,
+          maxBucket),
+        threshold, textCol, idCol, shingle)
+      .groupBy(col("id_b").as(idCol))
+      .agg(max(col("jaccard")).as("best_jaccard"))
+    incoming.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__verdict"),
+          when(col("best_jaccard").isNotNull, lit("near_dup"))
+            .otherwise(lit("accepted"))).as("verdict"),
+        when(col("__verdict").isNull, col("best_jaccard")).as("best_jaccard"))
+  }
 }

@@ -56,16 +56,25 @@ object JoinStrategies {
     * measurement that decides BETWEEN the strategies above before a 100 TB
     * shuffle is launched, instead of discovering the hot key from a dying
     * executor. One keyed count plus one tiny aggregate; emits the max/mean
-    * skew ratio, the exact p99 per-key count, and a salt recommendation
-    * (ceil of the skew ratio, capped, 1 when the key is balanced). */
+    * skew ratio, the p99 per-key count, and a salt recommendation
+    * (ceil of the skew ratio, capped, 1 when the key is balanced).
+    *
+    * `exactP99 = false` (the production default) uses approx_percentile:
+    * Spark's exact `percentile` buffers every distinct per-key count in one
+    * aggregation buffer, which at a billion keys is an executor OOM — the
+    * GK sketch is bounded regardless of key cardinality. The oracle-pinned
+    * catalog query (q96) passes `exactP99 = true` so the compare is exact;
+    * the two modes differ only in that one column. */
   def skewProfile(df: DataFrame, key: String, label: String,
-      maxSalts: Int = 32): DataFrame = {
+      maxSalts: Int = 32, exactP99: Boolean = false): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val p99 = if (exactP99) expr("percentile(cnt, 0.99)")
+      else expr("approx_percentile(cnt, 0.99, 10000)").cast("double")
     counts.agg(
         sum(col("cnt")).cast("long").as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("cnt")).as("max_cnt"),
-        round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+        round(p99, 6).as("p99_cnt"))
       .withColumn("mean_cnt",
         round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6))
       .withColumn("skew_ratio",

@@ -85,4 +85,32 @@ object Layout {
       .withColumn("avg_row_bytes",
         round(col("est_bytes").cast("double") / col("n_rows").cast("double"), 6))
   }
+
+  /** Range-partition split points for `value`: the n-1 interior quantiles
+    * at i/n, i = 1..n-1 — what `repartitionByRange` estimates by sampling,
+    * computed declaratively (one interpolated-percentile aggregate) so the
+    * boundary choice is inspectable and engine-reproducible. One row per
+    * boundary: (bucket upper-bounded by it, boundary value). */
+  def rangeSplitPoints(df: DataFrame, valueCol: String, n: Int): DataFrame = {
+    require(n >= 2, "need at least 2 partitions")
+    val ps = (1 until n).map(i => i.toDouble / n)
+    df.agg(expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "boundary")))
+      .select((col("i") + 1).cast("long").as("bucket"), col("boundary"))
+  }
+
+  /** Audit of the layout those split points produce: per-bucket row count.
+    * Bucket of a row = number of boundaries strictly below its value (ties
+    * go to the lower bucket). The n-1 boundaries collapse to ONE array row
+    * cross-joined in (broadcast: no shuffle of `df`), bucket assignment is
+    * a codegen'd array fold per row, and the only shuffle is the final
+    * n-row count — the audit costs one scan, nothing next to the
+    * repartitionByRange it validates. */
+  def rangeBalance(df: DataFrame, value: Column, boundaries: DataFrame): DataFrame = {
+    val arr = boundaries.agg(sort_array(collect_list(col("boundary"))).as("__bs"))
+    df.select(value.as("__v")).crossJoin(broadcast(arr))
+      .select(aggregate(col("__bs"), lit(0L),
+        (acc, x) => acc + when(col("__v") > x, 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+  }
 }

@@ -582,10 +582,12 @@ object Relational extends QueryModule {
       (s, dir) => {
         import s.implicits._
         import graft.operators.JoinStrategies.skewProfile
-        skewProfile(t(s, dir, "events"), "user_id", "events.user_id")
-          .unionByName(skewProfile(t(s, dir, "lineitem"), "l_suppkey",
+        def p(df: org.apache.spark.sql.DataFrame, key: String, label: String) =
+          skewProfile(df, key, label, exactP99 = true)
+        p(t(s, dir, "events"), "user_id", "events.user_id")
+          .unionByName(p(t(s, dir, "lineitem"), "l_suppkey",
             "lineitem.l_suppkey"))
-          .unionByName(skewProfile(t(s, dir, "orders"), "o_custkey",
+          .unionByName(p(t(s, dir, "orders"), "o_custkey",
             "orders.o_custkey"))
           .orderBy($"rel")
       },
@@ -691,5 +693,43 @@ object Relational extends QueryModule {
             AS rows_per_file,
           round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
             AS avg_row_bytes
-        FROM documents GROUP BY source ORDER BY source""")))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q99
+    // Range-partition layout audit: the 7 interior octile boundaries of
+    // documents.n_chars (what repartitionByRange(8) would aim at) and the
+    // row count + fraction each resulting bucket actually receives. The
+    // boundaries are ONE interpolated-percentile aggregate; bucket
+    // assignment is a broadcast array fold (no shuffle of the corpus);
+    // the only exchange is the 8-row count. Octiles (p = i/8) keep the
+    // interpolation arithmetic exact in binary floating point, so the
+    // DuckDB quantile_cont boundaries are bit-identical.
+    QueryDef("q99_range_layout_audit",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val bounds = graft.operators.Layout.rangeSplitPoints(docs, "n_chars", 8)
+        val bal = graft.operators.Layout.rangeBalance(docs, $"n_chars", bounds)
+        val tot = bal.agg(sum($"n_rows").cast("long").as("__t"))
+        bal.crossJoin(broadcast(tot))
+          .join(bounds.select(($"bucket" - 1).as("bucket"),
+            $"boundary".as("ub")), Seq("bucket"), "left")
+          .select($"bucket", round($"ub", 6).as("upper_boundary"), $"n_rows",
+            round($"n_rows".cast("double") / $"__t".cast("double"), 6)
+              .as("frac"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH qs AS (SELECT quantile_cont(n_chars,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+          FROM documents),
+        b AS (SELECT CAST(len(list_filter((SELECT q FROM qs),
+            x -> n_chars > x)) AS BIGINT) AS bucket FROM documents),
+        bal AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY bucket),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM bal)
+        SELECT bucket,
+          round((SELECT q FROM qs)[CAST(bucket + 1 AS INTEGER)], 6)
+            AS upper_boundary,
+          n_rows,
+          round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS frac
+        FROM bal CROSS JOIN tot ORDER BY bucket""")))
 }

@@ -1353,5 +1353,132 @@ object Text extends QueryModule {
           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
           round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
           max(n_chars) AS max_chars
-        FROM documents GROUP BY source ORDER BY source""")))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // --------------------------------------------------------------- q100
+    // Incremental ingest: every 5th document plays the incoming batch, the
+    // rest the existing corpus. Each incoming doc gets one verdict —
+    // exact_dup (verbatim text already in the corpus, md5 semi-join),
+    // near_dup (LSH band collision with a corpus doc refining to
+    // Jaccard >= 0.5; best Jaccard reported), accepted. Scale story: the
+    // corpus is never self-joined — candidates are corpus×batch within
+    // (band, bucket) only, so re-ingesting into a 100 TB corpus costs
+    // O(batch), not O(corpus²). The oracle plays the exhaustive
+    // cross-scan; recall 1 at this threshold on the bimodal fixture (the
+    // same empirical contract as q46, re-verified at both SFs).
+    QueryDef("q100_incremental_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalVerdicts(
+            docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+            threshold = 0.5)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        ex AS (SELECT DISTINCT i.doc_id FROM inc i
+          JOIN corp c ON md5(i.text) = md5(c.text)),
+        si AS (SELECT doc_id, $shinglesSql AS sh FROM inc),
+        sc AS (SELECT doc_id, $shinglesSql AS sh FROM corp),
+        jp AS (SELECT a.doc_id,
+            len(list_filter(a.sh, x -> list_contains(c.sh, x))) AS i2,
+            len(a.sh) AS la, len(c.sh) AS lb
+          FROM si a JOIN sc c ON true),
+        nd AS (SELECT doc_id, max(j) AS bj FROM (
+            SELECT doc_id, round(CASE WHEN la + lb - i2 > 0
+              THEN i2 * 1.0 / (la + lb - i2) ELSE 0.0 END, 6) AS j FROM jp)
+          WHERE j >= 0.5 GROUP BY doc_id)
+        SELECT i.doc_id,
+          CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nd.bj IS NOT NULL THEN 'near_dup'
+            ELSE 'accepted' END AS verdict,
+          CASE WHEN ex.doc_id IS NULL
+            THEN CAST(nd.bj AS DOUBLE) END AS best_jaccard
+        FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+          LEFT JOIN nd ON i.doc_id = nd.doc_id
+        ORDER BY i.doc_id""")),
+
+    // --------------------------------------------------------------- q101
+    // Keep-policy canonicalization: q58 labels clusters with the MIN id
+    // (identity); production keeps the BEST member. Every doc gets its
+    // cluster, its quality score, and an is_canonical flag — highest
+    // quality wins, ascending id breaks ties. One cluster-keyed window
+    // pass on top of the pair graph; the O(n²) closure exists only in the
+    // oracle.
+    QueryDef("q101_canonical_by_quality",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.nearDupClusters(
+          Dedup.minhashNearDups(docs, threshold = 0.5))
+        val members = docs
+          .select($"doc_id", TextFunctions.qualityScore($"text").as("quality"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+            $"quality")
+        Dedup.canonicalByScore(members, "quality").orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b FROM jp
+          WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT e.src AS node, t.r FROM edges e JOIN reach t ON e.dst = t.node),
+        mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node),
+        m AS (SELECT d.doc_id,
+            COALESCE(LEAST(d.doc_id, mm.mn), d.doc_id) AS cluster_id,
+            $qualitySql AS quality
+          FROM documents d LEFT JOIN mins mm ON d.doc_id = mm.node)
+        SELECT doc_id, cluster_id, quality,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id) = 1 AS is_canonical
+        FROM m ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q102
+    // Token-budget corpus assembly: per source, take docs best-quality-
+    // first until a 5,000-token budget is filled (a doc enters only if it
+    // fits whole). The selection is one source-keyed window cumsum — no
+    // driver loop, no global sort; per-source summary out. The real-world
+    // shape: "give me the best N tokens per domain" under a training
+    // budget.
+    QueryDef("q102_token_budget_selection",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val scored = t(s, dir, "documents")
+          .select($"source", $"doc_id",
+            TextFunctions.qualityScore($"text").as("quality"),
+            TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+        val w = Window.partitionBy($"source")
+          .orderBy($"quality".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.withColumn("cum", sum($"n_tokens").over(w))
+          .filter($"cum" <= 5000L)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_selected"),
+            sum($"n_tokens").cast("long").as("tokens_selected"),
+            round(sum($"n_tokens").cast("double") /
+              lit(5000.0), 6).as("budget_frac"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH sc AS (SELECT source, doc_id, $qualitySql AS quality,
+            CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM sc)
+        SELECT source, count(*) AS n_selected,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+          round(CAST(sum(n_tokens) AS DOUBLE) / CAST(5000 AS DOUBLE), 6)
+            AS budget_frac
+        FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source""")))
 }

@@ -358,4 +358,51 @@ class DedupSpec extends SparkSpec {
       .select(size($"fingerprints")).head().getInt(0).toLong
     assert(nShared <= doc2Fps)
   }
+
+  test("incrementalVerdicts: exact dup, near dup, accepted — and corpus never self-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different text about distributed query engines at scale"),
+      // corpus-internal near-dups: must NOT appear in the output at all
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                                   // exact
+      (11L, base.replace("today", "tomorrow")),                      // near
+      (12L, "unrelated fresh content with entirely novel vocabulary words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalVerdicts(corpus, incoming, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L), "one verdict per incoming doc")
+    assert(got(10L)._1 === "exact_dup")
+    assert(got(10L)._2.isEmpty, "exact dups carry no jaccard")
+    assert(got(11L)._1 === "near_dup")
+    assert(got(11L)._2.exists(j => j >= 0.5 && j < 1.0))
+    assert(got(12L)._1 === "accepted")
+    assert(got(12L)._2.isEmpty)
+  }
+
+  test("canonicalByScore keeps the best-scored member, id ascending on ties") {
+    val members = Seq(
+      (1L, 1L, 0.3), (2L, 1L, 0.9), (3L, 1L, 0.9), // cluster 1: 2 wins (tie, lower id)
+      (7L, 7L, 0.1))                               // singleton: canonical by default
+      .toDF("doc_id", "cluster_id", "quality")
+    val got = Dedup.canonicalByScore(members, "quality")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
+  }
+
+  test("crossCandidates pairs corpus x incoming only, never corpus x corpus") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
+    val incoming = Seq((10L, dup), (11L, "nothing in common with anything else here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCandidates(corpus, incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the corpus-internal (1,2) dup pair must be absent; both cross pairs present
+    assert(pairs === Set((1L, 10L), (2L, 10L)))
+  }
 }

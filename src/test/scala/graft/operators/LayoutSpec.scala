@@ -81,4 +81,33 @@ class LayoutSpec extends SparkSpec {
         files >= Math.ceil(bytes / 65536.0).toLong)
     }
   }
+
+  test("rangeSplitPoints octiles of 0..799 land on the exact interpolated values") {
+    val df = (0 until 800).map(_.toLong).toDF("v")
+    val got = Layout.rangeSplitPoints(df, "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // percentile(p) over 0..799 = p * 799
+    val want = (1 to 7).map(i => i.toLong -> i / 8.0 * 799).toMap
+    assert(got === want)
+  }
+
+  test("rangeBalance on uniform data is near-perfectly balanced") {
+    val df = (0 until 800).map(_.toLong).toDF("v")
+    val bounds = Layout.rangeSplitPoints(df, "v", 8)
+    val bal = Layout.rangeBalance(df, $"v", bounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bal.keySet === (0L to 7L).toSet, s"all 8 buckets occupied: $bal")
+    assert(bal.values.sum === 800L)
+    // uniform input + exact octiles: every bucket within 1 of 100
+    bal.values.foreach(n => assert(math.abs(n - 100L) <= 1L, s"unbalanced: $bal"))
+  }
+
+  test("rangeBalance sends boundary ties to the lower bucket") {
+    // boundaries at 10 and 20; value exactly 10 goes to bucket 0
+    val bounds = Seq((1L, 10.0), (2L, 20.0)).toDF("bucket", "boundary")
+    val df = Seq(5L, 10L, 15L, 20L, 25L).toDF("v")
+    val bal = Layout.rangeBalance(df, $"v", bounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bal === Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+  }
 }
