@@ -213,4 +213,31 @@ object Sampling {
         coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))
       .withColumn("bin", floor(col("tokens_before") / lit(budget.toDouble)).cast("bigint"))
   }
+
+  /** Deterministic multi-epoch shuffle: for each of `epochs` training
+    * epochs, every document gets an independent pseudo-random (shard,
+    * order_key) — shard from the md5 epoch-key's leading 16 bits mod
+    * `shards`, order from the full key. Writing each (epoch, shard)
+    * sorted by order_key yields a different stable permutation per epoch
+    * with NO global sort: the shard assignment is per-row arithmetic and
+    * the per-shard sorts are independent — exactly how a 100 TB corpus is
+    * epoch-shuffled in practice (a `rand()` shuffle is neither stable
+    * under retries nor reproducible across engines). One output row per
+    * (doc, epoch): epochs-fold fan-out, so callers materialize per epoch,
+    * not all epochs at once, at full scale. */
+  def epochShards(
+      docs: DataFrame,
+      epochs: Int,
+      shards: Int,
+      idCol: String = "doc_id",
+      salt: String = "graft-epoch"): DataFrame = {
+    require(epochs > 0 && shards > 0, s"bad epochs=$epochs shards=$shards")
+    val key = md5(concat(lit(salt), lit("-"), col("epoch").cast("string"),
+      lit(":"), col(idCol).cast("string")))
+    docs.select(col(idCol), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("order_key", key)
+      .withColumn("shard",
+        (conv(substring(col("order_key"), 1, 4), 16, 10).cast("long")
+          % shards).cast("long"))
+  }
 }

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.functions.TextFunctions
+
 /** Streaming near-duplicate detection at ingestion — the LSH analogue of
   * [[Dedup.exactStreaming]]: each arriving document is routed to its
   * MinHash band bucket (the SAME bucket formula as the batch
@@ -159,6 +161,54 @@ object StreamingDedup {
     in.groupByKey(_.bucket)(Encoders.scalaLong)
       .transformWithState(new Processor(threshold, shingle, ttl),
         timeMode, OutputMode.Update())(Encoders.product[Verdict])
+  }
+
+  /** Stream-vs-static near-dup gate: match each streaming document against
+    * a FIXED reference corpus (the already-ingested 100 TB) — the
+    * streaming face of [[Dedup.crossCandidates]]. The corpus is banded
+    * ONCE into two static frames (a (band, bucket, id) bucket table and an
+    * (id, shingles) refinement table — at scale both live as bucketed
+    * parquet, built once per corpus version, not per batch); each
+    * micro-batch maps its docs to all-band buckets, inner-joins the bucket
+    * table (stream-static join: stateless, no watermark), refines with the
+    * SAME rounded exact-Jaccard as the batch path, and emits ONE
+    * [[Verdict]] per flagged doc (best-jaccard corpus owner; absence =
+    * accepted). Multi-band collisions collapse through the stateless
+    * [[CombineProcessor]] — a doc's banded rows travel in one micro-batch,
+    * so no cross-batch state exists anywhere in this gate (a streaming
+    * dropDuplicates would instead accrete pair state forever). */
+  def corpusGate(
+      stream: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3): Dataset[Verdict] = {
+    val corpusBuckets = corpus.select(col(idCol).as("corpus_id"), posexplode(
+        array((0 until bands).map(b =>
+          bandBucket(col(textCol), b, k, bands, shingle)): _*))
+        .as(Seq("band", "bucket")))
+    val corpusSh = corpus.select(col(idCol).as("corpus_id"),
+      TextFunctions.distinctShingles(col(textCol), shingle).as("corpus_sh"))
+    val streamBanded = stream.select(col(idCol).as("id"),
+        TextFunctions.distinctShingles(col(textCol), shingle).as("sh"),
+        posexplode(array((0 until bands).map(b =>
+          bandBucket(col(textCol), b, k, bands, shingle)): _*))
+          .as(Seq("band", "bucket")))
+    streamBanded
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .join(corpusSh, Seq("corpus_id"))
+      .select(col("id").cast("string").as("id"), lit(true).as("near_dup"),
+        col("corpus_id").cast("string").as("dup_of"),
+        round(TextFunctions.jaccard(col("sh"), col("corpus_sh")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .as[Verdict](Encoders.product[Verdict])
+      .groupByKey(_.id)(Encoders.STRING)
+      .transformWithState(new CombineProcessor,
+        TimeMode.None(), OutputMode.Update())(Encoders.product[Verdict])
   }
 
   final case class FpDoc(id: String, fph: Long)

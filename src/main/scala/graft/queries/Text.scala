@@ -1480,5 +1480,35 @@ object Text extends QueryModule {
           CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
           round(CAST(sum(n_tokens) AS DOUBLE) / CAST(5000 AS DOUBLE), 6)
             AS budget_frac
-        FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source""")))
+        FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source""")),
+
+    // --------------------------------------------------------------- q103
+    // Deterministic multi-epoch shuffle: each doc gets an independent
+    // md5-derived (shard, order_key) per epoch — a different stable
+    // permutation per epoch with NO global sort and no rand() (retry- and
+    // engine-reproducible). Audited as per-(epoch, shard) occupancy: 3×32
+    // rows whatever the corpus size; near-uniform counts are the
+    // correctness of the shuffle. Shard = leading 16 md5 bits mod 32,
+    // mirrored in the oracle via explicit hex-char arithmetic.
+    QueryDef("q103_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.epochShards(t(s, dir, "documents"), epochs = 3, shards = 32)
+          .groupBy($"epoch", $"shard")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"epoch", $"shard")
+      },
+      Some {
+        def hx(i: Int) =
+          s"(CASE WHEN ascii(substring(k, $i, 1)) >= 97 THEN ascii(substring(k, $i, 1)) - 87 ELSE ascii(substring(k, $i, 1)) - 48 END)"
+        s"""WITH e AS (SELECT doc_id, epoch FROM documents
+            CROSS JOIN (VALUES (0), (1), (2)) AS t(epoch)),
+          kk AS (SELECT epoch, md5('graft-epoch-' || CAST(epoch AS VARCHAR)
+              || ':' || CAST(doc_id AS VARCHAR)) AS k FROM e)
+        SELECT epoch,
+          CAST(((((${hx(1)} * 16 + ${hx(2)}) * 16 + ${hx(3)}) * 16 + ${hx(4)})
+            % 32) AS BIGINT) AS shard,
+          count(*) AS n_docs
+        FROM kk GROUP BY 1, 2 ORDER BY epoch, shard"""
+      }))
 }

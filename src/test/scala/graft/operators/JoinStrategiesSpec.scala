@@ -103,4 +103,23 @@ class JoinStrategiesSpec extends SparkSpec {
     assert(sh.getAs[String]("strategy") === "shuffle")
     assert(sh.getAs[Long]("salts") === 1L)
   }
+
+  test("identical aggregation subplans share ONE exchange (ReusedExchange)") {
+    // agg joined with a reduction of itself: the o_custkey exchange must be
+    // planned once and reused, not shuffled twice — the pattern behind
+    // "compare each group to the global extreme" queries at 100 TB
+    // AQE finalizes reuse at runtime (stage-level); disable it so the
+    // static planner's ReuseExchange rule is visible in the plan text
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val orders = Tables(spark, sf0001, "orders")
+      val agg = orders.groupBy($"o_custkey").agg(sum($"o_totalprice").as("rev"))
+      val joined = agg.crossJoin(broadcast(agg.agg(max($"rev").as("mx"))))
+        .withColumn("share", $"rev" / $"mx")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected the aggregation exchange to be reused, got:\n$plan")
+      assert(joined.count() === agg.count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

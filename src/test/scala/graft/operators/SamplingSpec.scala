@@ -189,4 +189,29 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("epochShards: full coverage per epoch, distinct stable permutations") {
+    val docs = (1 to 1000).map(_.toLong).toDF("doc_id")
+    val a = Sampling.epochShards(docs, epochs = 3, shards = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+
+    // every (doc, epoch) exactly once; shards in range
+    assert(a.length === 3000)
+    assert(a.map(t => (t._1, t._2)).distinct.length === 3000)
+    assert(a.forall(t => t._4 >= 0 && t._4 < 16))
+
+    // epochs produce DIFFERENT orders: doc ranking by key differs across epochs
+    def order(e: Int) = a.filter(_._2 == e).sortBy(_._3).map(_._1).toSeq
+    assert(order(0) !== order(1))
+    assert(order(1) !== order(2))
+
+    // determinism: a second evaluation is identical
+    val b = Sampling.epochShards(docs, epochs = 3, shards = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(a.sortBy(t => (t._1, t._2)) === b.sortBy(t => (t._1, t._2)))
+
+    // occupancy is near-uniform: no shard more than 2x the mean
+    val occ = a.filter(_._2 == 0).groupBy(_._4).map(_._2.length)
+    assert(occ.max <= 2 * (1000 / 16), s"skewed shards: $occ")
+  }
 }

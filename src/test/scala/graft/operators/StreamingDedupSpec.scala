@@ -294,4 +294,39 @@ class StreamingDedupSpec extends SparkSpec {
     assert(p3("3")._1 && p3("3")._2 === Some("2"),
       "evicted windows re-claim: the passage attributes to the NEW owner")
   }
+
+  test("corpusGate: stream flagged against a static corpus, stateless across batches") {
+    val corpus = Seq((100L, base), (101L, different)).toDF("doc_id", "text")
+    graft.streaming.Pipelines.configureStateStore(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-corpusgate").toString
+    val q = StreamingDedup.corpusGate(
+        stream.toDF().toDF("doc_id", "text"), corpus, threshold = 0.5)
+      .writeStream.queryName("corpusgate_t").outputMode("update").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData((1L, nearDup), (2L, "totally novel words nowhere in the corpus at all"))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, nearDup))) // second batch: static corpus still matches
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.table("corpusgate_t")
+      .collect().map(r => r.getAs[String]("id") ->
+        (Option(r.getAs[String]("dup_of")), r.getAs[Double]("jaccard")))
+      .toMap
+    // only flagged docs are emitted: absence of doc 2 IS its acceptance
+    assert(verdicts.keySet === Set("1", "3"))
+    assert(verdicts("1")._1 === Some("100"))
+    assert(verdicts("3")._1 === Some("100"),
+      "a later batch matches the static corpus identically")
+    // exact jaccard equals the batch refinement value, both batches
+    val batchJ = StreamingDedup.jaccardSorted(
+      StreamingDedup.hashSet(base, 3), StreamingDedup.hashSet(nearDup, 3))
+    assert(math.abs(verdicts("1")._2 - batchJ) < 1e-6)
+    assert(verdicts("1")._2 === verdicts("3")._2)
+  }
 }
