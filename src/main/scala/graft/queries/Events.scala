@@ -606,7 +606,52 @@ object Events extends QueryModule {
           CAST(cohort_size AS BIGINT) AS cohort_size,
           round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
             AS retention
-        FROM ret JOIN sz USING (cohort) ORDER BY cohort, day_offset""")))
+        FROM ret JOIN sz USING (cohort) ORDER BY cohort, day_offset""")),
+
+    // --------------------------------------------------------------- q104
+    // Point-in-time enrichment against the SCD2 dimension q90 builds: each
+    // event joins the version whose [valid_from, valid_to) interval covers
+    // its timestamp — the temporal-join correctness test every warehouse
+    // gets wrong first (joining is_current instead). Per (user, version)
+    // event counts out. Plan shape: ONE user_id equi-join carrying the
+    // interval predicate as a join filter — no range explosion, and the
+    // history side is versions (tiny) while events stream through.
+    QueryDef("q104_pit_enrichment",
+      (s, dir) => {
+        import s.implicits._
+        val log = t(s, dir, "events")
+          .select($"user_id", $"ts", $"value", $"event_id")
+        val hist = graft.operators.Scd2.fromLog(
+          log, "user_id", "ts", "value", "event_id")
+        val ev = t(s, dir, "events").select($"user_id".as("u"), $"ts".as("ets"))
+        ev.join(hist, $"u" === $"user_id" && $"ets" >= $"valid_from" &&
+            ($"valid_to".isNull || $"ets" < $"valid_to"))
+          .groupBy($"user_id", $"version")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", $"version".cast("long").as("version"),
+            $"n_events")
+          .orderBy($"user_id", $"version")
+      },
+      Some("""WITH w AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+              ORDER BY event_id DESC) AS rn
+          FROM events),
+        d AS (SELECT user_id, ts, value FROM w WHERE rn = 1),
+        c AS (SELECT user_id, ts, value,
+            lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM d),
+        ch AS (SELECT user_id, ts, value FROM c
+          WHERE value IS DISTINCT FROM prev),
+        scd AS (SELECT user_id,
+            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+              AS BIGINT) AS version,
+            ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM ch)
+        SELECT e.user_id, s.version, count(*) AS n_events
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        JOIN scd s ON e.user_id = s.user_id AND e.ts >= s.valid_from
+          AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+        GROUP BY 1, 2 ORDER BY e.user_id, s.version""")))
 
   private val zBits = 10
 

@@ -731,5 +731,87 @@ object Relational extends QueryModule {
             AS upper_boundary,
           n_rows,
           round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS frac
-        FROM bal CROSS JOIN tot ORDER BY bucket""")))
+        FROM bal CROSS JOIN tot ORDER BY bucket""")),
+
+    // --------------------------------------------------------------- q105
+    // Data-quality expectations across the schema: row-level checks fold
+    // into ONE count_if aggregate per table (k checks never cost k scans),
+    // referential integrity is one anti-join each, PK uniqueness one keyed
+    // count — all melted into a uniform (tbl, chk, n_bad, n_total,
+    // bad_frac) audit a pipeline gate alerts on. Zeros on healthy fixture
+    // tables are the point: the audit EARNS the zeros.
+    QueryDef("q105_quality_audit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Audits
+        Audits.rowChecks(t(s, dir, "lineitem"), "lineitem", Seq(
+            "li_nonpositive_qty" -> ($"l_quantity" <= 0),
+            "li_negative_price" -> ($"l_extendedprice" < 0)))
+          .unionByName(Audits.rowChecks(t(s, dir, "events"), "events", Seq(
+            "ev_null_user" -> $"user_id".isNull,
+            "ev_negative_value" -> ($"value" < 0))))
+          .unionByName(Audits.fkOrphans(t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "lineitem",
+            "li_orphan_orderkey"))
+          .unionByName(Audits.fkOrphans(t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey", "orders",
+            "ord_orphan_custkey"))
+          .unionByName(Audits.dupKeys(t(s, dir, "customer"), "c_custkey",
+            "customer", "cust_dup_pk"))
+          .unionByName(Audits.dupKeys(t(s, dir, "documents"), "doc_id",
+            "documents", "doc_dup_pk"))
+          .orderBy($"tbl", $"chk")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'lineitem' AS tbl, 'li_nonpositive_qty' AS chk,
+            CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT) AS n_bad,
+            count(*) AS n_total,
+            round(CAST(count(*) FILTER (l_quantity <= 0) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS bad_frac
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem', 'li_negative_price',
+            CAST(count(*) FILTER (l_extendedprice < 0) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (l_extendedprice < 0) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM lineitem
+          UNION ALL
+          SELECT 'events', 'ev_null_user',
+            CAST(count(*) FILTER (user_id IS NULL) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (user_id IS NULL) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM events
+          UNION ALL
+          SELECT 'events', 'ev_negative_value',
+            CAST(count(*) FILTER (value < 0) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (value < 0) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM events
+          UNION ALL
+          SELECT 'lineitem', 'li_orphan_orderkey',
+            CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (o_orderkey IS NULL) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'orders', 'ord_orphan_custkey',
+            CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (c_custkey IS NULL) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON r.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'customer', 'cust_dup_pk',
+            CAST(count(*) FILTER (cnt > 1) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (cnt > 1) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM (SELECT c_custkey, count(*) AS cnt FROM customer GROUP BY 1)
+          UNION ALL
+          SELECT 'documents', 'doc_dup_pk',
+            CAST(count(*) FILTER (cnt > 1) AS BIGINT), count(*),
+            round(CAST(count(*) FILTER (cnt > 1) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6)
+          FROM (SELECT doc_id, count(*) AS cnt FROM documents GROUP BY 1))
+        ORDER BY tbl, chk""")))
 }

@@ -11,7 +11,7 @@ class CatalogSpec extends SparkSpec {
   test("catalog names are unique and well-formed") {
     val names = SparkEntry.catalog.map(_.name)
     assert(names.distinct == names)
-    assert(names.forall(_.matches("q[0-9]{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q[0-9]{2,3}_[a-z0-9_]+")))
   }
 
   for (q <- SparkEntry.catalog) {
