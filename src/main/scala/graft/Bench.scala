@@ -68,7 +68,7 @@ object Bench {
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
       (name, median, raw)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-rep times as a structured field: medians hide variance, and a
     // contended driver machine shows up as heavy-tailed reps — publishing
@@ -77,7 +77,18 @@ object Bench {
     val repsJson = results.map { case (k, _, raw) =>
       "\"" + k + "\":[" + raw.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // Min-of-reps: round-over-round deltas should compare the contention-free
+    // floor, not medians a single noisy rep can drag (r7: q04 median 6.1 s vs
+    // clean rep 1.4 s on a contended sandbox).
+    val minsJson = results.map { case (k, _, raw) =>
+      val ok = raw.filter(_ >= 0.0)
+      "\"" + k + "\":" + (if (ok.isEmpty) "-1.0" else f"${ok.min}%.3f")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
+    val totalMin = results
+      .map { case (_, _, raw) => val ok = raw.filter(_ >= 0.0); if (ok.isEmpty) -1.0 else ok.min }
+      .filter(_ >= 0.0).sum
+    val errored = results.count(_._2 < 0.0)
     // A filtered run's "total" covers only the selected queries — mark it so
     // it can't be mistaken for a full-suite figure.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
@@ -148,26 +159,47 @@ object Bench {
           s""""stream_rate_rps":2,"stream_sec":$streamSec"""
       }
 
-    val metricLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""reps":$repsJson$annJson$streamJson$filtered,"sf":"$sfDir"}"""
+    // Two artifacts with different budgets:
+    //  - `fullLine` (sidecar files): everything — per-query medians, mins,
+    //    raw reps, ann, stream. ~8 KB at 105 queries.
+    //  - `metricLine` (stdout): compact. The driver captures only a ~2 KB
+    //    stdout TAIL, and r6+r7 both lost their official perf artifact when
+    //    the full line outgrew it — so stdout carries the totals, errored
+    //    count, stream/ann telemetry, and a *headline* subset of per-query
+    //    medians, staying well under 1.5 KB at any catalog size.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""mins":$minsJson,"reps":$repsJson$annJson$streamJson$filtered,"sf":"$sfDir"}"""
+    val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
+      "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
+      "q44_lsh_knn", "q53_ivf_knn", "q72_full_pipeline", "q87_cms_heavy_hitters",
+      "q101_canonical_by_quality")
+    val headQs = results.filter(r => headline.contains(r._1))
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val metricLine =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","total_min":$totalMin%.2f,""" +
+      s""""queries_total":${results.size},"queries_errored":$errored,""" +
+      s""""queries":$headQs$annJson$streamJson$filtered,"sf":"$sfDir"}"""
 
     // The round-6 artifact was lost to a shutdown race: the metric line was
     // printed BEFORE spark.stop(), and the StateStore-maintenance threads the
     // streaming legs leave behind dumped a stack trace after it, pushing the
     // JSON out of the driver's ~2000-char stdout tail capture. Quiesce every
     // streaming query, stop the session, and only then print the metric JSON
-    // as the process's final stdout — plus a sidecar file so the figure
-    // survives any tail truncation at all.
+    // as the process's final stdout — plus sidecar files so the full figure
+    // survives any tail truncation at all (one under /tmp for ad-hoc runs,
+    // one inside the repo so the round snapshot commit carries it).
     try spark.streams.active.foreach { q =>
       try q.stop() catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
-    try {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json"))
-      java.nio.file.Files.write(p,
-        metricLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    val sidecars = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json"),
+      "/root/repo/BENCH_SIDECAR.json")
+    sidecars.foreach { path =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     println(metricLine)
     System.out.flush()
   }

@@ -96,16 +96,24 @@ object Sketch extends QueryModule {
     QueryDef("q87_cms_heavy_hitters",
       (s, dir) => {
         import s.implicits._
+        // ONE corpus-wide token explode feeding both aggregates: the
+        // exploded frame is cached, `top` materializes it (filling the
+        // cache), `cells` reads it back instead of re-exploding the corpus,
+        // and both downstream frames are tiny (20 rows / ≤D*W cells) eager
+        // checkpoints so the token cache releases before the query returns.
         val toks = t(s, dir, "documents")
           .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
           .filter(length($"token") > 0)
-        val cells = Sketches.cmsCells(toks, Seq.empty, $"token", D, W)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // top feeds two consumers (probe build + the final join); the eager
         // checkpoint pins its 20 rows so the corpus-wide token explode runs
         // once for it, not once per consumer (q69/q72 lifecycle pattern)
         val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
           .orderBy($"exact_n".desc, $"token").limit(20)
           .localCheckpoint(true)
+        val cells = Sketches.cmsCells(toks, Seq.empty, $"token", D, W)
+          .localCheckpoint(true)
+        toks.unpersist(blocking = false)
         Sketches.cmsQuery(cells, Seq.empty, top, $"token", D, W)
           .select($"__item".as("token"), $"cms_estimate")
           .join(top, "token")

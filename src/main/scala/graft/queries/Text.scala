@@ -14,6 +14,13 @@ import graft.operators.{CorpusStats, Decontamination, Dedup, HeuristicFilters, M
   */
 object Text extends QueryModule {
 
+  /** q106's window geometry: 64-token chunks every 48 tokens (16-token
+    * overlap) — the small-context RAG/packing shape; constants shared by
+    * the Spark plan and the DuckDB oracle. Defined before `defs`: the
+    * oracle SQL strings interpolate them EAGERLY at object init. */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
   // DuckDB fragments mirroring TextFunctions
   private val wsSql = """string_split_regex(trim(text), '\s+')"""
   private val shinglesSql =
@@ -1510,5 +1517,129 @@ object Text extends QueryModule {
             % 32) AS BIGINT) AS shard,
           count(*) AS n_docs
         FROM kk GROUP BY 1, 2 ORDER BY epoch, shard"""
-      }))
+      }),
+
+    // --------------------------------------------------------------- q106
+    // Token-window chunking — the doc→training-sequence/RAG-passage split.
+    // Each document becomes ⌈n/stride⌉ overlapping windows of `ChunkSize`
+    // tokens (stride < size ⇒ `ChunkSize - ChunkStride` tokens of overlap),
+    // fully declarative: sequence() generates window starts, explode fans
+    // out, slice+array_join materialize the chunk — all codegen'd, no UDF,
+    // and embarrassingly parallel (no shuffle at all until the final
+    // presentation sort; at 100 TB the sort drops and chunks stream
+    // straight to the writer).
+    QueryDef("q106_token_chunking",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.tokens($"text").as("ws"))
+        docs
+          .select($"doc_id", $"ws",
+            explode(sequence(lit(1), greatest(size($"ws"), lit(1)),
+              lit(ChunkStride))).as("start_token"))
+          .select($"doc_id",
+            // floor of an EXACT double (start-1 is a multiple of the stride)
+            // — Column `/` is double division, so guard with floor+cast
+            floor(($"start_token" - 1) / ChunkStride).cast("long").as("chunk_index"),
+            $"start_token".cast("long").as("start_token"),
+            least(lit(ChunkSize), size($"ws") - $"start_token" + 1)
+              .cast("long").as("n_chunk_tokens"),
+            array_join(slice($"ws", $"start_token", lit(ChunkSize)), " ").as("chunk_text"))
+          .orderBy($"doc_id", $"chunk_index")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM documents),
+          st AS (SELECT doc_id, ws,
+            unnest(range(1, greatest(len(ws), 1) + 1, $ChunkStride)) AS start_token
+          FROM d)
+        SELECT doc_id,
+          CAST((start_token - 1) // $ChunkStride AS BIGINT) AS chunk_index,
+          CAST(start_token AS BIGINT) AS start_token,
+          CAST(least($ChunkSize, len(ws) - start_token + 1) AS BIGINT)
+            AS n_chunk_tokens,
+          array_to_string(list_slice(ws, start_token,
+            start_token + ${ChunkSize - 1}), ' ') AS chunk_text
+        FROM st ORDER BY doc_id, chunk_index""")),
+
+    // --------------------------------------------------------------- q107
+    // Train/val leakage audit: exact-duplicate fingerprints that appear in
+    // BOTH sides of the deterministic hash split — the eval-contamination
+    // check every split must pass before training. Reuses q60's split hash
+    // and q34's md5 fingerprint; one groupBy over (fingerprint), corpus-
+    // scale-safe (the HAVING keeps only duplicated fingerprints, orders of
+    // magnitude smaller than the corpus).
+    QueryDef("q107_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val split = graft.operators.Sampling.deterministicSplit(
+            t(s, dir, "documents"), valFraction = 0.1)
+          .select($"doc_id", $"split", md5($"text").as("fingerprint"))
+          .localCheckpoint(true) // tiny (id, split, fp) triple; feeds 2 aggs
+        val perSplit = split.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"fingerprint").as("n_fingerprints"))
+        // fingerprints seen in BOTH splits = eval contamination; one scalar
+        // joined onto every split row so the audit reads as a single table
+        val leaked = split.groupBy($"fingerprint")
+          .agg(countDistinct($"split").as("ns"))
+          .filter($"ns" > 1L)
+          .agg(count(lit(1)).as("leaked_fingerprints"))
+        perSplit.crossJoin(leaked).orderBy($"split")
+      },
+      Some(s"""WITH s AS (SELECT doc_id, md5(text) AS fingerprint,
+          CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '${graft.operators.Sampling.fractionThresholdHex(0.1)}'
+               THEN 'val' ELSE 'train' END AS split
+          FROM documents),
+        ps AS (SELECT split, count(*) AS n_docs,
+            count(DISTINCT fingerprint) AS n_fingerprints
+          FROM s GROUP BY 1),
+        lk AS (SELECT count(*) AS leaked_fingerprints FROM (
+          SELECT fingerprint FROM s GROUP BY 1
+          HAVING count(DISTINCT split) > 1))
+        SELECT split, n_docs, n_fingerprints, leaked_fingerprints
+        FROM ps CROSS JOIN lk ORDER BY split""")),
+
+    // --------------------------------------------------------------- q109
+    // Cross-source 3-gram overlap matrix: distinct-shingle Jaccard between
+    // every source pair — the corpus-mixing diagnostic (which sources are
+    // near-copies of each other / where boilerplate crosses source
+    // boundaries). Shape matters at scale: the intersection is computed by
+    // a GRAM-KEYED equi-join on the (source, gram) distinct set — never a
+    // per-pair array intersect of corpus-sized token sets, and never an
+    // S×S×corpus expansion. Output is at most S·(S−1)/2 rows.
+    QueryDef("q109_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val sg = t(s, dir, "documents")
+          .select($"source", explode(
+            TextFunctions.distinctShingles($"text", 3)).as("gram"))
+          .distinct()
+          .localCheckpoint(true) // feeds sizes + both join sides: scan once
+        val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+        val inter = sg.as("a")
+          .join(sg.as("b"),
+            col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select($"source".as("source_a"), $"n".as("na")), "source_a")
+          .join(sizes.select($"source".as("source_b"), $"n".as("nb")), "source_b")
+          .select($"source_a", $"source_b", $"inter",
+            round($"inter".cast("double") /
+              ($"na" + $"nb" - $"inter").cast("double"), 6).as("jaccard"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some(s"""WITH sg AS (SELECT DISTINCT source, unnest($shinglesSql) AS gram
+            FROM documents),
+          sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+          itx AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS inter
+            FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT source_a, source_b, inter,
+          round(CAST(inter AS DOUBLE) /
+            CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+        FROM itx JOIN sz sa ON sa.source = source_a
+          JOIN sz sb ON sb.source = source_b
+        ORDER BY source_a, source_b""")))
 }

@@ -262,7 +262,36 @@ object Vectors extends QueryModule {
           CAST(0 AS BIGINT) AS subset_violations,
           CAST(0 AS BIGINT) AS missed_planted,
           CAST(1 AS BOOLEAN) AS found_pairs
-        FROM jp""")))
+        FROM jp""")),
+
+    // --------------------------------------------------------------- q108
+    // Per-dimension embedding statistics — the embedding-QA scan (dead
+    // dimensions, mean drift, outlier ranges) run before any ANN index
+    // build. posexplode fans each vector into (dim, value); one map-side-
+    // combined groupBy over at most `dim` keys — the shuffle carries
+    // d partial aggregates per task, not corpus rows, so this is flat-cost
+    // at 100 TB. Values aggregate as DOUBLE (float sums drift; double sums
+    // of float inputs round-trip deterministically at round-6).
+    QueryDef("q108_dim_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select(posexplode($"embedding").as(Seq("dim", "v")))
+          .select($"dim".cast("long").as("dim"), $"v".cast("double").as("v"))
+          .groupBy($"dim")
+          .agg(count(lit(1)).as("n"),
+            round(avg($"v"), 6).as("avg_v"),
+            round(min($"v"), 6).as("min_v"),
+            round(max($"v"), 6).as("max_v"))
+          .orderBy($"dim")
+      },
+      Some("""WITH x AS (SELECT unnest(range(0, len(embedding))) AS dim,
+            unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v
+          FROM embeddings)
+        SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+          round(avg(v), 6) AS avg_v, round(min(v), 6) AS min_v,
+          round(max(v), 6) AS max_v
+        FROM x GROUP BY 1 ORDER BY dim""")))
 
   /** Shared ANN output contract: recomputed-exact similarity, no self
     * matches, dense correct ranks. One row, violation count 0. */

@@ -16,15 +16,29 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-      // rejects outright. Read the raw int64 nanos and truncate to microsecond
-      // precision — the same truncation DuckDB applies casting
-      // TIMESTAMP_NS -> TIMESTAMP, so oracle comparisons stay exact.
-      // Integral division (`div`) is mandatory: Column `/` is double division
-      // and doubles cannot represent epoch-nanos exactly.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.parquet stores TIMESTAMP(NANOS). How Spark scans that column
+      // depends on the runtime version, so branch on the scanned dtype rather
+      // than assuming one behavior:
+      //  - Spark ≤4.0 with spark.sql.legacy.parquet.nanosAsLong=true reads it
+      //    as raw int64 nanos → truncate to micros ourselves. Integral `div`
+      //    is mandatory: Column `/` is double division and doubles cannot
+      //    represent epoch-nanos exactly.
+      //  - Spark 4.1+ ignores that conf and reads TIMESTAMP(NANOS) natively as
+      //    TIMESTAMP_NTZ (already micros-truncated) → cast to session-local
+      //    TIMESTAMP. The session timezone is pinned to UTC everywhere, so
+      //    both paths yield identical instants and DuckDB oracle comparisons
+      //    stay exact (DuckDB applies the same truncation casting
+      //    TIMESTAMP_NS -> TIMESTAMP).
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val ts = raw.schema("ts").dataType match {
+        case LongType      => timestamp_micros(expr("ts div 1000"))
+        case TimestampType => col("ts") // future-proof: already what we want
+        case _             => col("ts").cast("timestamp") // TIMESTAMP_NTZ path
+      }
+      raw.withColumn("ts", ts)
     case n => spark.read.parquet(s"$dir/$n.parquet")
   }
 }
