@@ -614,25 +614,16 @@ object Dedup {
   def simhashTable(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    // explode_outer + guarded hash keep token-less docs without a second
-    // scan + join-back (see minhashSignatureTable); their null hash rows sum
-    // each bit to -1 -> fingerprint 0, exactly what the join form produced.
-    // Token hashing is the fused kernel at n=1: bit-identical to
-    // xxhash64 over split() tokens (duplicates kept — simhash is
-    // frequency-weighted) without materializing the token strings.
-    val hashed = docs
-      .select(col(idCol).as("id"), explode_outer(
-        org.apache.spark.sql.graft.ArrayExpressions
-          .wordShingleHashes(col(textCol), 1)).as("h"))
-    val bitAggs = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"b$bit")
-    }
-    val aggd = hashed.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = simhashFromBitSums((0 until 64).map(bit => col(s"b$bit")))
-    aggd.select(col("id"), fp.as("simhash"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    // One map-only pass: the native SimHash64 kernel tokenizes, hashes and
+    // majority-votes per ROW inside whole-stage codegen — no token explode,
+    // no 64-column groupBy, no shuffle (the former explode/groupBy form's
+    // only shuffle; bit-parity with it and with [[simhash]] is pinned in
+    // DedupSpec). coalesce replicates the old explode_outer null fold:
+    // NULL text -> every bit sums to -1 -> fingerprint 0.
+    docs.select(col(idCol).as("id"),
+      coalesce(org.apache.spark.sql.graft.ArrayExpressions.simhash64(col(textCol)),
+        lit(0L)).as("simhash"))
 
   /** SimHash candidates refined with exact shingle-Jaccard — the SimHash
     * analogue of [[minhashNearDups]]. The Jaccard join touches only pairs
@@ -684,42 +675,45 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 64,
       bands: Int = 16,
-      blocks: Int = 6,
+      blocks: Int = 7,
       shingle: Int = 3,
       maxBucket: Int = DefaultMaxBucket,
-      simhashMaxBucket: Int = 0): DataFrame = {
-    // The three consumers below (minhash signatures, simhash fingerprints,
-    // Jaccard refinement shingles) each scan (id, text) — as three separate
-    // plans that is three parquet scans + three text decodes of the same
-    // projection. Cache the two-column projection once (MEMORY_AND_DISK, so
-    // it spills rather than evicts under pressure): the generators' hash
-    // pipelines then read columnar cache batches instead of re-decoding
-    // parquet. The refined output is checkpointed eagerly so the cache can
-    // be released before returning — the result frame is candidate-sized
-    // (tiny), so pinning it costs nothing while freeing the corpus-sized
-    // projection immediately.
-    val proj = docs.select(col(idCol), col(textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = minhashCandidates(proj, textCol, idCol, k, bands, shingle, maxBucket)
-    // hamming <= blocks-1 keeps exactly what the simhash side GUARANTEES
-    // (see simhashNearDups): random block collisions sit at hamming ~32 and
+      simhashMaxBucket: Int = 0,
+      blockMatches: Int = 2): DataFrame = {
+    // MEASURED NON-OPTIMIZATION (sf0.1, 100k docs): caching the (id, text)
+    // projection to share it across the three consumers (minhash signatures,
+    // simhash fingerprints, refinement shingles) made the whole operator
+    // 2.4x SLOWER (6.1 s cached vs 2.5 s re-scanning; ProfileEnsemble) —
+    // the columnar cache write of corpus text costs far more than the extra
+    // parquet scans it saves, and the same holds at cluster scale where a
+    // corpus-sized cache spills to disk. The consumers therefore re-scan
+    // parquet (cheap, pushed-down, two columns); only the SMALL derived
+    // frames (signature table, candidate pairs) are persisted, inside the
+    // generators.
+    val mh = minhashCandidates(docs, textCol, idCol, k, bands, shingle, maxBucket)
+    // hamming <= blocks - blockMatches keeps exactly what the simhash side
+    // GUARANTEES (pigeonhole over the multi-index tables — see
+    // [[simhashCandidates]]): random collisions sit at hamming ~32 and
     // would otherwise drag corpus-sized shingle arrays through the
     // refinement join for nothing — the minhash side owns everything beyond
-    // the hamming bound. The simhash cap defaults OFF (see
-    // [[simhashCandidates]]) — its buckets grow by background collision,
-    // not similarity, so a fixed cap cuts guaranteed pairs on normal data.
-    val sh = simhashCandidates(proj, textCol, idCol, blocks, simhashMaxBucket)
-      .filter(col("hamming") <= blocks - 1)
+    // the hamming bound. Defaults blocks=7/blockMatches=2 give the SAME
+    // hamming<=5 recall bound as the former blocks=6 single-block banding,
+    // but with 18-bit table keys instead of 10-bit: at 100k docs that is
+    // ~0.4M background candidate pairs instead of ~29M (measured 3.7 s ->
+    // sub-second for the candidate stage). The simhash cap defaults OFF
+    // (see [[simhashCandidates]]) — its buckets grow by background
+    // collision, not similarity, so a fixed cap cuts guaranteed pairs on
+    // normal data.
+    val sh = simhashCandidates(docs, textCol, idCol, blocks, simhashMaxBucket,
+        blockMatches)
+      .filter(col("hamming") <= blocks - blockMatches)
       .select(col("id_a"), col("id_b"))
     // one eager materialization: the union-distinct is referenced several
     // times by the refinement, and the simhash bucket self-join behind it
     // must not re-run per reference (the minhash side is already
     // checkpointed by its generator)
     val cands = mh.union(sh).distinct().localCheckpoint(true)
-    val refined = refineByJaccard(proj, cands, threshold, textCol, idCol, shingle)
-      .localCheckpoint(true)
-    proj.unpersist(blocking = false)
-    refined
+    refineByJaccard(docs, cands, threshold, textCol, idCol, shingle)
   }
 
   /** Near-dup candidates by SimHash block match: split the 64-bit fingerprint
@@ -745,19 +739,48 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       blocks: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      matchBlocks: Int = 1): DataFrame = {
     val width = 64 / blocks
+    require(matchBlocks >= 1 && matchBlocks <= blocks,
+      s"matchBlocks must be in [1, $blocks], got $matchBlocks")
+    require(matchBlocks * width <= 63,
+      s"combined key width ${matchBlocks * width} exceeds 63 bits")
     // Persisted for the same reason as minhashCandidates' signature table
     // (computed once instead of on both join sides), and released the same
     // way: candidates are eagerly materialized, then the cache is dropped so
     // repeated calls don't pin storage for the session lifetime.
     val withSim = simhashTable(docs, textCol, idCol).withColumnRenamed("simhash", "sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSim.select(col("id"), col("sim"), posexplode(
-      array((0 until blocks).map { b =>
-        shiftrightunsigned(col("sim"), b * width)
-          .bitwiseAND(lit((1L << width) - 1))
-      }: _*)).as(Seq("block", "key")))
+    val blockKey = (b: Int) =>
+      shiftrightunsigned(col("sim"), b * width).bitwiseAND(lit((1L << width) - 1))
+    // matchBlocks = 1: classic single-block banding ("block" = block index,
+    // "key" = that block's bits). matchBlocks = r > 1: the multi-index
+    // Hamming scheme (the simhash-dedup table construction of Manku et al.,
+    // WWW'07 §3): one table per r-combination of blocks, key = the
+    // combination's bits packed side by side. Pigeonhole: hamming <= blocks
+    // - r touches at most blocks - r blocks, so some r untouched blocks —
+    // i.e. some table — matches exactly. Same recall bound as single-block
+    // banding with (blocks - r + 1) blocks, but the key is r x width bits
+    // WIDE: background-collision occupancy drops from n/2^width to
+    // n/2^(r*width), which is what keeps the self-join sub-quadratic on
+    // corpora big enough that 2^width << n (measured at n = 100k docs:
+    // blocks=6/r=1 generates ~29M background pairs, 3.7 s; blocks=7/r=2
+    // ~0.4M, sub-second — same hamming<=5 guarantee).
+    val tables: Seq[Column] =
+      if (matchBlocks == 1)
+        (0 until blocks).map(b => struct(lit(b).as("block"), blockKey(b).as("key")))
+      else
+        (0 until blocks).combinations(matchBlocks).toSeq.zipWithIndex.map {
+          case (combo, ci) =>
+            val packed = combo.zipWithIndex.map { case (b, pos) =>
+              shiftleft(blockKey(b), pos * width)
+            }.reduce(_.bitwiseOR(_))
+            struct(lit(ci).as("block"), packed.as("key"))
+        }
+    val banded = withSim
+      .select(col("id"), col("sim"), explode(array(tables: _*)).as("t"))
+      .select(col("id"), col("sim"), col("t.block").as("block"), col("t.key").as("key"))
     val capped = capBuckets(banded, Seq("block", "key"), maxBucket, "simhashCandidates")
     val l = capped.as("l")
     val r = capped.as("r")

@@ -1641,5 +1641,120 @@ object Text extends QueryModule {
             CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
         FROM itx JOIN sz sa ON sa.source = source_a
           JOIN sz sb ON sb.source = source_b
-        ORDER BY source_a, source_b""")))
+        ORDER BY source_a, source_b""")),
+
+    // --------------------------------------------------------------- q110
+    // Packing-efficiency audit on top of q61's sharded token packing: per
+    // (shard, bin) occupancy — how many docs landed in each ~256-token
+    // training bin, total tokens, and fill ratio vs budget. Overfull bins
+    // (ratio > 1: a doc straddles the boundary) and underfull tails are the
+    // two things a batch-building pipeline must see before training. Same
+    // shard-partitioned window as q61 (never a global-order window), then
+    // one partial-agg shuffle over (shard, bin).
+    QueryDef("q110_packing_efficiency",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"))
+        Sampling.packByTokenBudget(docs, "n_tokens", budget = 256, shards = 8)
+          .groupBy($"shard", $"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").cast("long").as("bin_tokens"),
+            round(sum($"n_tokens").cast("double") / 256.0, 6).as("fill_ratio"))
+          .orderBy($"shard", $"bin")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, doc_id % 8 AS shard, CAST(len($wsSql) AS BIGINT) AS n
+          FROM documents),
+        cum AS (
+          SELECT doc_id, shard, n,
+            CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+              AS tokens_before
+          FROM toks)
+        SELECT shard, CAST(FLOOR(tokens_before / 256.0) AS BIGINT) AS bin,
+          count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens,
+          round(CAST(sum(n) AS DOUBLE) / 256.0, 6) AS fill_ratio
+        FROM cum GROUP BY 1, 2 ORDER BY shard, bin""")),
+
+    // --------------------------------------------------------------- q111
+    // Chunk-level exact dedup over q106's token windows: fingerprint every
+    // chunk, count corpus-wide repeats, report each document's duplicated-
+    // chunk ratio — the passage-granular "how much of this doc is verbatim
+    // boilerplate" signal that document-level exact dedup (q34) cannot see.
+    // One groupBy over chunk fingerprints (corpus-scale-safe: the fp table
+    // is ~1.3x corpus tokens, the repeat set far smaller), one broadcast-
+    // able join back, one per-doc aggregate.
+    QueryDef("q111_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.tokens($"text").as("ws"))
+          .select($"doc_id",
+            explode(sequence(lit(1), greatest(size($"ws"), lit(1)),
+              lit(ChunkStride))).as("start_token"), $"ws")
+          .select($"doc_id",
+            md5(array_join(slice($"ws", $"start_token", lit(ChunkSize)), " ")).as("fp"))
+        val repeats = chunks.groupBy($"fp").agg(count(lit(1)).as("cnt"))
+        chunks.join(repeats, "fp")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"cnt" > 1L, 1L).otherwise(0L)).cast("long").as("n_dup_chunks"),
+            round(sum(when($"cnt" > 1L, 1.0).otherwise(0.0)) /
+              count(lit(1)).cast("double"), 6).as("dup_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM documents),
+          ch AS (SELECT doc_id,
+            md5(array_to_string(list_slice(ws, start_token,
+              start_token + ${ChunkSize - 1}), ' ')) AS fp
+          FROM (SELECT doc_id, ws,
+              unnest(range(1, greatest(len(ws), 1) + 1, $ChunkStride))
+                AS start_token FROM d)),
+          rep AS (SELECT fp, count(*) AS cnt FROM ch GROUP BY 1)
+        SELECT doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_chunks,
+          round(sum(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END) /
+            CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+        FROM ch JOIN rep USING (fp) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q112
+    // Quality-score calibration against the heuristic gate pack: decile the
+    // continuous quality score (q31's formula), report each decile's
+    // heuristic keep-rate — the agreement curve between the two scoring
+    // systems every curation pipeline runs side by side (a flat curve means
+    // the score adds nothing over the gates; keep-rate should rise with
+    // decile). ntile is a single bounded window (10 buckets over a corpus
+    // sort — at 100 TB swap for quantile cutpoints from q92); the rest is
+    // one 10-row aggregate.
+    QueryDef("q112_quality_calibration",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val prof = HeuristicFilters.qualityProfile(t(s, dir, "documents"))
+          .select($"doc_id", $"keep",
+            TextFunctions.qualityScore($"text").as("quality"))
+        val decile = ntile(10).over(Window.orderBy($"quality", $"doc_id"))
+        prof.withColumn("decile", decile.cast("long"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min($"quality"), 4).as("min_quality"),
+            round(max($"quality"), 4).as("max_quality"),
+            round(sum(when($"keep", 1.0).otherwise(0.0)) /
+              count(lit(1)).cast("double"), 6).as("keep_rate"))
+          .orderBy($"decile")
+      },
+      Some(s"""WITH $heurStatsSql,
+          sc AS (SELECT st.doc_id, $heurKeepSql AS keep, q.quality
+            FROM st JOIN (SELECT doc_id, $qualitySql AS quality
+              FROM documents) q ON q.doc_id = st.doc_id),
+          dd AS (SELECT *, CAST(ntile(10) OVER (ORDER BY quality, doc_id)
+              AS BIGINT) AS decile FROM sc)
+        SELECT decile, count(*) AS n_docs,
+          round(min(quality), 4) AS min_quality,
+          round(max(quality), 4) AS max_quality,
+          round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) /
+            CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM dd GROUP BY 1 ORDER BY decile""")))
 }

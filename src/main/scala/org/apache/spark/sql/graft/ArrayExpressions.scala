@@ -451,6 +451,65 @@ object MinHashSignature {
   }
 }
 
+/** 64-bit SimHash of a document in one kernel: xxhash64 (seed 42) of every
+  * whitespace token (duplicates kept — SimHash is frequency-weighted), per-bit
+  * +1/−1 majority vote, bit set iff the vote is strictly positive. Bit 63's
+  * mask is Long.MinValue (same two's-complement identity the Column form
+  * uses). Bit-identical to both prior forms (pinned in DedupSpec):
+  * [[graft.operators.Dedup.simhash]]'s 64 interpreted aggregate() folds, and
+  * the former explode/groupBy(64 sums) corpus table. Replacing the table form
+  * with this makes corpus SimHash MAP-ONLY — no token explode, no 64-column
+  * aggregate, no shuffle — which at 100 TB removes the only shuffle in the
+  * fingerprint stage.
+  *
+  * NULL text is null here (UnaryExpression contract); the table form's
+  * explode_outer path folded NULL docs to fingerprint 0, so
+  * [[graft.operators.Dedup.simhashTable]] wraps this in coalesce(_, 0). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = classOf[SimHash64].getName
+      s"${ev.value} = $cls.compute($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Shared eval/codegen kernel. */
+  def compute(input: UTF8String): Long = {
+    val hs = WordShingleHashes.hashesOf(input, 1)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
 object ArrayExpressions {
   /** Column wrapper for [[SlidingMin]]. */
   def slidingMin(a: Column, w: Int): Column =
@@ -471,4 +530,8 @@ object ArrayExpressions {
   /** Column wrapper for [[MinHashSignature]]. */
   def minhashSignature(s: Column, n: Int, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(s), n, k))
+
+  /** Column wrapper for [[SimHash64]]. */
+  def simhash64(s: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(s)))
 }

@@ -263,6 +263,30 @@ class DedupSpec extends SparkSpec {
       s"unrelated hamming ${ham(sims(1L), sims(4L))}")
   }
 
+  test("simhashTable (native kernel) == per-row simhash Column form, incl. edges") {
+    // fixture docs + the tokenizer edge cases the kernel must replicate:
+    // empty, whitespace-only, single token, multibyte, repeated tokens
+    // (frequency weighting), leading/trailing whitespace quirks
+    val edge = Seq((100L, ""), (101L, "   "), (102L, "one"),
+      (103L, "héllo wörld héllo"), (104L, "  padded  tokens  "),
+      (105L, "a a a a b")).toDF("doc_id", "text")
+    val both = docs.select($"doc_id", $"text").unionByName(edge)
+    val colForm = both.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tbl = Dedup.simhashTable(both)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tbl === colForm)
+  }
+
+  test("simhashTable folds NULL text to fingerprint 0 (explode_outer parity)") {
+    val withNull = Seq((200L, Option.empty[String]), (201L, Some("some text here")))
+      .toDF("doc_id", "text")
+    val tbl = Dedup.simhashTable(withNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tbl(200L) === 0L)
+    assert(tbl(201L) !== 0L)
+  }
+
   test("simhash candidates carry hamming distance for pairs sharing a block") {
     val cands = Dedup.simhashCandidates(docs)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
