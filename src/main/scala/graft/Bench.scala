@@ -141,18 +141,34 @@ object Bench {
       }
 
     val streamSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_SEC", "60").toInt
+    // the session the shutdown block must quiesce — replaced below when the
+    // stream legs restart the context
+    var lastSession = spark
     val streamJson =
       if (streamSec <= 0 || only.isDefined) ""
       else {
         val warmup = math.min(10, streamSec / 3)
-        // same hygiene as the per-query reps: the stream legs run after
-        // ~280 query evaluations and would otherwise measure p99 against
-        // the batch section's undrained garbage (observed durable p99
-        // 3.1 s vs 1.8 s standalone)
+        // Fresh SparkContext for the latency legs: a System.gc() alone was
+        // not enough — after ~340 batch evaluations the old context's
+        // accumulated block-manager/broadcast debt still inflated durable
+        // p99 3-4x vs a standalone run (r7 official 3,253 ms vs 1,163 ms
+        // standalone; r8 pre-restart 4,864 ms). Stopping the context and
+        // rebuilding releases every cached block, broadcast, and shuffle
+        // file; the stream legs then measure steady-state latency, not the
+        // batch suite's garbage.
+        try spark.stop() catch { case _: Throwable => () }
+        val s2 = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s2.sparkContext.setLogLevel("WARN")
+        lastSession = s2
         System.gc()
-        val mem = graft.streaming.StreamBench.run(spark, streamSec, rps = 2,
+        val mem = graft.streaming.StreamBench.run(s2, streamSec, rps = 2,
           durable = false, warmupSec = warmup)
-        val dur = graft.streaming.StreamBench.run(spark, streamSec, rps = 2,
+        val dur = graft.streaming.StreamBench.run(s2, streamSec, rps = 2,
           durable = true, warmupSec = warmup)
         s""","stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
           s""""stream_p50_ms":${mem.steadyP50},"stream_p50_ms_durable":${dur.steadyP50},""" +
@@ -188,10 +204,10 @@ object Bench {
     // as the process's final stdout — plus sidecar files so the full figure
     // survives any tail truncation at all (one under /tmp for ad-hoc runs,
     // one inside the repo so the round snapshot commit carries it).
-    try spark.streams.active.foreach { q =>
+    try lastSession.streams.active.foreach { q =>
       try q.stop() catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
-    try spark.stop() catch { case _: Throwable => () }
+    try lastSession.stop() catch { case _: Throwable => () }
     val sidecars = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json"),
       "/root/repo/BENCH_SIDECAR.json")

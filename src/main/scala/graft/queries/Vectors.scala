@@ -291,7 +291,95 @@ object Vectors extends QueryModule {
         SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
           round(avg(v), 6) AS avg_v, round(min(v), 6) AS min_v,
           round(max(v), 6) AS max_v
-        FROM x GROUP BY 1 ORDER BY dim""")))
+        FROM x GROUP BY 1 ORDER BY dim""")),
+
+    // --------------------------------------------------------------- q113
+    // Quantization-aware retrieval eval: recall@10 of int8-quantized cosine
+    // (q74's symmetric per-vector scheme — scale cancels in the cosine, so
+    // the quantized similarity is just cosine over the rounded int vectors)
+    // against full-precision cosine, per query. The pre-deployment check
+    // for any memory-compressed ANN serving tier. Both rankings are
+    // computed on ONE scored frame (two window ranks, one shuffle by
+    // query_id), and overlap is counted on the row itself (both ranks
+    // <= k), so there is no rank-set self-join. Similarities round to 6 dp
+    // BEFORE ranking, ids break ties — engine-independent order.
+    QueryDef("q113_quantized_recall",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "embeddings")
+          .select($"vec_id", transform($"embedding", v => v.cast("double")).as("xd"))
+          .withColumn("maxabs",
+            aggregate($"xd", lit(0.0), (a, v) => greatest(a, abs(v))))
+          .withColumn("qx", when($"maxabs" > 0,
+              transform($"xd", v => round(v * (lit(127.0) / $"maxabs"), 0)))
+            .otherwise(transform($"xd", v => lit(0.0))))
+          .select($"vec_id", $"xd", $"qx")
+        val q = base.filter($"vec_id" < 25)
+          .select($"vec_id".as("query_id"), $"xd".as("q_xd"), $"qx".as("q_qx"))
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+          val na = dot(a, a)
+          val nb = dot(b, b)
+          when(na > 0 && nb > 0,
+            round(dot(a, b) / (sqrt(na) * sqrt(nb)), 6)).otherwise(lit(0.0))
+        }
+        val scored = base.join(q, $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            cos($"xd", $"q_xd").as("sim_exact"), cos($"qx", $"q_qx").as("sim_quant"))
+        val wE = Window.partitionBy($"query_id").orderBy($"sim_exact".desc, $"neighbor_id")
+        val wQ = Window.partitionBy($"query_id").orderBy($"sim_quant".desc, $"neighbor_id")
+        val ranked = scored
+          .withColumn("rank_exact", row_number().over(wE))
+          .withColumn("rank_quant", row_number().over(wQ))
+        val overlap = ranked.filter($"rank_exact" <= 10 && $"rank_quant" <= 10)
+          .groupBy($"query_id").agg(count(lit(1)).as("overlap"))
+        q.select($"query_id").join(overlap, Seq("query_id"), "left")
+          .select($"query_id",
+            coalesce($"overlap", lit(0L)).as("overlap"),
+            round(coalesce($"overlap", lit(0L)).cast("double") / 10.0, 6)
+              .as("recall_at_10"))
+          .orderBy($"query_id")
+      },
+      Some {
+        def dotd(a: String, b: String) =
+          s"""list_aggregate(list_transform(range(1, len($a) + 1),
+              i -> $a[i] * $b[i]), 'sum')"""
+        def cosd(a: String, b: String) =
+          s"""CASE WHEN ${dotd(a, a)} > 0 AND ${dotd(b, b)} > 0
+              THEN round(${dotd(a, b)} / (sqrt(${dotd(a, a)}) * sqrt(${dotd(b, b)})), 6)
+              ELSE 0.0 END"""
+        s"""WITH b AS (SELECT vec_id,
+              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+            FROM embeddings),
+          m AS (SELECT vec_id, xd,
+            COALESCE(list_aggregate(list_transform(xd, v -> abs(v)), 'max'), 0.0)
+              AS maxabs FROM b),
+          qv AS (SELECT vec_id, xd,
+            CASE WHEN maxabs > 0
+              THEN list_transform(xd, v -> round(v * (127.0 / maxabs)))
+              ELSE list_transform(xd, v -> 0.0) END AS qx
+            FROM m),
+          qq AS (SELECT vec_id AS query_id, xd AS q_xd, qx AS q_qx
+            FROM qv WHERE vec_id < 25),
+          sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+              ${cosd("e.xd", "q_xd")} AS sim_exact,
+              ${cosd("e.qx", "q_qx")} AS sim_quant
+            FROM qv e JOIN qq ON e.vec_id <> query_id),
+          rk AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim_exact DESC, neighbor_id) AS re,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim_quant DESC, neighbor_id) AS rq
+            FROM sc),
+          ov AS (SELECT query_id, count(*) AS overlap FROM rk
+            WHERE re <= 10 AND rq <= 10 GROUP BY 1)
+        SELECT query_id, CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap,
+          round(CAST(COALESCE(overlap, 0) AS DOUBLE) / 10.0, 6) AS recall_at_10
+        FROM (SELECT DISTINCT query_id FROM qq) q LEFT JOIN ov USING (query_id)
+        ORDER BY query_id"""
+      }))
 
   /** Shared ANN output contract: recomputed-exact similarity, no self
     * matches, dense correct ranks. One row, violation count 0. */
