@@ -14,9 +14,35 @@ class CatalogSpec extends SparkSpec {
     assert(names.forall(_.matches("q[0-9]{2,3}_[a-z0-9_]+")))
   }
 
+  /** Queries whose plans deliberately contain a BroadcastNestedLoopJoin.
+    * Every entry is one of two safe shapes: (a) a ONE-ROW scalar aggregate
+    * cross-joined onto a frame (corpus totals, audit counters, budget
+    * scalars), or (b) an exact-by-design theta join whose broadcast side is
+    * explicitly bounded (<= 25 query vectors / a 20-source matrix / a
+    * capped stats frame). Anything else showing a BNLJ — or ANY
+    * CartesianProduct — is a scale bug: at 100 TB an unbounded nested-loop
+    * side is the difference between a broadcast and a cluster-killer. */
+  private val deliberateBnlj: Set[String] = Set(
+    "q20_having_subquery", "q40_cosine_topk", "q41_knn_join",
+    "q66_tfidf_topterms", "q69_passage_candidates", "q70_mixture_plan",
+    "q71_planned_mix", "q72_full_pipeline", "q76_semantic_dedup",
+    "q80_unigram_nll", "q81_source_drift", "q82_quality_scoreboard",
+    "q88_hll_source_overlap", "q91_bloom_prune_join", "q93_funnel_conversion",
+    "q97_join_advisor", "q99_range_layout_audit", "q105_quality_audit",
+    "q107_split_leakage", "q113_quantized_recall")
+
   for (q <- SparkEntry.catalog) {
-    test(s"${q.name} executes on sf0.001 with rows > 0") {
+    test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
       val df = q.fn(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name}: CartesianProduct in physical plan — never acceptable " +
+          "at scale; express the pairing as an equi/bucket join")
+      if (!deliberateBnlj(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name}: unexpected BroadcastNestedLoopJoin — if the loop " +
+            "side is provably bounded (scalar aggregate / capped query " +
+            "set), add the query to deliberateBnlj with a justification")
       assert(df.count() > 0)
     }
   }
