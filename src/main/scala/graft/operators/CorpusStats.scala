@@ -186,6 +186,78 @@ object CorpusStats {
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
 
+  /** Per-document mean negative log-likelihood under a BIGRAM LM with
+    * stupid backoff (Brants et al. 2007), trained on `modelDocs` and scored
+    * over `docs` — the held-out perplexity-style filter one step up from
+    * [[unigramNll]] (which, trained on the corpus itself, can never hit the
+    * backoff path: every in-corpus bigram has nonzero count. Training on a
+    * split makes unseen-bigram handling real).
+    *
+    * Probability of each adjacent token pair (w1, w2):
+    *   count(w1 w2) / count(w1)          when the model saw the bigram
+    *   0.4 * count(w2) / T               unseen bigram, known w2 (backoff)
+    *   0.4 / T                           OOV w2 (floor)
+    *
+    * Determinism contract matches [[unigramNll]]: each position's ln(p) is
+    * rounded to 6 dp and accumulated as DECIMAL times its multiplicity;
+    * only the final per-doc mean divides in double. Plan shape: one
+    * (doc, w1, w2) partial-agg shuffle for the scoring side, two
+    * vocabulary-keyed model aggregations, LEFT joins on (w1, w2) then (w2),
+    * scalar total broadcast — every join is keyed, nothing quadratic. */
+  def bigramNll(
+      docs: DataFrame,
+      modelDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // adjacent pairs over the EMPTY-FILTERED token sequence (same token
+    // universe as unigramNll's post-explode filter)
+    def pairs(d: DataFrame,
+        keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val wsf = filter(TextFunctions.tokens(col(textCol)),
+        x => length(x) > 0)
+      // greatest(..., 0): slice() rejects negative lengths, and a 0- or
+      // 1-token doc must yield an empty pair list, not an error
+      val nPairs = greatest(size(col("__wsf")) - 1, lit(0))
+      val z = zip_with(
+        slice(col("__wsf"), lit(1), nPairs),
+        slice(col("__wsf"), lit(2), nPairs),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      d.withColumn("__wsf", wsf)
+        .select(keep :+ explode(z).as("bg"): _*)
+        .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    }
+    val tf = pairs(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val cb = pairs(modelDocs, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = modelDocs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).as("t"))
+    val p = when(col("cb").isNotNull && col("cb") > 0,
+        col("cb").cast("double") / col("c1w1"))
+      .otherwise(when(col("c1w2").isNotNull && col("c1w2") > 0,
+          lit(0.4) * col("c1w2").cast("double") / col("t"))
+        .otherwise(lit(0.4) / col("t")))
+    val perDoc = tf
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(c1.select(col("term").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+      .join(c1.select(col("term").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        round(log(p), 6).cast("decimal(28,6)") * col("m"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("contrib")).as("sum_lp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-col("sum_lp").cast("double") / col("n_bigrams"), 6).as("nll"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
   /** Categorical drift between two corpus snapshots: per-category counts,
     * shares, and the add-one-smoothed log-odds ratio
     * `ln( ((n_new+1)/(t_new+k)) / ((n_old+1)/(t_old+k)) )` (k = distinct

@@ -1756,5 +1756,60 @@ object Text extends QueryModule {
           round(max(quality), 4) AS max_quality,
           round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) /
             CAST(count(*) AS DOUBLE), 6) AS keep_rate
-        FROM dd GROUP BY 1 ORDER BY decile""")))
+        FROM dd GROUP BY 1 ORDER BY decile""")),
+
+    // --------------------------------------------------------------- q114
+    // Held-out bigram LM scoring with stupid backoff: the model trains on
+    // the hash split's train side (q60's split), every document is scored —
+    // so val-side docs exercise real unseen-bigram backoff, unlike q80's
+    // self-trained unigram NLL where every bigram is by construction seen.
+    // Per-position ln(p) rounds to 6 dp and accumulates as DECIMAL (exact
+    // across engines); only the per-doc mean divides in double. All joins
+    // are vocabulary-keyed; the scalar token total broadcasts.
+    QueryDef("q114_bigram_nll",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val train = graft.operators.Sampling.deterministicSplit(
+          docs, valFraction = 0.1).filter($"split" === "train")
+        CorpusStats.bigramNll(docs, train).orderBy($"doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text,
+            CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '${graft.operators.Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split,
+            list_filter($wsSql, x -> len(x) > 0) AS wsf
+          FROM documents),
+        dbg AS (SELECT doc_id,
+            unnest(list_slice(wsf, 1, len(wsf) - 1)) AS w1,
+            unnest(list_slice(wsf, 2, len(wsf))) AS w2
+          FROM base WHERE len(wsf) >= 2),
+        tf AS (SELECT doc_id, w1, w2, count(*) AS m FROM dbg GROUP BY 1, 2, 3),
+        mbg AS (SELECT doc_id,
+            unnest(list_slice(wsf, 1, len(wsf) - 1)) AS w1,
+            unnest(list_slice(wsf, 2, len(wsf))) AS w2
+          FROM base WHERE split = 'train' AND len(wsf) >= 2),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM mbg GROUP BY 1, 2),
+        c1 AS (SELECT term, count(*) AS c1 FROM (
+            SELECT unnest(wsf) AS term FROM base WHERE split = 'train')
+          GROUP BY 1),
+        tot AS (SELECT sum(c1) AS t FROM c1),
+        scored AS (SELECT tf.doc_id, tf.m,
+            CAST(round(ln(CASE
+              WHEN cb.cb IS NOT NULL AND cb.cb > 0
+                THEN CAST(cb.cb AS DOUBLE) / ca.c1
+              WHEN cw.c1 IS NOT NULL AND cw.c1 > 0
+                THEN 0.4 * CAST(cw.c1 AS DOUBLE) / t
+              ELSE 0.4 / t END), 6) AS DECIMAL(28,6)) * tf.m AS contrib
+          FROM tf
+          LEFT JOIN cb ON cb.w1 = tf.w1 AND cb.w2 = tf.w2
+          LEFT JOIN c1 ca ON ca.term = tf.w1
+          LEFT JOIN c1 cw ON cw.term = tf.w2
+          CROSS JOIN tot),
+        perdoc AS (SELECT doc_id, sum(m) AS n_bigrams, sum(contrib) AS sum_lp
+          FROM scored GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          COALESCE(round(-CAST(sum_lp AS DOUBLE) / n_bigrams, 6),
+            CAST(0.0 AS DOUBLE)) AS nll
+        FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""")))
 }

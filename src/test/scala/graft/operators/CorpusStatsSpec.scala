@@ -91,6 +91,28 @@ class CorpusStatsSpec extends SparkSpec {
       4L -> "unchanged", 5L -> "added"))
   }
 
+  test("bigramNll: seen / backoff / OOV-floor branches all score correctly") {
+    import spark.implicits._
+    // model unigrams: a:2 b:2 c:1 d:1, T = 6; model bigrams: (a,b):2 (b,c):1 (b,d):1
+    val model = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val scoreMe = Seq(
+      (10L, "a b"),   // seen bigram: p = cb(a,b)/c1(a) = 2/2 = 1 -> ln 0
+      (11L, "d a"),   // unseen bigram, known w2: p = 0.4*c1(a)/T = 0.8/6
+      (12L, "a zzz"), // unseen bigram, OOV w2: p = 0.4/T
+      (13L, "solo"),  // one token: no bigrams
+      (14L, "")       // no tokens
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bigramNll(scoreMe, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L) === ((1L, 0.0)))
+    assert(got(11L) === ((1L, -math.rint(math.log(0.4 * 2 / 6.0) * 1e6) / 1e6)))
+    assert(got(12L) === ((1L, -math.rint(math.log(0.4 / 6.0) * 1e6) / 1e6)))
+    assert(got(13L) === ((0L, 0.0)))
+    assert(got(14L) === ((0L, 0.0)))
+    // ordering sanity: OOV floor is the most surprising, seen the least
+    assert(got(12L)._2 > got(11L)._2 && got(11L)._2 > got(10L)._2)
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort") {
     val plan = CorpusStats.topNgrams(docs, n = 2, k = 5)
       .queryExecution.executedPlan.toString
