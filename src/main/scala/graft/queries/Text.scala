@@ -1811,5 +1811,68 @@ object Text extends QueryModule {
         SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
           COALESCE(round(-CAST(sum_lp AS DOUBLE) / n_bigrams, 6),
             CAST(0.0 AS DOUBLE)) AS nll
-        FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""")))
+        FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q115
+    // Near-dup-aware eval split: q107 audits EXACT-dup leakage; this closes
+    // the remaining hole — near-duplicates straddling train/val. The split
+    // key is the near-dup CLUSTER id (q58's machinery), so a whole cluster
+    // lands on one side by construction. Output: per-split doc/cluster
+    // counts plus the cross-split near-dup-pair count, which must be 0 —
+    // the oracle recomputes clusters via the exhaustive recursive closure
+    // and checks the same invariant, so a pair-crossing bug in either the
+    // clustering or the split assignment fails the compare loudly.
+    QueryDef("q115_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+          .select($"id_a", $"id_b")
+          .localCheckpoint(true) // feeds clustering AND the crossing audit
+        val clusters = Dedup.nearDupClusters(pairs)
+        val labeled = graft.operators.Sampling.deterministicSplit(
+          docs.select($"doc_id").join(clusters, Seq("doc_id"), "left")
+            .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id")),
+          valFraction = 0.1, idCol = "cluster_id")
+        val perSplit = labeled.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"cluster_id").as("n_clusters"))
+        val crossing = pairs
+          .join(labeled.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+          .join(labeled.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+          .filter($"sa" =!= $"sb")
+          .agg(count(lit(1)).as("crossing_pairs"))
+        perSplit.crossJoin(crossing).orderBy($"split")
+      },
+      Some(s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b FROM jp
+          WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT e.src AS node, t.r FROM edges e JOIN reach t ON e.dst = t.node),
+        mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node),
+        lab AS (SELECT d.doc_id,
+            COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN mins m ON d.doc_id = m.node),
+        sp AS (SELECT doc_id, cluster_id,
+            CASE WHEN substr(md5('graft-split' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                      < '${graft.operators.Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split
+          FROM lab),
+        ps AS (SELECT split, count(*) AS n_docs,
+            count(DISTINCT cluster_id) AS n_clusters FROM sp GROUP BY 1),
+        cx AS (SELECT count(*) AS crossing_pairs FROM pairs p
+          JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+          WHERE a.split <> b.split)
+        SELECT split, n_docs, n_clusters, crossing_pairs
+        FROM ps CROSS JOIN cx ORDER BY split""")))
 }
