@@ -797,6 +797,32 @@ object Dedup {
     cands
   }
 
+  /** Incremental near-dup cluster maintenance: fold a new batch's pairs
+    * into an existing labeling WITHOUT re-walking the old pair graph.
+    *
+    * The old labeling is re-expressed as STAR edges (doc → its cluster id;
+    * cluster ids are member doc ids, so these are ordinary graph edges) and
+    * unioned with the new pairs (in-batch + corpus×batch). Connected
+    * components over (stars ∪ new pairs) equal components over (old pairs ∪
+    * new pairs): every old cluster is connected through its star center,
+    * and new pairs add exactly the new adjacency — so the merged labels are
+    * IDENTICAL to a full re-cluster (pinned by q116's exhaustive-closure
+    * oracle), while the edge volume is O(corpus + new pairs) instead of
+    * O(all pairs), and the stars' diameter-2 shape converges in ~2
+    * pointer-jump rounds. This is the companion to [[incrementalVerdicts]]:
+    * that answers "is the incoming doc new?", this keeps the cluster map
+    * current after the batch is admitted. */
+  def mergeClusters(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      idColA: String = "id_a",
+      idColB: String = "id_b"): DataFrame = {
+    val starPairs = oldLabels
+      .filter(col("doc_id") =!= col("cluster_id")) // self-stars add nothing
+      .select(col("doc_id").as(idColA), col("cluster_id").as(idColB))
+    nearDupClusters(starPairs.unionByName(newPairs), idColA, idColB)
+  }
+
   // -------------------------------------------------- incremental ingest
 
   /** Cross-corpus LSH candidates: (corpus id, incoming id) pairs that share
@@ -833,6 +859,28 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
   }
+
+  /** Cross-corpus near-dup PAIRS at `threshold`: candidates from
+    * [[crossCandidates]] (corpus×incoming only), refined with exact
+    * shingle-Jaccard. (id_a = corpus doc, id_b = incoming doc.) The
+    * pair-level companion to [[incrementalVerdicts]], for callers that
+    * need the edges (e.g. [[mergeClusters]]), not just verdicts. */
+  def crossNearDups(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    refineByJaccard(
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(incoming.select(col(idCol), col(textCol))),
+      crossCandidates(corpus, incoming, textCol, idCol, k, bands, shingle,
+        maxBucket),
+      threshold, textCol, idCol, shingle)
 
   /** Ingest-time verdict for each incoming document against an existing
     * corpus: `exact_dup` (verbatim text already present — md5 semi-join),

@@ -1874,5 +1874,53 @@ object Text extends QueryModule {
           JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
           WHERE a.split <> b.split)
         SELECT split, n_docs, n_clusters, crossing_pairs
-        FROM ps CROSS JOIN cx ORDER BY split""")))
+        FROM ps CROSS JOIN cx ORDER BY split""")),
+
+    // --------------------------------------------------------------- q116
+    // Incremental cluster maintenance: the corpus is split into an existing
+    // corpus (doc_id % 5 != 0, pre-clustered) and an arriving batch; the
+    // batch folds in via star edges + (in-batch ∪ corpus×batch) near-dup
+    // pairs — NO re-walk of the old pair graph (see Dedup.mergeClusters for
+    // the equality argument). The oracle is q58's exhaustive recursive
+    // closure over the WHOLE corpus: the incremental path must produce
+    // labels identical to a full re-cluster, including clusters MERGED by a
+    // batch doc bridging two previously-separate clusters.
+    QueryDef("q116_incremental_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter($"doc_id" % 5 =!= 0)
+        val incoming = docs.filter($"doc_id" % 5 === 0)
+        val oldLabels = Dedup.nearDupClusters(
+          Dedup.minhashNearDups(corpus, threshold = 0.5))
+        val newPairs = Dedup.minhashNearDups(incoming, threshold = 0.5)
+          .select($"id_a", $"id_b")
+          .unionByName(Dedup.crossNearDups(corpus, incoming, threshold = 0.5)
+            .select($"id_a", $"id_b"))
+        val merged = Dedup.mergeClusters(oldLabels, newPairs)
+        docs.select($"doc_id")
+          .join(merged, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+            len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b FROM jp
+          WHERE round(CASE WHEN la + lb - i > 0 THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT e.src AS node, t.r FROM edges e JOIN reach t ON e.dst = t.node),
+        mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node)
+        SELECT d.doc_id,
+          COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
+        ORDER BY d.doc_id""")))
 }

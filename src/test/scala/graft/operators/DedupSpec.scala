@@ -263,6 +263,22 @@ class DedupSpec extends SparkSpec {
       s"unrelated hamming ${ham(sims(1L), sims(4L))}")
   }
 
+  test("mergeClusters == full re-cluster, including a batch doc bridging two old clusters") {
+    import spark.implicits._
+    // old graph: {1,2,3} (label 1) and {10,11} (label 10); batch doc 100
+    // pairs with 3 AND 10 -> everything must merge into one component
+    // labeled 1; batch pair (200, 201) forms a brand-new cluster 200
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val oldLabels = Dedup.nearDupClusters(oldPairs)
+    val newPairs = Seq((3L, 100L), (10L, 100L), (200L, 201L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.nearDupClusters(oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    assert(merged(100L) === 1L && merged(11L) === 1L && merged(201L) === 200L)
+  }
+
   test("simhashTable (native kernel) == per-row simhash Column form, incl. edges") {
     // fixture docs + the tokenizer edge cases the kernel must replicate:
     // empty, whitespace-only, single token, multibyte, repeated tokens
