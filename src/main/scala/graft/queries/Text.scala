@@ -1922,5 +1922,44 @@ object Text extends QueryModule {
         SELECT d.doc_id,
           COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
-        ORDER BY d.doc_id""")))
+        ORDER BY d.doc_id""")),
+
+    // --------------------------------------------------------------- q117
+    // Temperature-scaled mixture plan (the multilingual-upsampling scheme:
+    // share_i ∝ T_i^α over per-source token totals). α = 0.5 is computed
+    // with sqrt — IEEE-exact in both engines, unlike a general pow() whose
+    // libm may differ at the last ulp. epochs > 1 means the source is
+    // UPSAMPLED (seen more than once per pass) — the column a data-mixing
+    // owner reads to spot low-resource sources being over-repeated.
+    // Completes the mixture family: q70/q71 take explicit target shares;
+    // this derives them from the corpus itself. One vocabulary-sized
+    // aggregate + a scalar broadcast; nothing corpus-sized moves twice.
+    QueryDef("q117_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 100000.0
+        val tok = t(s, dir, "documents")
+          .select($"source", TextFunctions.tokenCount($"text").as("nt"))
+          .groupBy($"source").agg(sum($"nt").cast("long").as("n_tokens"))
+        val z = tok.agg(sum(sqrt($"n_tokens".cast("double"))).as("z"))
+        tok.crossJoin(broadcast(z))
+          .select($"source", $"n_tokens",
+            round(sqrt($"n_tokens".cast("double")) / $"z", 6).as("share"),
+            round(lit(budget) * sqrt($"n_tokens".cast("double")) / $"z", 2)
+              .as("target_tokens"),
+            round(lit(budget) * sqrt($"n_tokens".cast("double")) / $"z" /
+              $"n_tokens".cast("double"), 6).as("epochs"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+            CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM tok)
+        SELECT source, n_tokens,
+          round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS share,
+          round(100000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / z, 2)
+            AS target_tokens,
+          round(100000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / z /
+            CAST(n_tokens AS DOUBLE), 6) AS epochs
+        FROM tok CROSS JOIN z ORDER BY source""")))
 }
