@@ -294,6 +294,24 @@ class DedupSpec extends SparkSpec {
     assert(tbl === colForm)
   }
 
+  test("SimHash64 kernel property: parity with the Column form over random unicode corpora") {
+    import spark.implicits._
+    // seeded random docs mixing ascii, multibyte, exotic whitespace, and
+    // repetition — the fixture table can't cover the tokenizer's corners
+    val pieces = Vector("word", "héllo", "日本語", "a", "??", "x y",
+      "tab\tsep", "dots...", "", "  ", "ümlaut", " line")
+    val rnd = new scala.util.Random(20260813L)
+    val docs2 = (0L until 300L).map { i =>
+      val n = rnd.nextInt(12)
+      i -> Seq.fill(n)(pieces(rnd.nextInt(pieces.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val colForm = docs2.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = Dedup.simhashTable(docs2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === colForm)
+  }
+
   test("simhashTable folds NULL text to fingerprint 0 (explode_outer parity)") {
     val withNull = Seq((200L, Option.empty[String]), (201L, Some("some text here")))
       .toDF("doc_id", "text")
