@@ -216,6 +216,41 @@ class CurationPropsSpec extends SparkSpec {
     }
   }
 
+  test("bigramNll == local recomputation (stupid backoff, decimal-exact)") {
+    for (seed <- Seq(71L, 72L)) {
+      val data = corpus(seed, 80)
+      val model = data.filter(_._1 % 3 != 0) // held-out: 1/3 of docs unseen
+      val got = CorpusStats.bigramNll(
+          data.toDF("doc_id", "text"), model.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll"))))
+        .toMap
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mTok = model.map { case (_, t) => toks(t).filter(_.nonEmpty) }
+      val c1 = mTok.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = c1.values.sum.toDouble
+      val cb = mTok.flatMap(_.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = data.map { case (id, t) =>
+        val ts = toks(t).filter(_.nonEmpty)
+        val bgs = ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+        if (bgs.isEmpty) id -> ((0L, 0.0))
+        else {
+          val sum = bgs.groupBy(identity).map { case (bg, occ) =>
+            val p = cb.get(bg).map(c => c.toDouble / c1(bg._1))
+              .orElse(c1.get(bg._2).map(c => 0.4 * c / total))
+              .getOrElse(0.4 / total)
+            BigDecimal(r6(math.log(p))) * occ.size
+          }.sum
+          id -> ((bgs.size.toLong, r6(-sum.toDouble / bgs.size)))
+        }
+      }.toMap
+      assert(got === expect, s"seed $seed")
+      assert(got.size === data.size, "one row per doc, bigram-less included")
+    }
+  }
+
   test("categoryDrift == local recomputation (smoothed log-odds)") {
     val data = corpus(61L, 200)
     val oldDocs = data.filter(_._1 % 5 != 0).map { case (id, t) => (id, t, vocab((id % 3).toInt)) }
