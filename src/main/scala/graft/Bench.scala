@@ -208,9 +208,12 @@ object Bench {
       try q.stop() catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
     try lastSession.stop() catch { case _: Throwable => () }
-    val sidecars = Seq(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json"),
-      "/root/repo/BENCH_SIDECAR.json")
+    // The repo sidecar is the committed round-over-round perf record — a
+    // SPARK_GRAFT_BENCH_ONLY-filtered local iteration must NOT clobber it
+    // with a partial payload; filtered runs write only the /tmp sidecar.
+    val sidecars =
+      Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")) ++
+        (if (only.isDefined) Nil else Seq("/root/repo/BENCH_SIDECAR.json"))
     sidecars.foreach { path =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

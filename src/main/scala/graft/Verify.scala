@@ -50,12 +50,18 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Error sentinel: one JSON object mapping failed query name → message.
-    // Written even when empty so "no failures" is itself a positive record.
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Written even when empty so "no failures" is itself a positive record —
+    // but ONLY on unfiltered runs: a VERIFY_ONLY iteration into a reused
+    // outDir must not overwrite a prior full run's failure record with a
+    // vacuous {} while the other queries' stale outputs still sit beside it.
+    val ranCount = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    if (only.isEmpty) {
+      val errJson = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    }
     if (errors.nonEmpty)
-      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries failed: " +
+      System.err.println(s"[verify] ${errors.size}/$ranCount ran queries failed: " +
         errors.keys.mkString(", "))
     spark.stop()
   }

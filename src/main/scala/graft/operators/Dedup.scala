@@ -370,20 +370,27 @@ object Dedup {
       idColA: String = "id_a",
       idColB: String = "id_b",
       maxRounds: Int = 25): DataFrame = {
-    // each round's output is re-wrapped over its (checkpointed) RDD with
-    // FRESH attribute ids — iterative self-referencing plans otherwise trip
-    // Catalyst's Union constraint rewrite (round N's plan contains round
-    // N-1's attribute ids on both sides)
-    def freshIds(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
-    val edges = freshIds(
+    // Each iteration input is re-wrapped over a checkpointed RDD with FRESH
+    // attribute ids (createDataFrame) — iterative self-referencing plans
+    // otherwise trip Catalyst's Union constraint rewrite (round N's plan
+    // contains round N-1's attribute ids on both sides). Checkpointing at
+    // the RDD level (not Dataset.localCheckpoint) keeps a handle to the
+    // object that actually OWNS the cached blocks, so the unpersists below
+    // genuinely release storage instead of no-op'ing through a re-wrapped
+    // frame that the CacheManager never registered.
+    val sessionInit = pairs.sparkSession
+    def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // materialize now; lineage to the plan above is truncated
+      (sessionInit.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (edges, edgesRdd) = checkpointed(
       pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
-        .union(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
-        .localCheckpoint(true)) // referenced once per round; keep it materialized
-    var labels = freshIds(
+        .union(pairs.select(col(idColB).as("src"), col(idColA).as("dst"))))
+    var (labels, labelsRdd0) = checkpointed(
       edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint(true))
+        .select(col("node"), col("node").as("label")))
     // One Spark job per round: the convergence signal rides the same job
     // that materializes the round's labels. The old label is carried THROUGH
     // the neighbor-min aggregation (max() over exactly one non-null per
@@ -399,7 +406,7 @@ object Dedup {
       org.apache.spark.sql.types.StructField("node", labels.schema("node").dataType),
       org.apache.spark.sql.types.StructField("label", labels.schema("label").dataType)))
     val changedAcc = session.sparkContext.longAccumulator("graft.cc.changed")
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = labelsRdd0
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -430,7 +437,9 @@ object Dedup {
       converged = changedAcc.value == 0L
       round += 1
     }
-    edges.unpersist(blocking = false)
+    edgesRdd.unpersist(blocking = false) // symmetrized corpus-pair edges: the
+    // loop's largest retained blocks; release them before returning (the
+    // final round's label RDD stays cached — it backs the returned frame)
     if (!converged) {
       // per the no-silent-caps rule: a non-converged labeling is PARTIAL
       // (some cluster ids are not yet the component minimum) — fail loudly.
@@ -816,11 +825,14 @@ object Dedup {
       oldLabels: DataFrame,
       newPairs: DataFrame,
       idColA: String = "id_a",
-      idColB: String = "id_b"): DataFrame = {
+      idColB: String = "id_b",
+      idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
     val starPairs = oldLabels
-      .filter(col("doc_id") =!= col("cluster_id")) // self-stars add nothing
-      .select(col("doc_id").as(idColA), col("cluster_id").as(idColB))
-    nearDupClusters(starPairs.unionByName(newPairs), idColA, idColB)
+      .filter(col(idCol) =!= col(clusterCol)) // self-stars add nothing
+      .select(col(idCol).as(idColA), col(clusterCol).as(idColB))
+    nearDupClusters(starPairs.unionByName(newPairs.select(col(idColA), col(idColB))),
+      idColA, idColB)
   }
 
   // -------------------------------------------------- incremental ingest

@@ -1695,6 +1695,11 @@ object Text extends QueryModule {
               lit(ChunkStride))).as("start_token"), $"ws")
           .select($"doc_id",
             md5(array_join(slice($"ws", $"start_token", lit(ChunkSize)), " ")).as("fp"))
+          // the expensive stage (window slice + join + md5 over ~1.3x corpus
+          // tokens) feeds BOTH the repeat aggregate and the join-back — pin
+          // the narrow (doc_id, fp) result so it computes once (q107's
+          // two-consumer pattern)
+          .localCheckpoint(true)
         val repeats = chunks.groupBy($"fp").agg(count(lit(1)).as("cnt"))
         chunks.join(repeats, "fp")
           .groupBy($"doc_id")
@@ -1720,43 +1725,46 @@ object Text extends QueryModule {
         FROM ch JOIN rep USING (fp) GROUP BY doc_id ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- q112
-    // Quality-score calibration against the heuristic gate pack: decile the
-    // continuous quality score (q31's formula), report each decile's
-    // heuristic keep-rate — the agreement curve between the two scoring
-    // systems every curation pipeline runs side by side (a flat curve means
-    // the score adds nothing over the gates; keep-rate should rise with
-    // decile). ntile is a single bounded window (10 buckets over a corpus
-    // sort — at 100 TB swap for quantile cutpoints from q92); the rest is
-    // one 10-row aggregate.
+    // Quality-score calibration against the heuristic gate pack: bin the
+    // continuous quality score (q31's formula) into fixed-width 0.1 bands —
+    // the reliability-diagram form — and report each band's heuristic
+    // keep-rate: the agreement curve between the two scoring systems every
+    // curation pipeline runs side by side (a flat curve means the score
+    // adds nothing over the gates; keep-rate should rise with the band).
+    // Fixed-width binning is a pure per-row map + a ≤10-key aggregate — no
+    // global-order window, no single-partition sort, flat cost at 100 TB.
+    // (An earlier ntile() form was a global-sort window — the exact
+    // single-partition trap the plan lint exists to keep out of this
+    // catalog.) quality is already rounded to 4 dp in both engines, so the
+    // floor(q*10) bucket edges are engine-exact.
     QueryDef("q112_quality_calibration",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val prof = HeuristicFilters.qualityProfile(t(s, dir, "documents"))
           .select($"doc_id", $"keep",
             TextFunctions.qualityScore($"text").as("quality"))
-        val decile = ntile(10).over(Window.orderBy($"quality", $"doc_id"))
-        prof.withColumn("decile", decile.cast("long"))
-          .groupBy($"decile")
+        prof
+          .withColumn("band", least(lit(9L), floor($"quality" * 10).cast("long")))
+          .groupBy($"band")
           .agg(count(lit(1)).as("n_docs"),
             round(min($"quality"), 4).as("min_quality"),
             round(max($"quality"), 4).as("max_quality"),
             round(sum(when($"keep", 1.0).otherwise(0.0)) /
               count(lit(1)).cast("double"), 6).as("keep_rate"))
-          .orderBy($"decile")
+          .orderBy($"band")
       },
       Some(s"""WITH $heurStatsSql,
           sc AS (SELECT st.doc_id, $heurKeepSql AS keep, q.quality
             FROM st JOIN (SELECT doc_id, $qualitySql AS quality
               FROM documents) q ON q.doc_id = st.doc_id),
-          dd AS (SELECT *, CAST(ntile(10) OVER (ORDER BY quality, doc_id)
-              AS BIGINT) AS decile FROM sc)
-        SELECT decile, count(*) AS n_docs,
+          dd AS (SELECT *, least(9, CAST(floor(quality * 10) AS BIGINT))
+              AS band FROM sc)
+        SELECT band, count(*) AS n_docs,
           round(min(quality), 4) AS min_quality,
           round(max(quality), 4) AS max_quality,
           round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) /
             CAST(count(*) AS DOUBLE), 6) AS keep_rate
-        FROM dd GROUP BY 1 ORDER BY decile""")),
+        FROM dd GROUP BY 1 ORDER BY band""")),
 
     // --------------------------------------------------------------- q114
     // Held-out bigram LM scoring with stupid backoff: the model trains on
