@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors broke that for three rounds running: the
+// "[success] Total time..." banner printed after the metric line, and the
+// "[info] " prefix on forked-process output. Suppress both so the forked
+// main's final println IS the final raw stdout line.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Streaming suites share one SparkSession and the process-wide Metrics
 // registry; parallel suites race on both (observed flake: a counter
 // asserted by one suite incremented by another's pipeline).

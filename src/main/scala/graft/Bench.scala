@@ -211,14 +211,32 @@ object Bench {
     // The repo sidecar is the committed round-over-round perf record — a
     // SPARK_GRAFT_BENCH_ONLY-filtered local iteration must NOT clobber it
     // with a partial payload; filtered runs write only the /tmp sidecar.
+    // Repo root comes from the environment, falling back to the forked
+    // JVM's working directory (sbt forks in the project base directory) —
+    // not a hardcoded path, so a run from another checkout records itself.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
     val sidecars =
       Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")) ++
-        (if (only.isDefined) Nil else Seq("/root/repo/BENCH_SIDECAR.json"))
+        (if (only.isDefined) Nil else Seq(s"$repoRoot/BENCH_SIDECAR.json"))
     sidecars.foreach { path =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      catch {
+        // A silently-dropped sidecar is a lost perf record; say so (stderr,
+        // so the stdout metric line stays the last stdout content).
+        case e: Throwable =>
+          System.err.println(s"WARN: sidecar write failed for $path: $e")
+      }
     }
+    // Last line of defense for driver parseability: re-print the metric
+    // line from a shutdown hook so it is the process's literal final stdout
+    // even if a library (or a late non-daemon thread) prints after the
+    // normal println below.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      println(metricLine)
+      System.out.flush()
+    }))
     println(metricLine)
     System.out.flush()
   }

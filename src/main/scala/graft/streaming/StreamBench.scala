@@ -48,9 +48,8 @@ object StreamBench {
     * micro-batch percentiles. Safe to call repeatedly in one session. */
   def run(spark: SparkSession, seconds: Int, rps: Int,
       durable: Boolean, warmupSec: Int): Result = {
-    // (elapsed-ns-at-completion, triggerExecution ms) per non-empty batch
+    // (ns-at-completion, triggerExecution ms) per non-empty batch
     val batches = new ConcurrentLinkedQueue[(Long, Long)]()
-    val benchT0 = System.nanoTime()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -59,7 +58,12 @@ object StreamBench {
           // triggerExecution is the end-to-end micro-batch time; the other
           // durationMs entries are its sub-phases (summing would double-count).
           Option(e.progress.durationMs.get("triggerExecution"))
-            .foreach(ms => batches.add((System.nanoTime() - benchT0, ms.toLong)))
+            .foreach(ms => batches.add((System.nanoTime(), ms.toLong)))
+          // SPARK_GRAFT_STREAM_PROFILE=1: dump the full progress JSON
+          // (phase breakdown + state-store commit metrics) to stderr, one
+          // line per batch, for offline micro-batch-floor analysis.
+          if (sys.env.get("SPARK_GRAFT_STREAM_PROFILE").contains("1"))
+            System.err.println("STREAM_PROFILE " + e.progress.json)
         }
       }
     }
@@ -84,7 +88,19 @@ object StreamBench {
     val q = Pipelines.startLive(
       StreamSources.syntheticLiveSource(spark, rowsPerSecond = rps, nStreams = 16),
       objects, meta, ckpt)
-    try q.awaitTermination(seconds * 1000L) finally q.stop()
+    try q.awaitTermination(seconds * 1000L) finally {
+      // Stop BETWEEN triggers, not mid-batch: stop() interrupts any
+      // in-flight foreachPartition task and the killed task's stack trace
+      // lands in the bench output looking like a sink failure (r8 "what's
+      // wrong" #2). With a 1 s trigger and sub-second batches there is an
+      // idle window every cycle; wait (bounded) for the current trigger to
+      // finish, then stop while the query is idle.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      try while (q.status.isTriggerActive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      catch { case _: Throwable => () }
+      q.stop()
+    }
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     // listener bus is async — let the final progress events drain
@@ -98,7 +114,14 @@ object StreamBench {
     val processed = cur
     val all = batches.asScala.toSeq
     val durations = all.map(_._2).sorted
-    val steady = all.filter(_._1 >= warmupSec * 1_000_000_000L).map(_._2).sorted
+    // Warm-up window is anchored at the FIRST RECORDED BATCH, not at bench
+    // start: session/stream startup (~10 s before batch 0 completes) used
+    // to consume the whole window, so nothing was excluded and the first
+    // expensive codegen/state-open batches polluted the "steady"
+    // percentiles (r8: steadyBatches == batches on a 36-batch run).
+    val firstBatchNs = if (all.isEmpty) 0L else all.map(_._1).min
+    val steady =
+      all.filter(_._1 - firstBatchNs >= warmupSec * 1_000_000_000L).map(_._2).sorted
     def pct(xs: Seq[Long], p: Double): Long =
       if (xs.isEmpty) 0L
       else xs(math.min(xs.size - 1, (p * xs.size).toInt))

@@ -64,7 +64,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val byName = graft.SparkEntry.catalog.map(q => q.name -> q).toMap
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the representative catalog slice\n\n")
@@ -82,9 +82,13 @@ object PlanDump {
       sb.append(s"**Must hold at scale:** $why\n\n")
       sb.append("```\n").append(plan.trim).append("\n```\n")
     }
-    Files.write(Paths.get("/root/repo/PLANS.md"),
+    // Repo root from env or the forked JVM's working directory (sbt forks
+    // in the project base directory) — not a hardcoded checkout path.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
+    Files.write(Paths.get(s"$repoRoot/PLANS.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"PLANS.md written (${picks.size} plans)")
+    println(s"$repoRoot/PLANS.md written (${picks.size} plans)")
     spark.stop()
   }
 }
