@@ -19,10 +19,29 @@ import graft.streaming.Sinks.{MetadataSink, ObjectStore}
   */
 object Pipelines {
 
-  /** transformWithState requires the RocksDB state store provider. */
-  def configureStateStore(spark: SparkSession): Unit =
+  /** transformWithState requires the RocksDB state store provider.
+    *
+    * Changelog checkpointing is on: without it every micro-batch commit
+    * zips and fsyncs a full RocksDB snapshot per state partition —
+    * profiled at ~580 ms zip + ~670 ms fsync per batch (summed across 8
+    * stores) on the rate-matched bench, i.e. the entire latency floor.
+    * With it, commits append only the batch's puts to a changelog and
+    * snapshots upload in the background maintenance thread — the commit
+    * path becomes O(rows changed), which is what a low-latency keyed-state
+    * deployment runs (and exactly-once replay semantics are unchanged:
+    * recovery replays changelog onto the last snapshot). */
+  def configureStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // Snapshot consolidation every ~50 changelogs instead of 10: the
+    // background snapshot upload contends with the commit-path fsync on
+    // the same disk, and profiling showed the p99 batches are exactly the
+    // ones overlapping a snapshot (commitTimeMs 3.6 s vs 0.5 s median).
+    // Recovery cost stays bounded: replaying <=50 few-KB changelogs.
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "50")
+  }
 
   /** Per-batch latency-histogram aggregates for the reference buckets
     * (A6, spark_streaming.py:460-461): each chunk is banded by
