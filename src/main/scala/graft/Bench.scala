@@ -119,24 +119,45 @@ object Bench {
           val exact = pairs(Similarity.knnJoin(emb, queries, k))
           def recall(s: Set[(Long, Long)]): Double =
             if (exact.isEmpty) 0.0 else (s & exact).size.toDouble / exact.size
-          val lsh = recall(pairs(Similarity.lshKnnJoin(emb, queries, k)))
-          // the Hamming-1 multi-probe operating point: same index, the
-          // query side also visits 8 one-bit-flip buckets per table
-          val lshMp = recall(pairs(Similarity.lshKnnJoin(emb, queries, k, probes = 8)))
+          // Every operating point publishes [recall@10, min-wall-sec of the
+          // full |Q|-query join] — a recall column without a cost column is
+          // marketing. Cost is min-of-2 full evaluations (noop sink).
+          def point(mk: () => org.apache.spark.sql.DataFrame): String = {
+            val r = recall(pairs(mk()))
+            val t = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              mk().write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            f"[$r%.4f,$t%.2f]"
+          }
           val n = emb.count()
           val cells = math.min(Similarity.DefaultMaxCentroids,
             math.max(2, math.ceil(n.toDouble / 64).toInt))
-          val ivfU = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
-            nProbe = 2, centroids = Similarity.ivfCentroids(emb, cells))))
-          val trained = Similarity.ivfCentroidsTrained(emb, cells, iterations = 2)
-          val ivfT = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
-            nProbe = 2, centroids = trained)))
-          // the quality operating point: 8 cells scanned instead of 2
-          val ivfT8 = recall(pairs(Similarity.ivfKnnJoin(emb, queries, k,
-            nProbe = 8, centroids = trained)))
-          f""","ann_recall":{"k":$k,"n_queries":$nQ,"lsh":$lsh%.4f,""" +
-            f""""lsh_mp8":$lshMp%.4f,"ivf":$ivfU%.4f,""" +
-            f""""ivf_trained":$ivfT%.4f,"ivf_trained_p8":$ivfT8%.4f}"""
+          val t2 = Similarity.ivfCentroidsTrained(emb, cells, iterations = 2)
+          // the production-recall quantizer: 5 Lloyd passes (r8 verdict #4)
+          val t5 = Similarity.ivfCentroidsTrained(emb, cells, iterations = 5)
+          val entries = Seq(
+            "lsh" -> point(() => Similarity.lshKnnJoin(emb, queries, k)),
+            // Hamming-1 multi-probe: query side also visits one-bit-flip buckets
+            "lsh_mp8" -> point(() => Similarity.lshKnnJoin(emb, queries, k, probes = 8)),
+            // recall>=0.8 operating points: more tables, same per-table index
+            "lsh_t4_mp8" -> point(() =>
+              Similarity.lshKnnJoin(emb, queries, k, tables = 4, probes = 8)),
+            "lsh_t6_mp8" -> point(() =>
+              Similarity.lshKnnJoin(emb, queries, k, tables = 6, probes = 8)),
+            "ivf" -> point(() => Similarity.ivfKnnJoin(emb, queries, k,
+              nProbe = 2, centroids = Similarity.ivfCentroids(emb, cells))),
+            "ivf_trained" -> point(() => Similarity.ivfKnnJoin(emb, queries, k,
+              nProbe = 2, centroids = t2)),
+            "ivf_trained_p8" -> point(() => Similarity.ivfKnnJoin(emb, queries, k,
+              nProbe = 8, centroids = t2)),
+            // recall>=0.8 IVF point: 5 Lloyd passes, 16 of `cells` probed
+            // (16/4096 = 0.4% of a production-sized quantizer)
+            "ivf_i5_p16" -> point(() => Similarity.ivfKnnJoin(emb, queries, k,
+              nProbe = 16, centroids = t5)))
+          s""","ann_recall":{"k":$k,"n_queries":$nQ,"format":"[recall,min_sec]",""" +
+            entries.map { case (nm, v) => s""""$nm":$v""" }.mkString(",") + "}"
         } catch { case _: Throwable => "" }
       }
 
