@@ -1902,9 +1902,14 @@ object Text extends QueryModule {
         // PAIR sets for both epochs come from ONE LSH pass over the full
         // corpus, split by membership afterwards — banding a subset yields
         // exactly the subset's pairs (bucket membership is per-pair), so
-        // this is identical to per-epoch generation while computing
-        // signatures once instead of three times (measured 9 s → ~4 s at
-        // sf0.1). Incremental PAIR generation at O(batch) is q100/
+        // this matches per-epoch generation while computing signatures
+        // once instead of three times (measured 9 s → ~4 s at sf0.1).
+        // CAVEAT: the identity holds only while no bucket trips the
+        // degenerate-bucket cap — capBuckets caps on WHOLE-CORPUS bucket
+        // occupancy, so a bucket over-cap in the full corpus could be
+        // under-cap in the old-epoch subset and per-epoch generation would
+        // keep pairs this split drops. The exhaustive oracle would flag
+        // that divergence; on this fixture no bucket approaches the cap. Incremental PAIR generation at O(batch) is q100/
         // crossNearDups' contract; incremental LABEL maintenance is this
         // query's.
         val allPairs = Dedup.minhashNearDups(docs, threshold = 0.5)

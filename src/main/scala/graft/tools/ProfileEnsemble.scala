@@ -42,9 +42,11 @@ object ProfileEnsemble {
           .localCheckpoint(true)
         c.count(); c
       }
-      time("simhashCandidates blocks=7/match=2 (ensemble's)") {
-        Dedup.simhashCandidates(docs, blocks = 7, matchBlocks = 2)
-          .filter(col("hamming") <= 5)
+      time("simhashTable fingerprints only") {
+        Dedup.simhashTable(docs).count()
+      }
+      time("simhashCandidates blocks=7/match=2 maxHamming=5 (ensemble's)") {
+        Dedup.simhashCandidates(docs, blocks = 7, matchBlocks = 2, maxHamming = 5)
           .select(col("id_a"), col("id_b"))
           .count()
       }
