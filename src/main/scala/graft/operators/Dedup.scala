@@ -138,6 +138,75 @@ object Dedup {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Cross-document LINE dedup (the RefinedWeb/CCNet boilerplate pass):
+    * lines that recur across MANY documents — navigation chrome, cookie
+    * banners, license footers — are template boilerplate, invisible to
+    * document-level dedup (q34: whole-text fingerprints) and to per-doc
+    * line heuristics (c4CleanLines judges each line in isolation). The
+    * corpus-frequency signal is the one that finds them: explode lines,
+    * fingerprint the normalized line, count each fingerprint's DOCUMENT
+    * frequency corpus-wide, and drop lines whose df exceeds `maxDocFreq`.
+    *
+    * Returns one row per document: (id, n_lines, n_boilerplate,
+    * text_clean) — surviving lines re-joined with newlines in original
+    * order (empty string when nothing survives), plus the counts a
+    * curation funnel logs for accounting.
+    *
+    * Scale shape (reference: `spark_job/spark_streaming.py` has no
+    * line-level pass; this is the corpus-curation extension): the line
+    * explode is O(corpus bytes); the df aggregate is ONE keyed shuffle on
+    * the line fingerprint with map-side partial aggregation (count of
+    * distinct docs per fp is done as a two-level groupBy — (fp, id) first,
+    * then fp — both partial-aggregable, never an expand). The join back
+    * ships only the BOILERPLATE fingerprint set (df > maxDocFreq), which
+    * is orders of magnitude smaller than the distinct-line table — at
+    * real-corpus skew it broadcasts, so the per-line verdict is a
+    * broadcast-hash lookup, not a second corpus-wide shuffle. Reassembly
+    * is one groupBy(id) carrying (pos, line) structs — the third and last
+    * shuffle, keyed on the document id like every per-doc aggregate. */
+  def lineLevelDedup(
+      docs: DataFrame,
+      maxDocFreq: Long = 1L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastBoiler: Boolean = true,
+      lineSep: String = "\n",
+      rejoinSep: String = "\n"): DataFrame = {
+    // lineSep is a Java regex (Spark split semantics); the default "\n"
+    // is the RefinedWeb line pass, but corpora whose unit of boilerplate
+    // is the sentence/paragraph pass their own boundary regex
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), lineSep)).as(Seq("pos", "line")))
+      .withColumn("fp", md5(lower(trim(col("line")))))
+    // document frequency, not occurrence count: a doc that repeats its own
+    // heading should not push that heading over the boilerplate bar
+    val boiler = lines
+      .groupBy(col("fp"), col("id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("fp"), lit(true).as("is_boiler"))
+    // broadcastBoiler = false is the escape hatch for corpora whose
+    // boilerplate fp set outgrows executor memory (billions of distinct
+    // template lines): the fallback is a keyed shuffle join on fp — one
+    // extra corpus-wide shuffle, never a correctness change
+    val boilerSide = if (broadcastBoiler) broadcast(boiler) else boiler
+    lines
+      .join(boilerSide, Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boilerplate"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_boiler").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          rejoinSep).as("text_clean"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_boilerplate"),
+        col("text_clean"))
+  }
+
   /** The k-member minhash family over a pre-hashed shingle: member i is
     * `xxhash64(i, h)` — seeded xxhash64 over the 64-bit pre-hash. The
     * shingle STRING is hashed exactly once; family members then hash a

@@ -1981,5 +1981,44 @@ object Text extends QueryModule {
             AS target_tokens,
           round(100000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / z /
             CAST(n_tokens AS DOUBLE), 6) AS epochs
-        FROM tok CROSS JOIN z ORDER BY source""")))
+        FROM tok CROSS JOIN z ORDER BY source""")),
+
+    // --------------------------------------------------------------- q118
+    // Cross-document LINE dedup (RefinedWeb/CCNet boilerplate removal):
+    // lines recurring across > maxDocFreq documents are template chrome —
+    // invisible to whole-doc dedup (q34) and to per-doc line heuristics
+    // (q77's C4 pass judges lines in isolation). Spark side: line explode →
+    // ONE df aggregate on the line fingerprint (two-level groupBy, both
+    // partial-aggregable) → broadcast of the small boilerplate fp set back
+    // onto the lines → per-doc reassembly in original line order. The
+    // oracle recomputes document frequency exhaustively in SQL.
+    QueryDef("q118_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        // the fixture's texts are single-line word streams, so the unit of
+        // boilerplate here is the " the "-delimited segment — same
+        // operator, same df/join/reassembly machinery a "\n" corpus runs,
+        // but this boundary actually yields cross-document repeats (df up
+        // to ~5) for the oracle to check removal AND order-preserving
+        // reassembly against
+        Dedup.lineLevelDedup(t(s, dir, "documents"), maxDocFreq = 1L,
+            lineSep = " the ", rejoinSep = " the ")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ln AS (
+          SELECT doc_id, i AS pos, ls[i] AS line,
+            md5(lower(trim(ls[i]))) AS fp
+          FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' the ') AS ls
+                      FROM documents))),
+        dfreq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
+        verdict AS (SELECT ln.*, (df > 1) AS is_boiler
+                    FROM ln JOIN dfreq USING (fp))
+        SELECT doc_id,
+          count(*) AS n_lines,
+          CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boilerplate,
+          coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+            ' the ' ORDER BY pos), '') AS text_clean
+        FROM verdict GROUP BY doc_id ORDER BY doc_id""")))
 }

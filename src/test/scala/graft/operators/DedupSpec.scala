@@ -463,4 +463,41 @@ class DedupSpec extends SparkSpec {
     // the corpus-internal (1,2) dup pair must be absent; both cross pairs present
     assert(pairs === Set((1L, 10L), (2L, 10L)))
   }
+
+  test("lineLevelDedup removes cross-doc boilerplate, keeps order, counts df not occurrences") {
+    val boiler = "Cookie Policy | Accept All"
+    val d = Seq(
+      (1L, s"unique first line\n$boiler\nunique closing line"),
+      (2L, s"$boiler\nanother body line"),
+      // doc 3 repeats ITS OWN heading twice: occurrence count would call it
+      // boilerplate (3 occurrences), document frequency must not (df = 1)
+      (3L, "my own heading\nmy own heading\nbody text here"),
+      // doc 4 is pure boilerplate -> empty cleaned text
+      (4L, boiler)
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineLevelDedup(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_boilerplate"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(got(1L) === ((3L, 1L, "unique first line\nunique closing line")))
+    assert(got(2L) === ((2L, 1L, "another body line")))
+    assert(got(3L) === ((3L, 0L, "my own heading\nmy own heading\nbody text here")))
+    assert(got(4L) === ((1L, 1L, "")))
+  }
+
+  test("lineLevelDedup normalizes case/whitespace before fingerprinting; maxDocFreq raises the bar") {
+    val d = Seq(
+      (1L, "Shared Footer Text\nkeep me"),
+      (2L, "  shared footer text  \nkeep me too"),
+      (3L, "SHARED FOOTER TEXT\nthird body")
+    ).toDF("doc_id", "text")
+    // df = 3 under normalization; at the default bar all three lose the footer
+    val strict = Dedup.lineLevelDedup(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    assert(strict === Map(1L -> "keep me", 2L -> "keep me too", 3L -> "third body"))
+    // raising maxDocFreq to 3 keeps the footer everywhere (df is not > 3)
+    val lax = Dedup.lineLevelDedup(d, maxDocFreq = 3L)
+      .agg(sum($"n_boilerplate")).head.getLong(0)
+    assert(lax === 0L)
+  }
 }
