@@ -82,6 +82,72 @@ object PlanDump {
       sb.append(s"**Must hold at scale:** $why\n\n")
       sb.append("```\n").append(plan.trim).append("\n```\n")
     }
+    // ---- AQE evidence: what the runtime re-planner does to these shapes
+    // when the static partition count is cluster-sized instead of
+    // laptop-sized. Everything below runs with shuffle.partitions=128 (the
+    // floor a real cluster would configure) and captures the FINAL adaptive
+    // plan after execution — isFinalPlan=true, with AQEShuffleRead nodes
+    // showing the runtime coalesce.
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sb.append("\n# AQE — runtime re-planning evidence at 128 shuffle partitions\n\n")
+    sb.append("The catalog sessions run AQE-on (Spark's default; CatalogSpec\n")
+    sb.append("asserts it) with shuffle.partitions sized to local cores. A real\n")
+    sb.append("cluster sets partitions in the hundreds-to-thousands; these\n")
+    sb.append("sections show the SAME query code under shuffle.partitions=128,\n")
+    sb.append("executed, with the final adaptive plan captured. At 1000\n")
+    sb.append("executors nothing in the query code changes: AQE coalesces each\n")
+    sb.append("exchange down to data-sized partition counts per stage (the\n")
+    sb.append("AQEShuffleRead `coalesced` nodes below), and the skew-join rule\n")
+    sb.append("splits oversized partitions of any corpus-keyed join the same way\n")
+    sb.append("it splits the planted hot key below.\n")
+    val q72 = byName("q72_full_pipeline")
+    val df72 = q72.fn(spark, dir)
+    df72.collect() // execute THIS queryExecution (count() would plan a new one)
+    sb.append("\n## q72_full_pipeline under AQE (executed, final plan)\n\n")
+    sb.append("**Must hold at scale:** with 128 static partitions on fixture-\n")
+    sb.append("sized stages, every exchange is runtime-coalesced (AQEShuffleRead\n")
+    sb.append("coalesced) instead of running hundreds of near-empty tasks; the\n")
+    sb.append("stage-materialized funnel head keeps its one-keyed-shuffle-per-\n")
+    sb.append("stage shape underneath.\n\n")
+    sb.append("```\n").append(df72.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+      .append("\n```\n")
+    // Skew-join: a deliberately hot key (70% of a 300k-row left side on one
+    // join key) with broadcast disabled so the join is sort-merge — the
+    // shape a corpus-keyed join degenerates into when one source/cluster/
+    // fingerprint dominates. Thresholds are scaled to fixture bytes; on a
+    // cluster the defaults (256 MB) play the same role.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    val hot = spark.range(0, 300000).select(
+      when(col("id") % 10 < 7, 0L).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    // a GLOBAL aggregate downstream, deliberately: a groupBy on the join
+    // key would reuse the join's hash partitioning, and OptimizeSkewedJoin
+    // declines to split a skewed partition when the split would force an
+    // extra shuffle for such a downstream consumer — the global aggregate
+    // imposes no distribution requirement, so the rule is free to act
+    val skewed = hot.join(dim, "k").agg(sum(col("v") + col("w")).as("s"))
+    skewed.collect()
+    sb.append("\n## Hot-key join under AQE skew handling (executed, final plan)\n\n")
+    sb.append("**Must hold at scale:** the partition holding the hot key (70% of\n")
+    sb.append("the left side) is split by OptimizeSkewedJoin — the sort-merge\n")
+    sb.append("join's left read shows `coalesced and skewed` instead of leaving\n")
+    sb.append("one straggler task; the small side coalesces as usual. This is\n")
+    sb.append("the mechanism (plus explicit salting in the operators that\n")
+    sb.append("pre-aggregate) that protects corpus-keyed joins when one source\n")
+    sb.append("or fingerprint dominates a 100 TB corpus.\n\n")
+    sb.append("```\n").append(skewed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+      .append("\n```\n")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     // Repo root from env or the forked JVM's working directory (sbt forks
     // in the project base directory) — not a hardcoded checkout path.
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",

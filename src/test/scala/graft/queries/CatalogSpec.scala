@@ -48,6 +48,12 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("AQE is on in the catalog session (runtime coalesce + skew-join at scale)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
