@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -296,5 +296,91 @@ object CorpusStats {
           ((col("n_new") + lit(1)).cast("double") / (col("t_new") + col("k"))) /
             ((col("n_old") + lit(1)).cast("double") / (col("t_old") + col("k")))), 6)
           .as("log_odds_drift"))
+  }
+
+  // ------------------------------------------------------ BPE tokenizer
+
+  /** Word-frequency vocabulary with each word as its initial BPE symbol
+    * sequence (characters). The one corpus-sized stage of BPE training:
+    * after this groupBy, everything operates on the DISTINCT-word table
+    * weighted by frequency — for a 100 TB corpus that is millions of rows,
+    * not trillions, which is why tokenizer trainers run on word-count
+    * tables (the Sennrich-BPE formulation). */
+  def bpeVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), split(col("word"), "").as("symbols"), col("freq"))
+
+  /** Adjacent-symbol pair statistics over a (word, symbols, freq) vocab
+    * table: for every adjacent symbol pair, its frequency-weighted
+    * occurrence count and the number of distinct words containing it. The
+    * argmax row of this frame IS the next BPE merge. zip_with over two
+    * shifted slices builds the pair list per word — vocabulary-sized work,
+    * one keyed aggregate, no corpus re-scan. */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("word"), col("freq"),
+        explode(zip_with(
+          slice(col("symbols"), lit(1), size(col("symbols")) - 1),
+          slice(col("symbols"), lit(2), size(col("symbols")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("cnt"),
+        countDistinct(col("word")).as("n_words"))
+
+  /** One BPE merge applied to a symbol-sequence column: adjacent (a, b)
+    * collapse left-to-right non-overlapping into a+b — the fold keeps the
+    * just-merged token as the new "last", so `aaa` under (a,a) becomes
+    * [aa, a], never [aa, aa]. Interpreted HOF, deliberately: it runs over
+    * the vocab table only (see [[bpeVocab]]), merges-many-times per
+    * session, and a codegen kernel here would buy nothing measurable. */
+  def bpeMergeSymbols(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"), (acc, s) => {
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && last === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(last, s))))
+        .otherwise(concat(acc, array(s)))
+    })
+
+  /** BPE trainer: `merges` rounds of argmax-pair + merge over the vocab
+    * table. Returns the ordered merge list (left, right, weighted count).
+    * Driver pulls exactly ONE row per round (the argmax pair — bounded by
+    * construction); each round's vocab is checkpointed eagerly so lineage
+    * depth stays constant, and the previous rounds' vocab-sized blocks are
+    * released asynchronously by the ContextCleaner once the loop drops its
+    * references (Dataset-level unpersist cannot reach localCheckpoint
+    * blocks — see nearDupClusters for the RDD-level variant; at vocab
+    * scale the async release is sufficient). Stops early when no pair
+    * reaches `minPairCount` (merging singletons is tokenizer noise). */
+  def bpeTrain(
+      docs: DataFrame,
+      merges: Int,
+      textCol: String = "text",
+      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    var vocab = bpeVocab(docs, textCol).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var round = 0
+    while (!done && round < merges) {
+      val top = bpePairCounts(vocab)
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect() // bounded: exactly the argmax row
+      if (top.isEmpty) done = true
+      else {
+        val pair = top.head.getAs[String]("pair")
+        val cnt = top.head.getAs[Long]("cnt")
+        val Array(a, b) = pair.split(" ", 2)
+        out += ((a, b, cnt))
+        vocab = vocab
+          .select(col("word"), bpeMergeSymbols(col("symbols"), a, b).as("symbols"),
+            col("freq"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    out.toSeq
   }
 }

@@ -2020,5 +2020,105 @@ object Text extends QueryModule {
             AS n_boilerplate,
           coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
             ' the ' ORDER BY pos), '') AS text_clean
-        FROM verdict GROUP BY doc_id ORDER BY doc_id""")))
+        FROM verdict GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q119
+    // The curation funnel with the cross-document line-dedup pass wired in
+    // (RefinedWeb stage order: line-level boilerplate removal BEFORE
+    // document-level dedup, because stripping shared chrome is what makes
+    // near-identical article bodies become exact dups): q118's cleaning →
+    // boilerplate-ratio gate (integer arithmetic: 2·n_boiler <= n_lines,
+    // and a non-empty survivor) → exact dedup on the CLEANED text → per-
+    // source accounting of docs/tokens in vs kept. Every stage is keyed on
+    // doc_id / fp / source — the funnel adds no new shuffle class.
+    QueryDef("q119_funnel_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val cleaned = Dedup.lineLevelDedup(docs, maxDocFreq = 1L,
+          lineSep = " the ", rejoinSep = " the ")
+        val joined = docs.select($"doc_id", $"source", $"text")
+          .join(cleaned, "doc_id")
+        val gated = joined.filter(
+          $"n_boilerplate" * 2 <= $"n_lines" && length(trim($"text_clean")) > 0)
+        val surv = gated
+          .withColumn("fp", TextFunctions.fingerprint($"text_clean"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+          .filter($"rn" === 1)
+        val ins = joined.groupBy($"source").agg(
+          count(lit(1)).as("n_docs_in"),
+          sum(TextFunctions.tokenCount($"text")).as("tokens_in"),
+          sum($"n_boilerplate").as("boiler_lines"))
+        val outs = surv.groupBy($"source").agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum(TextFunctions.tokenCount($"text_clean")).as("tokens_kept"))
+        ins.join(outs, Seq("source"), "left")
+          .select($"source", $"n_docs_in", $"tokens_in", $"boiler_lines",
+            coalesce($"n_docs_kept", lit(0L)).as("n_docs_kept"),
+            coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH ln AS (
+          SELECT doc_id, i AS pos, ls[i] AS line,
+            md5(lower(trim(ls[i]))) AS fp
+          FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' the ') AS ls
+                      FROM documents))),
+        dfreq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
+        verdict AS (SELECT ln.*, (df > 1) AS is_boiler
+                    FROM ln JOIN dfreq USING (fp)),
+        cleaned AS (SELECT doc_id, count(*) AS n_lines,
+            sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boiler,
+            coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+              ' the ' ORDER BY pos), '') AS text_clean
+          FROM verdict GROUP BY doc_id),
+        j AS (SELECT d.doc_id, d.source, d.text, c.n_lines, c.n_boiler,
+            c.text_clean
+          FROM documents d JOIN cleaned c USING (doc_id)),
+        gated AS (SELECT * FROM j
+          WHERE 2 * n_boiler <= n_lines AND len(trim(text_clean)) > 0),
+        surv AS (SELECT *, row_number() OVER (PARTITION BY
+            md5(lower(regexp_replace(text_clean, '[^a-zA-Z0-9]', '', 'g')))
+            ORDER BY doc_id) AS rn FROM gated),
+        ins AS (SELECT source, count(*) AS n_docs_in,
+            CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+              AS tokens_in,
+            CAST(sum(n_boiler) AS BIGINT) AS boiler_lines
+          FROM j GROUP BY 1),
+        outs AS (SELECT source, count(*) AS n_docs_kept,
+            CAST(sum(len(string_split_regex(trim(text_clean), '\\s+')))
+              AS BIGINT) AS tokens_kept
+          FROM surv WHERE rn = 1 GROUP BY 1)
+        SELECT source, n_docs_in, tokens_in, boiler_lines,
+          COALESCE(n_docs_kept, 0) AS n_docs_kept,
+          COALESCE(tokens_kept, 0) AS tokens_kept
+        FROM ins LEFT JOIN outs USING (source) ORDER BY source""")),
+
+    // --------------------------------------------------------------- q120
+    // BPE tokenizer training, round-zero pair statistics: the argmax row of
+    // this frame is the first merge a Sennrich-BPE trainer performs. The
+    // one corpus-sized stage is the word-frequency groupBy; pair explode
+    // and counting run over the DISTINCT-word vocabulary weighted by freq —
+    // which is why tokenizer trainers scale to 100 TB corpora (vocab is
+    // millions of rows, not trillions). The full iterative trainer
+    // (argmax → merge → recount, one bounded driver row per round) is
+    // CorpusStats.bpeTrain, pinned by spec against the textbook example.
+    QueryDef("q120_bpe_pair_stats",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.bpePairCounts(
+            CorpusStats.bpeVocab(t(s, dir, "documents")))
+          .orderBy($"cnt".desc, $"pair")
+      },
+      Some(s"""WITH w AS (SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0))
+            AS word FROM documents),
+        wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        p AS (SELECT word, freq, unnest(list_transform(range(1, len(word)),
+            i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1))) AS pair
+          FROM wf WHERE len(word) >= 2)
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt,
+          count(DISTINCT word) AS n_words
+        FROM p GROUP BY 1 ORDER BY cnt DESC, pair""")))
 }

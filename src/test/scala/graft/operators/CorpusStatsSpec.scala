@@ -113,6 +113,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(12L)._2 > got(11L)._2 && got(11L)._2 > got(10L)._2)
   }
 
+  test("bpeTrain reproduces the textbook Sennrich merges on the classic vocab") {
+    import spark.implicits._
+    // Sennrich et al. 2016's worked example: {low:5, lower:2, newest:6,
+    // widest:3}. Hand-computed pair counts: (e,s)=9 and (s,t)=9 tie in
+    // round 1 — the deterministic tie-break (pair text ascending) picks
+    // "e s"; round 2 merges (es,t)=9; round 3 has (l,o)=(o,w)=7 — text
+    // order picks "l o".
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = CorpusStats.bpeTrain(docs, merges = 3)
+    assert(merges === Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+  }
+
+  test("bpeMergeSymbols merges left-to-right non-overlapping (aaa -> [aa, a])") {
+    import spark.implicits._
+    val got = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("c", "a", "b")),
+        Tuple1(Seq("a", "b", "b")), Tuple1(Seq.empty[String]))
+      .toDF("symbols")
+      .select(CorpusStats.bpeMergeSymbols(
+        org.apache.spark.sql.functions.col("symbols"), "a", "a").as("m"))
+      .collect().map(_.getAs[collection.Seq[String]]("m").toSeq)
+    assert(got(0) === Seq("aa", "a"))
+    assert(got(1) === Seq("c", "a", "b"))
+    assert(got(2) === Seq("a", "b", "b"))
+    assert(got(3) === Seq.empty)
+  }
+
+  test("bpeTrain stops early when no pair reaches minPairCount") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text") // every pair count 1
+    assert(CorpusStats.bpeTrain(docs, merges = 5).isEmpty)
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort") {
     val plan = CorpusStats.topNgrams(docs, n = 2, k = 5)
       .queryExecution.executedPlan.toString
