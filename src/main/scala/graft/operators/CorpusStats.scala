@@ -258,6 +258,45 @@ object CorpusStats {
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
 
+  /** CCNet-style perplexity-band partition (Wenzek et al. 2020 §4.4): score
+    * every document with the held-out bigram LM ([[bigramNll]]) and assign
+    * it to `head` / `middle` / `tail` by fixed NLL thresholds, then account
+    * docs and token mass per (category, band). CCNet calibrates the two
+    * thresholds as percentiles of a sample and then applies them as
+    * CONSTANTS corpus-wide — which is exactly the scale-safe form (a global
+    * percentile split would be q112's global-sort ntile trap); the
+    * thresholds arrive here as parameters for the same reason.
+    *
+    * Determinism: per-doc nll is already rounded to 6 dp by [[bigramNll]];
+    * band assignment compares those grid points against constants, and the
+    * per-band mean re-enters exact DECIMAL accumulation so engine summation
+    * order cannot move the reported mean. Plan shape: bigramNll's keyed
+    * aggregations, one broadcast-joined docs projection for the category,
+    * then ONE (category, band) partial-aggregable groupBy — nothing new
+    * shuffles at corpus width. */
+  def perplexityBands(
+      docs: DataFrame,
+      modelDocs: DataFrame,
+      headMax: Double,
+      middleMax: Double,
+      categoryCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(headMax < middleMax,
+      s"band thresholds must be ordered: headMax=$headMax, middleMax=$middleMax")
+    val scored = bigramNll(docs, modelDocs, idCol)
+      .join(docs.select(col(idCol), col(categoryCol)), Seq(idCol))
+      .withColumn("band",
+        when(col("nll") < headMax, "head")
+          .when(col("nll") < middleMax, "middle")
+          .otherwise("tail"))
+    scored.groupBy(col(categoryCol), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("nll").cast("decimal(28,6)")).as("sum_nll"))
+      .select(col(categoryCol), col("band"), col("n_docs"), col("n_bigrams"),
+        round(col("sum_nll").cast("double") / col("n_docs"), 6).as("mean_nll"))
+  }
+
   /** Categorical drift between two corpus snapshots: per-category counts,
     * shares, and the add-one-smoothed log-odds ratio
     * `ln( ((n_new+1)/(t_new+k)) / ((n_old+1)/(t_old+k)) )` (k = distinct

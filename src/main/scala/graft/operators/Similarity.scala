@@ -501,4 +501,69 @@ object Similarity {
     corpus.join(broadcast(drops),
       corpus(idCol) === col("__sem_drop_id"), "left_anti")
   }
+
+  /** Embedding-space cluster separation diagnostics against a label column:
+    * per label, the member count, the mean distance of members to their own
+    * label centroid (cohesion), the nearest OTHER centroid with its
+    * distance, and the inter/intra separation ratio — the quality gate an
+    * embedding pipeline reads before trusting its vectors for semantic
+    * dedup or retrieval (labels whose ratio drops toward 1 are smeared into
+    * their neighbor and will cross-contaminate IVF cells).
+    *
+    * Scale shape: centroids reduce through ONE partial-aggregable
+    * (label, dim) groupBy over the exploded vectors (output: labels x dims
+    * rows — tiny at any corpus size); member distances then compute IN-ROW
+    * against a broadcast centroid-array table via a zip_with fold (no
+    * N x dims shuffle — the only corpus-sized aggregation keys on label);
+    * the centroid-pair matrix is labels² x dims, driver-negligible.
+    *
+    * Determinism: centroids snap to the 6-dp grid BEFORE any distance is
+    * measured, so both engines subtract identical coordinates; the in-row
+    * fold is fixed-order; per-member distances round to 6 dp and the mean
+    * accumulates as exact DECIMAL. */
+  def labelCentroidStats(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cent = embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+    // centroid as an ordered array per label (array_sort on (dim, c)
+    // structs makes the collect_list order irrelevant)
+    val centArr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val dist = embeddings
+      .select(col(labelCol).as("label"), col(idCol),
+        transform(col(vecCol), v => v.cast("double")).as("xd"))
+      .join(broadcast(centArr), Seq("label"))
+      .select(col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("xd"), col("cvec"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v)), 6).as("d"))
+    val intra = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("d").cast("decimal(28,6)")).as("sum_d"))
+      .select(col("label"), col("n_points"),
+        round(col("sum_d").cast("double") / col("n_points"), 6)
+          .as("intra_mean_dist"))
+    val a = cent.select(col("label").as("la"), col("dim"), col("c").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("dim"), col("c").as("cb"))
+    val nearest = a.join(b, Seq("dim")).filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("ss"))
+      .select(col("la"), col("lb"), round(sqrt(col("ss")), 6).as("cd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("la")).orderBy(col("cd").asc, col("lb").asc)))
+      .filter(col("rn") === 1)
+      .select(col("la").as("label"), col("lb").as("nearest_label"),
+        col("cd").as("inter_dist"))
+    intra.join(nearest, Seq("label"))
+      .select(col("label"), col("n_points"), col("intra_mean_dist"),
+        col("nearest_label"), col("inter_dist"),
+        round(col("inter_dist") / col("intra_mean_dist"), 6).as("separation"))
+  }
 }

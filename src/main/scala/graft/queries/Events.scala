@@ -651,7 +651,111 @@ object Events extends QueryModule {
         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
         JOIN scd s ON e.user_id = s.user_id AND e.ts >= s.valid_from
           AND (s.valid_to IS NULL OR e.ts < s.valid_to)
-        GROUP BY 1, 2 ORDER BY e.user_id, s.version""")))
+        GROUP BY 1, 2 ORDER BY e.user_id, s.version""")),
+
+    // --------------------------------------------------------------- q121
+    // Event-rate anomaly detection: hourly counts per event type scored
+    // against their OWN trailing 24 h via z-score — the alert rule behind
+    // every ops dashboard's "traffic spike" panel (and the batch analogue
+    // of the reference's Prometheus rate() alerts, A7). The trailing window
+    // is a RANGE frame over epoch-hours, so missing hours genuinely shrink
+    // the baseline instead of silently stretching it (a ROWS frame would
+    // reach back days across a gap). Variance comes from integer-exact
+    // window sums (Σx, Σx²) via the textbook identity, so both engines do
+    // the same three IEEE double ops — no Welford-vs-naive drift. Plan:
+    // one (type, hour) partial-aggregable groupBy, then window functions
+    // partitioned by type — at 100 TB the windowed frame is hours x types,
+    // ~9k rows/type/year, a single executor's work after the reduce.
+    QueryDef("q121_rate_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = t(s, dir, "events")
+          .groupBy($"event_type",
+            unix_seconds(date_trunc("hour", $"ts")).as("hour_epoch"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"event_type").orderBy($"hour_epoch")
+          .rangeBetween(-86400, -3600)
+        val scored = hourly
+          .withColumn("n_tr", count(lit(1)).over(w))
+          .withColumn("sum_tr", sum($"cnt").over(w))
+          .withColumn("sumsq_tr", sum($"cnt" * $"cnt").over(w))
+          .filter($"n_tr" >= 12) // half a day of baseline before judging
+          .withColumn("mean_tr",
+            $"sum_tr".cast("double") / $"n_tr")
+          .withColumn("var_tr",
+            ($"sumsq_tr".cast("double") -
+              $"sum_tr".cast("double") * $"sum_tr" / $"n_tr") /
+              ($"n_tr" - 1))
+          .withColumn("z", when($"var_tr" > 0,
+            round(($"cnt" - $"mean_tr") / sqrt($"var_tr"), 6)).otherwise(0.0))
+        scored.select($"event_type", $"hour_epoch", $"cnt", $"n_tr",
+            round($"mean_tr", 6).as("mean_tr"), $"z",
+            (abs($"z") >= 3.0).as("is_anomaly"))
+          .orderBy($"event_type", $"hour_epoch")
+      },
+      Some("""WITH h AS (SELECT event_type,
+            CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+              AS hour_epoch,
+            count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, hour_epoch, cnt,
+            count(*) OVER tw AS n_tr,
+            sum(cnt) OVER tw AS sum_tr,
+            sum(cnt * cnt) OVER tw AS sumsq_tr
+          FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_epoch
+            RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)),
+        sc AS (SELECT event_type, hour_epoch, cnt, n_tr,
+            CAST(sum_tr AS DOUBLE) / n_tr AS mean_tr,
+            (CAST(sumsq_tr AS DOUBLE)
+              - CAST(sum_tr AS DOUBLE) * sum_tr / n_tr) / (n_tr - 1) AS var_tr
+          FROM w WHERE n_tr >= 12)
+        SELECT event_type, hour_epoch, CAST(cnt AS BIGINT) AS cnt,
+          CAST(n_tr AS BIGINT) AS n_tr, round(mean_tr, 6) AS mean_tr,
+          CASE WHEN var_tr > 0
+            THEN round((cnt - mean_tr) / sqrt(var_tr), 6) ELSE 0.0 END AS z,
+          (abs(CASE WHEN var_tr > 0
+            THEN round((cnt - mean_tr) / sqrt(var_tr), 6) ELSE 0.0 END)
+            >= 3.0) AS is_anomaly
+        FROM sc ORDER BY event_type, hour_epoch""")),
+
+    // --------------------------------------------------------------- q122
+    // Per-user event-transition matrix (first-order Markov counts): each
+    // user's event sequence contributes its adjacent (from, to) pairs;
+    // transition probability normalizes within the from-type. The
+    // session-path fingerprint behind "what do users do after an error" —
+    // and the input a Markov-chain simulator of synthetic traffic trains
+    // on. ONE window pass (lead over the user's time-ordered events, ties
+    // broken by event_id so the order is total), one partial-aggregable
+    // (from, to) groupBy, and the per-from normalizer joins back from a
+    // types-sized aggregate — nothing scales past the event count.
+    QueryDef("q122_event_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val seq = t(s, dir, "events")
+          .select($"user_id", $"event_type", lead($"event_type", 1).over(
+            Window.partitionBy($"user_id").orderBy($"ts", $"event_id"))
+            .as("next_type"))
+          .filter($"next_type".isNotNull)
+        val cnt = seq.groupBy($"event_type".as("from_type"),
+            $"next_type".as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = cnt.groupBy($"from_type").agg(sum($"cnt").as("from_total"))
+        cnt.join(tot, "from_type")
+          .select($"from_type", $"to_type", $"cnt",
+            round($"cnt".cast("double") / $"from_total", 6).as("p"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS next_type
+          FROM events),
+        c AS (SELECT event_type AS from_type, next_type AS to_type,
+            count(*) AS cnt
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, sum(cnt) AS from_total FROM c GROUP BY 1)
+        SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+          round(CAST(cnt AS DOUBLE) / from_total, 6) AS p
+        FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""")))
 
   private val zBits = 10
 

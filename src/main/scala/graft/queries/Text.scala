@@ -2120,5 +2120,106 @@ object Text extends QueryModule {
           FROM wf WHERE len(word) >= 2)
         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt,
           count(DISTINCT word) AS n_words
-        FROM p GROUP BY 1 ORDER BY cnt DESC, pair""")))
+        FROM p GROUP BY 1 ORDER BY cnt DESC, pair""")),
+
+    // --------------------------------------------------------------- q123
+    // CCNet perplexity-band partition (Wenzek et al. 2020 §4.4): every doc
+    // scored by the held-out bigram LM (q114's model and determinism
+    // contract), assigned head/middle/tail by FIXED thresholds, accounted
+    // per (source, band). CCNet calibrates thresholds as percentiles of a
+    // sample then applies them as constants — the scale-safe form (a global
+    // percentile assignment would be the q112 global-sort trap). The
+    // constants here sit at the fixture corpus's quartiles, so all three
+    // bands are populated and the oracle exercises both boundaries.
+    QueryDef("q123_perplexity_band",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val train = graft.operators.Sampling.deterministicSplit(
+          docs, valFraction = 0.1).filter($"split" === "train")
+        CorpusStats.perplexityBands(docs, train,
+            headMax = 3.39, middleMax = 3.425)
+          .orderBy($"source", $"band")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text,
+            CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '${graft.operators.Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split,
+            list_filter($wsSql, x -> len(x) > 0) AS wsf
+          FROM documents),
+        dbg AS (SELECT doc_id,
+            unnest(list_slice(wsf, 1, len(wsf) - 1)) AS w1,
+            unnest(list_slice(wsf, 2, len(wsf))) AS w2
+          FROM base WHERE len(wsf) >= 2),
+        tf AS (SELECT doc_id, w1, w2, count(*) AS m FROM dbg GROUP BY 1, 2, 3),
+        mbg AS (SELECT doc_id,
+            unnest(list_slice(wsf, 1, len(wsf) - 1)) AS w1,
+            unnest(list_slice(wsf, 2, len(wsf))) AS w2
+          FROM base WHERE split = 'train' AND len(wsf) >= 2),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM mbg GROUP BY 1, 2),
+        c1 AS (SELECT term, count(*) AS c1 FROM (
+            SELECT unnest(wsf) AS term FROM base WHERE split = 'train')
+          GROUP BY 1),
+        tot AS (SELECT sum(c1) AS t FROM c1),
+        scored AS (SELECT tf.doc_id, tf.m,
+            CAST(round(ln(CASE
+              WHEN cb.cb IS NOT NULL AND cb.cb > 0
+                THEN CAST(cb.cb AS DOUBLE) / ca.c1
+              WHEN cw.c1 IS NOT NULL AND cw.c1 > 0
+                THEN 0.4 * CAST(cw.c1 AS DOUBLE) / t
+              ELSE 0.4 / t END), 6) AS DECIMAL(28,6)) * tf.m AS contrib
+          FROM tf
+          LEFT JOIN cb ON cb.w1 = tf.w1 AND cb.w2 = tf.w2
+          LEFT JOIN c1 ca ON ca.term = tf.w1
+          LEFT JOIN c1 cw ON cw.term = tf.w2
+          CROSS JOIN tot),
+        perdoc AS (SELECT doc_id, sum(m) AS n_bigrams, sum(contrib) AS sum_lp
+          FROM scored GROUP BY 1),
+        nll AS (SELECT d.doc_id,
+            CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            COALESCE(round(-CAST(sum_lp AS DOUBLE) / n_bigrams, 6),
+              CAST(0.0 AS DOUBLE)) AS nll
+          FROM documents d LEFT JOIN perdoc USING (doc_id)),
+        banded AS (SELECT s.source, n.n_bigrams, n.nll,
+            CASE WHEN n.nll < 3.39 THEN 'head'
+                 WHEN n.nll < 3.425 THEN 'middle'
+                 ELSE 'tail' END AS band
+          FROM nll n JOIN documents s USING (doc_id))
+        SELECT source, band, count(*) AS n_docs,
+          CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+          round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+            AS mean_nll
+        FROM banded GROUP BY 1, 2 ORDER BY source, band""")),
+
+    // --------------------------------------------------------------- q124
+    // ROLLUP corpus accounting: doc and token totals at (source, lang),
+    // per-source, and grand-total grain in ONE pass — the report a corpus
+    // owner actually reads (every level of the hierarchy without three
+    // scans or a self-union). Spark's rollup and DuckDB's GROUP BY ROLLUP
+    // share semantics exactly; the grouping-marker columns disambiguate
+    // subtotal rows from genuine values. Partial aggregation applies at
+    // every grouping set, so the shuffle carries (sets x distinct keys)
+    // combined rows, not the corpus.
+    QueryDef("q124_rollup_report",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("toks", TextFunctions.tokenCount($"text"))
+          .rollup($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"),
+            grouping($"source").cast("long").as("g_source"),
+            grouping($"lang").cast("long").as("g_lang"))
+          .select(coalesce($"source", lit("(all)")).as("source"),
+            coalesce($"lang", lit("(all)")).as("lang"),
+            $"g_source", $"g_lang", $"n_docs", $"tokens")
+          .orderBy($"g_source", $"g_lang", $"source", $"lang")
+      },
+      Some(s"""SELECT COALESCE(source, '(all)') AS source,
+          COALESCE(lang, '(all)') AS lang,
+          CAST(grouping(source) AS BIGINT) AS g_source,
+          CAST(grouping(lang) AS BIGINT) AS g_lang,
+          count(*) AS n_docs,
+          CAST(sum(len($wsSql)) AS BIGINT) AS tokens
+        FROM documents GROUP BY ROLLUP(source, lang)
+        ORDER BY g_source, g_lang, source, lang""")))
 }

@@ -379,7 +379,50 @@ object Vectors extends QueryModule {
           round(CAST(COALESCE(overlap, 0) AS DOUBLE) / 10.0, 6) AS recall_at_10
         FROM (SELECT DISTINCT query_id FROM qq) q LEFT JOIN ov USING (query_id)
         ORDER BY query_id"""
-      }))
+      }),
+
+    // --------------------------------------------------------------- q125
+    // Label-centroid separation diagnostics: per label, member count, mean
+    // distance to the own-label centroid (cohesion), the nearest other
+    // centroid and its distance, and the inter/intra ratio — the
+    // embedding-quality gate before trusting vectors for semantic dedup or
+    // retrieval. Centroids snap to the 6-dp grid BEFORE distances are
+    // measured so both engines subtract identical coordinates; member
+    // distances compute in-row against a broadcast centroid-array table
+    // (no N x dims shuffle); per-member distances round then accumulate as
+    // exact DECIMAL. The oracle recomputes from the exploded join.
+    QueryDef("q125_label_separation",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.labelCentroidStats(t(s, dir, "embeddings"))
+          .orderBy($"label")
+      },
+      Some("""WITH pt AS (SELECT label, vec_id,
+            unnest(range(0, len(embedding))) AS dim,
+            unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+          FROM embeddings),
+        cent AS (SELECT label, dim, round(avg(v), 6) AS c
+          FROM pt GROUP BY 1, 2),
+        d AS (SELECT pt.label, pt.vec_id,
+            round(sqrt(sum((pt.v - cent.c) * (pt.v - cent.c))), 6) AS d
+          FROM pt JOIN cent ON pt.label = cent.label AND pt.dim = cent.dim
+          GROUP BY 1, 2),
+        intra AS (SELECT label, count(*) AS n_points,
+            round(CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+              AS intra_mean_dist
+          FROM d GROUP BY 1),
+        cp AS (SELECT a.label AS la, b.label AS lb,
+            round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS cd
+          FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+          GROUP BY 1, 2),
+        near AS (SELECT la, lb, cd, row_number() OVER (PARTITION BY la
+            ORDER BY cd, lb) AS rn FROM cp)
+        SELECT i.label, CAST(n_points AS BIGINT) AS n_points, intra_mean_dist,
+          n.lb AS nearest_label, n.cd AS inter_dist,
+          round(n.cd / intra_mean_dist, 6) AS separation
+        FROM intra i JOIN near n ON n.la = i.label AND n.rn = 1
+        ORDER BY i.label"""))
+  )
 
   /** Shared ANN output contract: recomputed-exact similarity, no self
     * matches, dense correct ranks. One row, violation count 0. */

@@ -113,6 +113,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(12L)._2 > got(11L)._2 && got(11L)._2 > got(10L)._2)
   }
 
+  test("perplexityBands: banding, counts, and DECIMAL-exact per-band means") {
+    import spark.implicits._
+    val model = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b", "s1"),   // nll 0.0                      -> head
+      (11L, "d a", "s1"),   // nll -ln(0.8/6)  ~ 2.014903   -> middle
+      (12L, "a zzz", "s2"), // nll -ln(0.4/6)  ~ 2.70805    -> tail
+      (13L, "a b", "s2")    // nll 0.0                      -> head
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.perplexityBands(score, model,
+        headMax = 1.0, middleMax = 2.5)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("band")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("mean_nll"))))
+      .toMap
+    val mid = -math.rint(math.log(0.4 * 2 / 6.0) * 1e6) / 1e6
+    val tail = -math.rint(math.log(0.4 / 6.0) * 1e6) / 1e6
+    assert(got.keySet === Set(("s1", "head"), ("s1", "middle"),
+      ("s2", "head"), ("s2", "tail")))
+    assert(got(("s1", "head")) === ((1L, 1L, 0.0)))
+    assert(got(("s1", "middle")) === ((1L, 1L, mid)))
+    assert(got(("s2", "tail")) === ((1L, 1L, tail)))
+    assert(got(("s2", "head")) === ((1L, 1L, 0.0)))
+    intercept[IllegalArgumentException] {
+      CorpusStats.perplexityBands(score, model, headMax = 3.0, middleMax = 2.0)
+    }
+  }
+
   test("bpeTrain reproduces the textbook Sennrich merges on the classic vocab") {
     import spark.implicits._
     // Sennrich et al. 2016's worked example: {low:5, lower:2, newest:6,

@@ -275,4 +275,36 @@ class SimilaritySpec extends SparkSpec {
     assert((1000L until 1010L).forall(id => !ids.contains(id)), "copies drop")
     assert(dd.columns.toSeq === withCopies.columns.toSeq, "corpus schema unchanged")
   }
+
+  test("labelCentroidStats: hand-computed centroids, distances, nearest label") {
+    // label 0: (0,0),(2,0) -> centroid (1,0), both members at distance 1
+    // label 1: (10,0),(12,0) -> centroid (11,0), both at distance 1
+    // label 2: (11,5),(11,7) -> centroid (11,6), both at distance 1
+    // centroid distances: 0-1 = 10, 0-2 = sqrt(136) ~ 11.66, 1-2 = 6
+    val fix = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(10f, 0f), 1), (3L, Array(12f, 0f), 1),
+      (4L, Array(11f, 5f), 2), (5L, Array(11f, 7f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidStats(fix).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Double]("intra_mean_dist"),
+          r.getAs[Int]("nearest_label"), r.getAs[Double]("inter_dist"),
+          r.getAs[Double]("separation"))))
+      .toMap
+    assert(got(0) === ((2L, 1.0, 1, 10.0, 10.0)))
+    assert(got(1) === ((2L, 1.0, 2, 6.0, 6.0)))
+    assert(got(2) === ((2L, 1.0, 1, 6.0, 6.0)))
+  }
+
+  test("labelCentroidStats: fixture run is total and one row per label") {
+    val out = Similarity.labelCentroidStats(emb).collect()
+    val labels = emb.select("label").distinct().count()
+    assert(out.length === labels, "one diagnostics row per label")
+    out.foreach { r =>
+      assert(r.getAs[Double]("intra_mean_dist") > 0)
+      assert(r.getAs[Double]("inter_dist") > 0)
+      assert(r.getAs[Int]("nearest_label") !== r.getAs[Int]("label"))
+    }
+  }
 }

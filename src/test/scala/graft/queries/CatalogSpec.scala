@@ -30,7 +30,9 @@ class CatalogSpec extends SparkSpec {
     "q88_hll_source_overlap", "q91_bloom_prune_join", "q93_funnel_conversion",
     "q97_join_advisor", "q99_range_layout_audit", "q105_quality_audit",
     "q107_split_leakage", "q113_quantized_recall", "q114_bigram_nll",
-    "q115_leakage_safe_split", "q117_temperature_mix")
+    "q115_leakage_safe_split", "q117_temperature_mix",
+    // q123 inherits q114's one-row model-total broadcast (bigramNll's tot)
+    "q123_perplexity_band")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
