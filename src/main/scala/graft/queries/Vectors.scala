@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.Similarity
 
 /** Similarity search over the `embeddings` fixture. Exact variants are
@@ -421,7 +422,137 @@ object Vectors extends QueryModule {
           n.lb AS nearest_label, n.cd AS inter_dist,
           round(n.cd / intra_mean_dist, 6) AS separation
         FROM intra i JOIN near n ON n.la = i.label AND n.rn = 1
-        ORDER BY i.label"""))
+        ORDER BY i.label""")),
+
+    // --------------------------------------------------------------- q126
+    // Metadata-filtered kNN: top-k cosine neighbors restricted to the
+    // candidates passing a relational predicate (here: the document's
+    // language) — filtered vector search, the retrieval shape every RAG
+    // serving tier runs ("nearest English docs"). The filter applies
+    // BEFORE the similarity search (pre-filtering), so k survivors are
+    // guaranteed — post-filtering an unfiltered top-k can return < k. The
+    // candidate restriction is one keyed semi-join against the filtered
+    // dimension; at 100 TB the same shape drops onto the IVF index by
+    // intersecting the filter with each probed cell's members.
+    QueryDef("q126_filtered_knn",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val en = t(s, dir, "documents").filter($"lang" === "en")
+          .select($"doc_id".as("vec_id"))
+        Similarity.knnJoin(emb.join(en, "vec_id"),
+            emb.filter($"vec_id" < 20), k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH en AS (SELECT doc_id AS vec_id FROM documents
+              WHERE lang = 'en'),
+        c AS (SELECT e.vec_id, e.embedding FROM embeddings e
+              JOIN en USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 20),
+        scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+            ${cosineSql("c.embedding", "qv")} AS sim
+          FROM c, q WHERE c.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // --------------------------------------------------------------- q127
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    // each query document retrieves top-20 by embedding cosine AND top-20
+    // by lexical overlap (shared distinct tokens), and the two rankings
+    // fuse as score = Σ 1/(60 + rank) over the lists containing the
+    // candidate; top-5 fused survive. The standard dense+sparse serving
+    // recipe — RRF needs only ranks, so the two retrievers' incomparable
+    // scores never mix. Lexical candidates come from a token-keyed join
+    // (posting-list shape, not all-pairs; production adds a df cap on the
+    // hottest terms — the same degenerate-bucket lever as LSH); vector
+    // candidates broadcast the bounded query side. Absent ranks encode as
+    // 0 (not NULL) so the fused frame stays total and engine-comparable.
+    QueryDef("q127_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val withEmb = docs.join(emb.select($"vec_id".as("doc_id")), "doc_id")
+        val nQ = 20
+        val topN = 20
+        val vecTop = Similarity.knnJoin(
+            emb.join(withEmb.select($"doc_id".as("vec_id")), "vec_id"),
+            emb.filter($"vec_id" < nQ), k = topN)
+          .select($"query_id", $"neighbor_id", $"rank".as("vec_rank"))
+        val toks = withEmb
+          .select($"doc_id", explode(array_distinct(
+            filter(TextFunctions.tokens($"text"), x => length(x) > 0)))
+            .as("tok"))
+        val qToks = toks.filter($"doc_id" < nQ)
+          .select($"doc_id".as("query_id"), $"tok")
+        val overlap = toks.join(qToks, "tok")
+          .filter($"doc_id" =!= $"query_id")
+          .groupBy($"query_id", $"doc_id")
+          .agg(count(lit(1)).as("overlap"))
+        val lexTop = overlap
+          .withColumn("lex_rank", row_number().over(
+            Window.partitionBy($"query_id")
+              .orderBy($"overlap".desc, $"doc_id")))
+          .filter($"lex_rank" <= topN)
+          .select($"query_id", $"doc_id".as("neighbor_id"), $"lex_rank")
+        val fused = vecTop.join(lexTop, Seq("query_id", "neighbor_id"),
+            "full_outer")
+          .select($"query_id", $"neighbor_id",
+            coalesce($"vec_rank", lit(0)).cast("long").as("vec_rank"),
+            coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"))
+          .withColumn("rrf_score", round(
+            when($"vec_rank" > 0, lit(1.0) / ($"vec_rank" + 60)).otherwise(0.0) +
+              when($"lex_rank" > 0, lit(1.0) / ($"lex_rank" + 60)).otherwise(0.0),
+            6))
+        fused.withColumn("rank", row_number().over(
+            Window.partitionBy($"query_id")
+              .orderBy($"rrf_score".desc, $"neighbor_id")))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"neighbor_id", $"vec_rank", $"lex_rank",
+            $"rrf_score", $"rank")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH we AS (SELECT d.doc_id, d.text FROM documents d
+              JOIN embeddings e ON e.vec_id = d.doc_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 20),
+        vsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+            ${cosineSql("e.embedding", "qv")} AS sim
+          FROM (SELECT e0.vec_id, e0.embedding FROM embeddings e0
+                JOIN we ON we.doc_id = e0.vec_id) e, q
+          WHERE e.vec_id <> query_id),
+        vtop AS (SELECT query_id, neighbor_id, vr AS vec_rank FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS vr
+            FROM vsc) WHERE vr <= 20),
+        tk AS (SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))) AS tok
+          FROM we),
+        ov AS (SELECT qt.doc_id AS query_id, tk.doc_id, count(*) AS overlap
+          FROM tk JOIN (SELECT * FROM tk WHERE doc_id < 20) qt USING (tok)
+          WHERE tk.doc_id <> qt.doc_id GROUP BY 1, 2),
+        ltop AS (SELECT query_id, doc_id AS neighbor_id, lr AS lex_rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY overlap DESC, doc_id) AS lr FROM ov) WHERE lr <= 20),
+        fused AS (SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+            COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+            CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+            CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank
+          FROM vtop v FULL OUTER JOIN ltop l
+            ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id),
+        sc AS (SELECT *, round(
+            (CASE WHEN vec_rank > 0 THEN 1.0 / (vec_rank + 60) ELSE 0.0 END) +
+            (CASE WHEN lex_rank > 0 THEN 1.0 / (lex_rank + 60) ELSE 0.0 END), 6)
+            AS rrf_score FROM fused),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS rank FROM sc)
+        SELECT query_id, neighbor_id, vec_rank, lex_rank, rrf_score, rank
+        FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 
   /** Shared ANN output contract: recomputed-exact similarity, no self

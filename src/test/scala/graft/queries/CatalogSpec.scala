@@ -32,7 +32,10 @@ class CatalogSpec extends SparkSpec {
     "q107_split_leakage", "q113_quantized_recall", "q114_bigram_nll",
     "q115_leakage_safe_split", "q117_temperature_mix",
     // q123 inherits q114's one-row model-total broadcast (bigramNll's tot)
-    "q123_perplexity_band")
+    "q123_perplexity_band",
+    // q126/q127 run knnJoin's theta join against a <= 20-vector broadcast
+    // query side (q41's justification)
+    "q126_filtered_knn", "q127_hybrid_rrf")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
