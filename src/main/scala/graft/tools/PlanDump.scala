@@ -54,7 +54,19 @@ object PlanDump {
     "q114_bigram_nll" ->
       ("Bigram LM: every join is vocabulary-keyed (w1/w2 hash joins); the " +
         "scalar token total arrives by broadcast; the only corpus-keyed " +
-        "shuffle is the per-(doc, bigram) partial aggregate."))
+        "shuffle is the per-(doc, bigram) partial aggregate."),
+    "q121_rate_anomaly" ->
+      ("Rate anomaly: ONE (type, hour) partial-aggregable groupBy reduces " +
+        "the corpus to the hourly grid BEFORE the window stage; the " +
+        "trailing-24h stats run as a RANGE frame inside the per-type " +
+        "partition — no global window, and the windowed frame is hours x " +
+        "types regardless of event count."),
+    "q127_hybrid_rrf" ->
+      ("Hybrid RRF: the sparse leg is a token-keyed posting-list join " +
+        "(Exchange on tok), never candidates x candidates; the dense leg's " +
+        "only nested loop is the bounded <= 20-vector broadcast query " +
+        "side; fusion joins the two rank lists on (query, neighbor) — " +
+        "top-N-sized frames."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
