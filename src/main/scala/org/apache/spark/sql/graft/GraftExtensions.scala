@@ -95,6 +95,12 @@ object GraftExtensions {
         require(children.length == 2, "float_dot expects exactly 2 arguments")
         FloatDot(children.head, children(1)): Expression
       }),
+    (FunctionIdentifier("double_dot"),
+      new ExpressionInfo(classOf[DoubleDot].getCanonicalName, "double_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "double_dot expects exactly 2 arguments")
+        DoubleDot(children.head, children(1)): Expression
+      }),
     (FunctionIdentifier("sliding_min"),
       new ExpressionInfo(classOf[SlidingMin].getCanonicalName, "sliding_min"),
       (children: Seq[Expression]) => {

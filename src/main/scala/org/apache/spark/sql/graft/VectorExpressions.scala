@@ -68,9 +68,61 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Full-double sibling of [[FloatDot]] for `array<double>` inputs: the
+  * quantization-eval and diagnostics queries derive DOUBLE arrays (casts,
+  * rounds, centroid grids) and score them with index-ordered double dot
+  * products that the DuckDB oracles replicate term-for-term — a cast to
+  * float there would move 6-dp-rounded cosines off the oracle's grid. The
+  * HOF form (`aggregate(zip_with(...))`) is interpreted per element with
+  * boxing; this is the same loop under whole-stage codegen (measured on
+  * q113: the dominant cost term). Accumulation order and width match the
+  * HOF form bit-for-bit on equal-length non-null arrays. */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FloatDot]]. */
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[DoubleDot]]. */
+  def doubleDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DoubleDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

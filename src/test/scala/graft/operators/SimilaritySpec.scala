@@ -23,6 +23,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native DoubleDot == full-double HOF fold, bit-exact, both eval paths") {
+    import org.apache.spark.sql.graft.VectorExpressions.doubleDot
+    // DOUBLE arrays derived the way q113 derives them (cast + rounded
+    // quantization), where a float_dot cast would lose the low bits that
+    // the 6-dp cosine rounding can see
+    val d = emb.select($"vec_id",
+      transform($"embedding", v => v.cast("double")).as("xd"))
+    val pairs = d.as("a").join(d.as("b"), col("b.vec_id") === col("a.vec_id") + 7)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val rows = pairs.select(
+      doubleDot(col("a.xd"), col("b.xd")).as("native"),
+      hof(col("a.xd"), col("b.xd")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "bit-exact parity")
+    }
+    // interpreted path (codegen disabled) agrees too
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val r2 = pairs.select(doubleDot(col("a.xd"), col("b.xd")).as("n"),
+        hof(col("a.xd"), col("b.xd")).as("h")).collect()
+      r2.foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("double_dot is SQL-callable via GraftExtensions registration") {
+    org.apache.spark.sql.graft.GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      "SELECT double_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("dot() accepts array<double>/array<int> via implicit cast (old HOF input domain)") {
     import graft.functions.VectorFunctions
     val df = Seq((Seq(1.0, 2.0), Seq(3, 4))).toDF("d", "i")
