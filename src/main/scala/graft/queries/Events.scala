@@ -755,7 +755,43 @@ object Events extends QueryModule {
         t AS (SELECT from_type, sum(cnt) AS from_total FROM c GROUP BY 1)
         SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
           round(CAST(cnt AS DOUBLE) / from_total, 6) AS p
-        FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""")))
+        FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""")),
+
+    // --------------------------------------------------------------- q128
+    // Hopping (sliding) window: 1 h windows advancing every 15 min — the
+    // overlap form that smooths tumbling-window edge artifacts on rate
+    // dashboards. Spark's window(ts, "1 hour", "15 minutes") assigns each
+    // event to its 4 covering windows; the oracle derives the same
+    // windows by exploding the 4 slide offsets per event. The fan-out is
+    // the window/slide ratio (here 4x) applied MAP-SIDE before the
+    // partial aggregation, so the shuffle carries (windows x types)
+    // combined rows — the event count never crosses the wire. Completes
+    // the window-type surface: tumbling q23, session q24/q50, hopping
+    // here.
+    QueryDef("q128_hopping_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(30,6)")).cast("decimal(38,6)")
+              .cast("double").as("total_value"))
+          .select(unix_seconds($"window.start").as("win_start"),
+            $"event_type", $"n", $"total_value")
+          .orderBy($"win_start", $"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+            CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+              + 900 * CAST(floor((epoch(CAST(ts AS TIMESTAMP))
+                - epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) / 900)
+                AS BIGINT) AS slot
+          FROM events),
+        x AS (SELECT event_type, value, slot - 900 * o.off AS win_start
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) o)
+        SELECT win_start, event_type, count(*) AS n,
+          CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS total_value
+        FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""")))
 
   private val zBits = 10
 
