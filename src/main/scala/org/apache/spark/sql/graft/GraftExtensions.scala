@@ -35,8 +35,12 @@ import org.apache.spark.sql.types.IntegerType
   * (the q30-q36 oracles pin those semantics).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // plan rewrite: the declarative aggregate(zip_with) dot idiom lowers to
+    // the codegen kernels (sound — kernels are exact HOF equivalents)
+    ext.injectOptimizerRule(_ => RewriteHofDot)
+  }
 }
 
 object GraftExtensions {
@@ -150,5 +154,11 @@ object GraftExtensions {
     descriptors.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
+    // post-hoc counterpart of injectOptimizerRule for already-built
+    // sessions; extraOptimizations runs in the user-provided batch, after
+    // the main optimizer (so promotion casts are already simplified)
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDot
   }
 }

@@ -18,17 +18,18 @@ import org.apache.spark.sql.types._
   * whole-stage codegen (SURVEY.md §2.8: custom Expression where built-ins
   * don't fit; preference (b) on the custom-operator ladder).
   *
-  * Semantics match the HOF form bit-for-bit on equal-length arrays with
-  * non-null elements (index-ordered sum of double products — the same
-  * contract the DuckDB oracles replicate). Length mismatch: the HOF form
-  * yields NULL via zip_with padding; this expression uses the shorter
-  * length. The embedding fixtures are fixed-dim, non-null.
+  * Semantics are EXACTLY the HOF fold's, in every case — index-ordered sum
+  * of double products (the contract the DuckDB oracles replicate), NULL
+  * when either array is null, contains a null element, or the lengths
+  * differ (zip_with pads the shorter side with null, nulling the sum).
+  * Full HOF equivalence is what makes [[RewriteHofDot]] a sound
+  * plan-rewrite rather than a semantics change.
   *
   * ImplicitCastInputTypes keeps the public `dot()` input domain of the old
   * HOF form: array<double>/array<int> inputs are implicitly cast to
   * array<float> at analysis instead of failing. Note the cast is to SINGLE
   * precision — callers needing full-double accumulation over array<double>
-  * should use [[graft.functions.VectorFunctions.dotHof]].
+  * should use [[DoubleDot]].
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -36,15 +37,22 @@ case class FloatDot(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // null even on non-null inputs (null element / length mismatch)
+  override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -54,12 +62,17 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -75,23 +88,31 @@ case class FloatDot(left: Expression, right: Expression)
   * float there would move 6-dp-rounded cosines off the oracle's grid. The
   * HOF form (`aggregate(zip_with(...))`) is interpreted per element with
   * boxing; this is the same loop under whole-stage codegen (measured on
-  * q113: the dominant cost term). Accumulation order and width match the
-  * HOF form bit-for-bit on equal-length non-null arrays. */
+  * q113: the dominant cost term). Exact HOF equivalence in every case —
+  * same accumulation order and width, NULL on null element or length
+  * mismatch — so [[RewriteHofDot]] may substitute it freely. */
 case class DoubleDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  // null even on non-null inputs (null element / length mismatch)
+  override def nullable: Boolean = true
   override def prettyName: String = "double_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -101,12 +122,17 @@ case class DoubleDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -60,6 +60,67 @@ class SimilaritySpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("kernels are exact HOF equivalents on the null/length edge cases") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.graft.VectorExpressions.doubleDot
+    val rows = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))),
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(3.0f), Some(4.0f)))), // null element
+      (Some(Seq(Some(1.0f))), Some(Seq(Some(3.0f), Some(4.0f)))),       // length mismatch
+      (None, Some(Seq(Some(3.0f))))                                     // null array
+    ).toDF("a", "b")
+    val got = rows.select(
+      VectorFunctions.dot($"a", $"b").as("k"),
+      VectorFunctions.dotHof($"a", $"b").as("h"),
+      doubleDot(transform($"a", v => v.cast("double")),
+        transform($"b", v => v.cast("double"))).as("kd")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"float kernel vs HOF nullness: $r")
+      assert(r.isNullAt(2) === r.isNullAt(1), s"double kernel vs HOF nullness: $r")
+      if (!r.isNullAt(0)) {
+        assert(r.getDouble(0) === r.getDouble(1))
+        assert(r.getDouble(2) === r.getDouble(1))
+      }
+    }
+    assert(got(0).getDouble(0) === 11.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0) && got(3).isNullAt(0))
+  }
+
+  test("RewriteHofDot: the declarative fold lowers to the kernels, same results") {
+    org.apache.spark.sql.graft.GraftExtensions.registerInto(spark)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // float arrays -> float_dot
+    val f = emb.as("a").join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 3)
+      .select(hof(col("a.embedding"), col("b.embedding")).as("d"))
+    assert(f.queryExecution.optimizedPlan.toString.contains("float_dot"),
+      s"float HOF fold must lower:\n${f.queryExecution.optimizedPlan}")
+    // double arrays -> double_dot (the cast-to-double is a no-op there and
+    // the optimizer strips it before the rule runs)
+    val dd = emb.select(transform($"embedding", v => v.cast("double")).as("xd"))
+      .select(hof($"xd", $"xd").as("d"))
+    assert(dd.queryExecution.optimizedPlan.toString.contains("double_dot"),
+      s"double HOF fold must lower:\n${dd.queryExecution.optimizedPlan}")
+    // value parity: rewritten result equals the interpreted fold evaluated
+    // with the rule removed
+    val withRule = f.collect().map(_.getDouble(0))
+    val prev = spark.experimental.extraOptimizations
+    val without = try {
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == org.apache.spark.sql.graft.RewriteHofDot)
+      f.collect().map(_.getDouble(0))
+    } finally spark.experimental.extraOptimizations = prev
+    assert(withRule.toSeq === without.toSeq)
+    // a non-dot fold (sum of x+y) must NOT rewrite
+    val other = emb.select(aggregate(
+      zip_with($"embedding", $"embedding",
+        (x, y) => x.cast("double") + y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("_dot"),
+      "sum-of-sums fold must stay a fold")
+  }
+
   test("dot() accepts array<double>/array<int> via implicit cast (old HOF input domain)") {
     import graft.functions.VectorFunctions
     val df = Seq((Seq(1.0, 2.0), Seq(3, 4))).toDF("d", "i")
