@@ -791,7 +791,58 @@ object Events extends QueryModule {
         SELECT win_start, event_type, count(*) AS n,
           CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6))
             AS DOUBLE) AS total_value
-        FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""")))
+        FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // --------------------------------------------------------------- q129
+    // Per-type linear trend (closed-form OLS of value over day index):
+    // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), the drift detector behind
+    // "is this metric creeping" dashboards — q121 catches spikes, this
+    // catches slopes. Engine-exact by construction: x is an integer day
+    // index and y snaps to DECIMAL(30,6), so all five sufficient
+    // statistics are EXACT decimal/integer sums (order-independent); the
+    // slope/intercept then evaluate as one identical IEEE expression on
+    // both engines. ONE partial-aggregable groupBy — the sufficient-
+    // statistics shape is why OLS scales to any corpus (no second pass,
+    // no residual join).
+    QueryDef("q129_trend_lines",
+      (s, dir) => {
+        import s.implicits._
+        val anchor = to_timestamp(lit("2024-01-01"))
+        val d = t(s, dir, "events").select($"event_type",
+          datediff(date_trunc("day", $"ts"), anchor).cast("long").as("x"),
+          $"value".cast("decimal(30,6)").as("y"))
+        val stats = d.groupBy($"event_type").agg(
+          count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"))
+        val nD = $"n".cast("double")
+        val slope = (nD * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double")) /
+          (nD * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double"))
+        stats.select($"event_type", $"n",
+            round(slope, 6).as("slope"),
+            round(($"sy".cast("double") - slope * $"sx".cast("double")) / nD, 6)
+              .as("intercept"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+            CAST(date_diff('day', TIMESTAMP '2024-01-01',
+              date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS x,
+            CAST(value AS DECIMAL(30,6)) AS y
+          FROM events),
+        s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+            sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+          FROM d GROUP BY 1),
+        e AS (SELECT event_type, n,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+            CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+          FROM s)
+        SELECT event_type, CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+          round((syd - slope * sxd) / CAST(n AS DOUBLE), 6) AS intercept
+        FROM e ORDER BY event_type""")))
 
   private val zBits = 10
 

@@ -2221,5 +2221,34 @@ object Text extends QueryModule {
           count(*) AS n_docs,
           CAST(sum(len($wsSql)) AS BIGINT) AS tokens
         FROM documents GROUP BY ROLLUP(source, lang)
-        ORDER BY g_source, g_lang, source, lang""")))
+        ORDER BY g_source, g_lang, source, lang""")),
+
+    // --------------------------------------------------------------- q130
+    // Pivot: the source x language doc-count matrix as columns — the
+    // crosstab every corpus dashboard renders. The language domain is
+    // passed EXPLICITLY (the fixture's five codes): at 100 TB an implicit
+    // pivot first runs a full distinct scan to discover the column set and
+    // bakes a nondeterministic schema; explicit values make the pivot a
+    // single pass with a fixed schema, which is also what keeps the
+    // oracle's conditional aggregation aligned column-for-column.
+    QueryDef("q130_lang_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .select($"source",
+            coalesce($"de", lit(0L)).as("de"), coalesce($"en", lit(0L)).as("en"),
+            coalesce($"es", lit(0L)).as("es"), coalesce($"fr", lit(0L)).as("fr"),
+            coalesce($"zh", lit(0L)).as("zh"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+          CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+          CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+          CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+          CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+          CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        FROM documents GROUP BY source ORDER BY source""")))
 }
