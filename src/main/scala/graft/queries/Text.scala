@@ -2250,5 +2250,31 @@ object Text extends QueryModule {
           CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
           CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
           CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
-        FROM documents GROUP BY source ORDER BY source""")))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // --------------------------------------------------------------- q131
+    // The custom per-group top-k operator (rung (d): logical node +
+    // strategy + two-phase heap exec, org.apache.spark.sql.graft
+    // .TopKPerKey) on the longest-documents-per-source question. The
+    // window idiom this replaces sorts whole partitions and shuffles
+    // every row; the operator's partial phase bounds the exchange at
+    // k rows per (source, partition) and sorts NOTHING — O(rows log k),
+    // the shape that wins at corpus scale. The oracle is the window
+    // idiom, so the compare proves operator == row_number semantics
+    // (total order via the n_chars desc, doc_id asc tiebreak).
+    QueryDef("q131_native_topk",
+      (s, dir) => {
+        import s.implicits._
+        org.apache.spark.sql.graft.GraftExtensions.registerInto(s)
+        org.apache.spark.sql.graft.TopKPerKey(
+            t(s, dir, "documents").select($"source", $"doc_id", $"n_chars"),
+            keys = Seq($"source"),
+            order = Seq($"n_chars".desc, $"doc_id".asc), k = 3)
+          .orderBy($"source", $"n_chars".desc, $"doc_id")
+      },
+      Some("""SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars, row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= 3
+        ORDER BY source, n_chars DESC, doc_id""")))
 }

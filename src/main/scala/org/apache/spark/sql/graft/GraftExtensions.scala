@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan rewrite: the declarative aggregate(zip_with) dot idiom lowers to
     // the codegen kernels (sound — kernels are exact HOF equivalents)
     ext.injectOptimizerRule(_ => RewriteHofDot)
+    // physical planning for the per-group top-k logical node
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 
@@ -160,5 +162,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDot
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
   }
 }
