@@ -66,7 +66,13 @@ object PlanDump {
         "(Exchange on tok), never candidates x candidates; the dense leg's " +
         "only nested loop is the bounded <= 20-vector broadcast query " +
         "side; fusion joins the two rank lists on (query, neighbor) — " +
-        "top-N-sized frames."))
+        "top-N-sized frames."),
+    "q131_native_topk" ->
+      ("Custom top-k operator: TWO TopKPerKey phases (partial=true below " +
+        "the Exchange, final above) and NO Sort or Window node — the " +
+        "exchange carries at most k rows per key per input partition, " +
+        "which is the difference between shuffling survivors and " +
+        "shuffling the corpus at 100 TB."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
