@@ -14,7 +14,16 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every engine session flows through here: install the native SQL
+    // functions, the plan-rewrite rules (RewriteHofDot, RewriteRankFilter),
+    // and the TopKPerKey strategy exactly once per session, so plan shapes
+    // don't depend on which query happened to run first
+    org.apache.spark.sql.graft.GraftExtensions.registerInto(spark)
+    read(spark, dir, name)
+  }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.parquet stores TIMESTAMP(NANOS). How Spark scans that column
       // depends on the runtime version, so branch on the scanned dtype rather

@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan rewrite: the declarative aggregate(zip_with) dot idiom lowers to
     // the codegen kernels (sound — kernels are exact HOF equivalents)
     ext.injectOptimizerRule(_ => RewriteHofDot)
+    // rank-filter idiom -> TopKPerKey (must come with the strategy below)
+    ext.injectOptimizerRule(_ => RewriteRankFilter)
     // physical planning for the per-group top-k logical node
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
@@ -151,7 +153,16 @@ object GraftExtensions {
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions
     * configured on the builder only apply to sessions created after. */
+  // one install per session: registerInto is called from the shared table
+  // entry point (sources.Tables) so every engine session gets the SQL
+  // functions, the optimizer rules, and the planner strategy without
+  // depending on which query runs first
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerInto(spark: SparkSession): Unit = {
+    if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     descriptors.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
@@ -162,6 +173,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDot
+    if (!spark.experimental.extraOptimizations.contains(RewriteRankFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRankFilter
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

@@ -90,4 +90,67 @@ class TopKPerKeySpec extends SparkSpec {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "id")
     assert(topK(df, Seq($"k"), Seq($"id".asc), 100).count() === 3)
   }
+
+  test("RewriteRankFilter shape 1: filter(rn<=k).drop(rn) becomes TopKPerKey") {
+    GraftExtensions.registerInto(spark)
+    val orders = Tables(spark, sf001, "orders")
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val idiom = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"o_orderkey")
+    val optimized = idiom.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKey"),
+      s"rank-filter idiom must rewrite:\n$optimized")
+    // both the Window AND Spark's own InferWindowGroupLimit prefilter must
+    // go (the operator's partial phase subsumes the group limit)
+    assert(!optimized.contains("Window"),
+      s"Window and WindowGroupLimit must disappear:\n$optimized")
+    // identical rows to the un-rewritten window form
+    val viaOperator = idiom.as[(String, Long)].collect().toSet
+    val viaWindow = {
+      val prev = spark.experimental.extraOptimizations
+      try {
+        spark.experimental.extraOptimizations =
+          prev.filterNot(_ == org.apache.spark.sql.graft.RewriteRankFilter)
+        orders.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+          .select($"o_orderpriority", $"o_orderkey")
+          .as[(String, Long)].collect().toSet
+      } finally spark.experimental.extraOptimizations = prev
+    }
+    assert(viaOperator === viaWindow && viaOperator.nonEmpty)
+  }
+
+  test("RewriteRankFilter shape 2: bare filter(rn===1) keeps rn as literal 1") {
+    GraftExtensions.registerInto(spark)
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("b", 3L, 1.0))
+      .toDF("k", "id", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val top1 = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val optimized = top1.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKey") && !optimized.contains("Window"),
+      s"top-1 filter must rewrite:\n$optimized")
+    val got = top1.select($"k", $"id", $"rn").as[(String, Long, Int)]
+      .collect().toSet
+    assert(got === Set(("a", 2L, 1), ("b", 3L, 1)),
+      "rank column must survive as the constant 1")
+  }
+
+  test("RewriteRankFilter leaves non-matching windows alone") {
+    GraftExtensions.registerInto(spark)
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0)).toDF("k", "id", "v")
+    // rank() is not row_number; global (no partition) row_number; rn kept
+    // in the output with k > 1 — none may rewrite
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val rankFn = df.withColumn("rn", rank().over(w)).filter($"rn" <= 1)
+      .select($"k", $"id")
+    assert(!rankFn.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    val globalW = Window.orderBy($"v".desc, $"id".asc)
+    val global = df.withColumn("rn", row_number().over(globalW))
+      .filter($"rn" <= 1).select($"k")
+    assert(!global.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    val rnKept = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(!rnKept.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      "k>1 with the rank still in scope cannot drop the Window")
+  }
 }
