@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, QueryDef, Relational, Sketch, Text, Vectors}
+import graft.queries.{Events, QueryDef, Relational, Reshape, Sketch, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{Events, QueryDef, Relational, Sketch, Text, Vectors}
 object SparkEntry {
 
   val catalog: Seq[QueryDef] =
-    Relational.defs ++ Events.defs ++ Text.defs ++ Vectors.defs ++ Sketch.defs
+    Relational.defs ++ Events.defs ++ Text.defs ++ Vectors.defs ++
+      Sketch.defs ++ Reshape.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way join: shuffle join of the two large tables, broadcasts for

@@ -2278,3 +2278,52 @@ object Text extends QueryModule {
           FROM documents) WHERE rn <= 3
         ORDER BY source, n_chars DESC, doc_id""")))
 }
+
+/** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and
+  * the other half of the reshape surface. Lives beside the Text module's
+  * pivot for discoverability; operates on lineitem's measure columns. */
+object Reshape extends QueryModule {
+  def defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q132
+    // Unpivot lineitem's four measures into (measure, value) rows, then
+    // profile each measure in one aggregation — the normalized form every
+    // metrics store ingests. Spark's unpivot is a MAP-SIDE 4x row fan-out
+    // (an Expand node, no shuffle) feeding a 4-group partial aggregate, so
+    // the wire carries 4 combined rows per partition regardless of input
+    // size. Sums accumulate as exact DECIMAL before the single double
+    // conversion, so the engines agree bit-for-bit.
+    QueryDef("q132_measure_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+            $"l_discount", $"l_tax")
+          .unpivot(
+            ids = Array($"l_orderkey"),
+            values = Array($"l_quantity", $"l_extendedprice",
+              $"l_discount", $"l_tax"),
+            variableColumnName = "measure",
+            valueColumnName = "value")
+          .groupBy($"measure")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(30,6)")).cast("decimal(38,6)")
+              .cast("double").as("total"),
+            round(min($"value"), 6).as("min_v"),
+            round(max($"value"), 6).as("max_v"))
+          .orderBy($"measure")
+      },
+      Some("""WITH m AS (
+          SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', l_tax FROM lineitem)
+        SELECT measure, count(*) AS n,
+          CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS total,
+          round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+        FROM m GROUP BY measure ORDER BY measure""")))
+}
