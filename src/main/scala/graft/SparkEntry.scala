@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, QueryDef, Relational, Reshape, Sketch, Text, Vectors}
+import graft.queries.{Analytics, Events, QueryDef, Relational, Reshape, Sketch, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   val catalog: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Vectors.defs ++
-      Sketch.defs ++ Reshape.defs
+      Sketch.defs ++ Reshape.defs ++ Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way join: shuffle join of the two large tables, broadcasts for

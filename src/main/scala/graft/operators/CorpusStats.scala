@@ -422,4 +422,46 @@ object CorpusStats {
     }
     out.toSeq
   }
+
+  /** Per-document cross-document duplicate-span coverage: what fraction of a
+    * document's `n`-token windows also appear verbatim in at least one OTHER
+    * document. This is the corpus statistic behind exact-substring
+    * deduplication (Lee et al. 2022 cut 50-token duplicated spans from C4;
+    * Dolma/RefinedWeb publish this coverage per source before deciding
+    * cut thresholds) — documents with high coverage are boilerplate or
+    * templated copies even when no WHOLE-doc fingerprint matches.
+    *
+    * Plan shape: one shingle explode feeds (doc, gram) position counts; the
+    * gram's distinct-document frequency re-aggregates those partials
+    * (gram-keyed — bounded by distinct span vocabulary, not corpus tokens);
+    * the join-back keys on gram, and the final per-doc roll-up is one
+    * map-side-combined aggregation. Short docs (< n tokens) produce no
+    * spans and re-enter with zeros via the left join.
+    */
+  def dupSpanCoverage(
+      docs: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // Non-distinct spans with multiplicity: a doc repeating a span that is
+    // also cross-duplicated counts every occurrence toward coverage.
+    val spans = docs
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+    val gramDocs = spans.groupBy("gram")
+      .agg(count(lit(1)).as("gram_docs")) // input is distinct (doc, gram)
+    val perDoc = spans.join(gramDocs, "gram")
+      .groupBy(col(idCol))
+      .agg(sum("occ").as("n_spans"),
+        sum(when(col("gram_docs") >= 2, col("occ")).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_span_frac",
+        round(when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans"))
+          .otherwise(0.0), 6))
+  }
 }

@@ -183,6 +183,38 @@ object Sampling {
       .drop("cap_rank")
   }
 
+  /** Exact-quota proportional stratified sample: per stratum, keep exactly
+    * `ceil(count · num/den)` rows, chosen by salted-hash order. The
+    * threshold-hash [[stratifiedSample]] keeps `fraction` of each stratum
+    * only IN EXPECTATION (binomially distributed per stratum — small strata
+    * can land far off); this variant hits the quota exactly, which is what
+    * eval-set construction and per-source budget allocation need. The rate
+    * is a rational `num/den` so quota arithmetic is pure integer — no
+    * float boundary can make two engines disagree by one row.
+    *
+    * Scale shape: one window over the stratum (rank by hash + stratum size
+    * in the same pass) — a single shuffle partitioned by stratum; skewed
+    * mega-strata are a window over one key and would shard the salt at
+    * extreme scale ([[capPerCategory]] has the same property).
+    */
+  def exactStratifiedSample(
+      docs: DataFrame,
+      num: Int,
+      den: Int,
+      stratumCol: String,
+      idCol: String = "doc_id",
+      salt: String = "graft-strat"): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"need 0 <= num/den <= 1, got $num/$den")
+    val w = Window.partitionBy(col(stratumCol))
+    val ordered = w.orderBy(hashHex(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("strat_rank", row_number().over(ordered))
+      .withColumn("strat_n", count(lit(1)).over(w))
+      // rank <= ceil(n*num/den)  ⟺  rank*den <= n*num + den − 1 (integers)
+      .filter(col("strat_rank") * den <= col("strat_n") * num + (den - 1))
+      .drop("strat_rank", "strat_n")
+  }
+
   /** Sharded sequence packing: assign each document a (shard, bin) so that
     * consecutive documents (by `idCol` order, within a shard) accumulate
     * into bins of roughly `budget` tokens — the standard pre-tokenization

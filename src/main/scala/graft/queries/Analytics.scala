@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusStats, EntityResolution, Graph, Retrieval, Sampling}
+
+/** Round-10 analytics surface: lexical retrieval (BM25), edit-distance
+  * entity resolution, exact-quota stratified sampling, CUBE reporting,
+  * cross-document duplicate-span coverage, and iterative graph centrality
+  * (fixed-point PageRank). Every query keeps the module determinism
+  * contract: total ORDER BY, identical aliases both sides, and either
+  * integer/fixed-point arithmetic or a shared rounding grid wherever IEEE
+  * summation order could diverge between engines.
+  */
+object Analytics extends QueryModule {
+
+  // DuckDB fragments mirroring TextFunctions.tokens / wordShingles(_, 8)
+  // (same conventions as queries.Text's private helpers).
+  private val wsSql = """string_split_regex(trim(text), '\s+')"""
+  private val grams8Sql =
+    s"""CASE WHEN len($wsSql) < 8 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(1, len($wsSql) - 6),
+          i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2] || ' ' ||
+               $wsSql[i+3] || ' ' || $wsSql[i+4] || ' ' || $wsSql[i+5] || ' ' ||
+               $wsSql[i+6] || ' ' || $wsSql[i+7]) END"""
+
+  /** q138's iteration count; the oracle SQL unrolls this many CTEs, so the
+    * constant is shared eagerly at object init (same pattern as Text's
+    * chunk geometry). */
+  private val PrIters = 10
+
+  // The PageRank oracle: DuckDB has no distributed loop, so the power
+  // iteration unrolls as a WITH chain it0..itN — legal, bounded, and
+  // bit-exact against the Spark loop because BOTH sides do only integer
+  // multiply / floor-divide / sum per round (see Graph.pageRankFixedPoint's
+  // determinism note). `pr` not `rank` inside: rank is a window keyword.
+  private val pageRankOracle: String = {
+    val head = s"""WITH o AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type FROM events),
+        e AS (SELECT event_type AS src, next_type AS dst, count(*) AS cnt
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        outd AS (SELECT src, sum(cnt) AS out_total FROM e GROUP BY 1),
+        eo AS (SELECT e.src, e.dst, e.cnt, outd.out_total
+          FROM e JOIN outd USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+        it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    val loop = (1 to PrIters).map { i =>
+      s""", it$i AS (SELECT n.node,
+            CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT eo.dst AS node, SUM((r.pr * eo.cnt) // eo.out_total) AS s
+            FROM it${i - 1} r JOIN eo ON r.node = eo.src
+            GROUP BY eo.dst) c USING (node))"""
+    }.mkString
+    head + loop +
+      s"""
+        SELECT node AS event_type, pr AS rank_micro FROM it$PrIters
+        ORDER BY rank_micro DESC, event_type"""
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q133
+    // Okapi BM25 search: top-10 documents for each of the 10 highest-df
+    // terms (the longest posting lists — the worst-case serving workload).
+    // One tokenize feeds tf; df and doc length re-aggregate it; corpus
+    // constants broadcast; ranking is per-term bounded top-k (the engine
+    // rewrites the rank filter to TopKPerKey — k rows per partition cross
+    // the wire). Ranking orders by the ROUNDED score so the 6-dp grid, not
+    // libm's last ulp, decides ties.
+    QueryDef("q133_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        Retrieval.bm25TopK(t(s, dir, "documents"), nQueryTerms = 10, topK = 10)
+          .orderBy($"term", $"rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE len(term) > 0 GROUP BY 1, 2),
+          dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+          dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+            (SELECT sum(dl) FROM dl) AS sum_dl),
+          qt AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 10),
+          scored AS (SELECT tf.term, tf.doc_id, tf.tf,
+            round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                  (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+              6) AS score
+            FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN consts)
+        SELECT term, CAST(rn AS BIGINT) AS rank, doc_id,
+          CAST(tf AS BIGINT) AS tf, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS rn FROM scored)
+        WHERE rn <= 10 ORDER BY term, rank""")),
+
+    // --------------------------------------------------------------- q134
+    // Edit-distance near-duplicate pairs on the fixed-width normalized
+    // text head: positional-segment blocking (pigeonhole-sound for
+    // substitution noise) then one levenshtein per distinct candidate —
+    // the entity-resolution pipeline shape; posting lists per segment
+    // value bound the join, never all-pairs.
+    QueryDef("q134_fuzzy_pairs",
+      (s, dir) => {
+        import s.implicits._
+        EntityResolution.segmentBlockedFuzzyPairs(
+            t(s, dir, "documents"), keyLen = 40, segments = 5, maxEdit = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+            rpad(substr(trim(text), 1, 40), 40, '#') AS key FROM documents),
+          seg AS (SELECT doc_id, key, CAST(i AS INT) AS seg_idx,
+            substr(key, CAST((i - 1) * 8 + 1 AS INT), 8) AS seg
+            FROM k, range(1, 6) t(i)),
+          c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.key AS key_a, b.key AS key_b
+            FROM seg a JOIN seg b ON a.seg_idx = b.seg_idx
+              AND a.seg = b.seg AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          CAST(levenshtein(key_a, key_b) AS BIGINT) AS edit_dist
+        FROM c WHERE levenshtein(key_a, key_b) <= 4
+        ORDER BY id_a, id_b""")),
+
+    // --------------------------------------------------------------- q135
+    // CUBE corpus accounting: every (source, lang) grouping combination in
+    // one pass — rollup (q124) covers the hierarchy; cube adds the
+    // lang-only marginals a mixture designer reads. Same grouping-marker
+    // and '(all)' sentinel conventions as q124.
+    QueryDef("q135_cube_report",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .cube($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+            grouping($"source").cast("long").as("g_source"),
+            grouping($"lang").cast("long").as("g_lang"))
+          .select(coalesce($"source", lit("(all)")).as("source"),
+            coalesce($"lang", lit("(all)")).as("lang"),
+            $"g_source", $"g_lang", $"n_docs", $"chars")
+          .orderBy($"g_source", $"g_lang", $"source", $"lang")
+      },
+      Some("""SELECT COALESCE(source, '(all)') AS source,
+          COALESCE(lang, '(all)') AS lang,
+          CAST(grouping(source) AS BIGINT) AS g_source,
+          CAST(grouping(lang) AS BIGINT) AS g_lang,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY CUBE(source, lang)
+        ORDER BY g_source, g_lang, source, lang""")),
+
+    // --------------------------------------------------------------- q136
+    // Exact-quota stratified sample: EXACTLY ceil(n/5) docs per source, in
+    // salted-hash order — integer quota arithmetic, so no float boundary
+    // can make the engines disagree by one row (contrast q67's fixed cap
+    // and the threshold-hash expected-fraction sampler).
+    QueryDef("q136_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.exactStratifiedSample(
+            t(s, dir, "documents"), num = 1, den = 5, stratumCol = "source")
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY
+              substr(md5('graft-strat' || CAST(doc_id AS VARCHAR)), 1, 8),
+              doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        WHERE rn * 5 <= n * 1 + 4 ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q137
+    // Cross-document duplicate-span coverage: per doc, the fraction of its
+    // 8-token windows that appear verbatim in >= 2 documents — the
+    // exact-substring-dedup statistic (Lee et al. 2022) that catches
+    // templated/boilerplate overlap whole-doc fingerprints miss. One
+    // shingle explode; gram doc-frequency re-aggregates the partials.
+    QueryDef("q137_dup_span_coverage",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.dupSpanCoverage(t(s, dir, "documents"), n = 8)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH g AS (SELECT doc_id, unnest($grams8Sql) AS gram
+            FROM documents),
+          occ AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2),
+          gd AS (SELECT gram, count(*) AS gram_docs FROM occ GROUP BY 1),
+          pd AS (SELECT doc_id, sum(occ) AS n_spans,
+            sum(CASE WHEN gram_docs >= 2 THEN occ ELSE 0 END) AS n_dup_spans
+            FROM occ JOIN gd USING (gram) GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+          CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+          round(CASE WHEN COALESCE(n_spans, 0) > 0
+            THEN CAST(n_dup_spans AS DOUBLE) / n_spans ELSE 0.0 END, 6)
+            AS dup_span_frac
+        FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q138
+    // Event-flow centrality: fixed-point PageRank over the user-session
+    // transition graph (q122's edges). Each Spark iteration is one
+    // node-keyed join + aggregate; the oracle unrolls the same integer
+    // recurrence as a CTE chain, and fixed-point arithmetic makes the two
+    // bit-equal at any parallelism (see Graph.pageRankFixedPoint).
+    QueryDef("q138_event_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val seq = t(s, dir, "events")
+          .select($"user_id", $"event_type", lead($"event_type", 1).over(
+            Window.partitionBy($"user_id").orderBy($"ts", $"event_id"))
+            .as("next_type"))
+          .filter($"next_type".isNotNull)
+        val edges = seq.groupBy($"event_type".as("src"), $"next_type".as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        Graph.pageRankFixedPoint(edges, iters = PrIters)
+          .select($"node".as("event_type"), $"rank".as("rank_micro"))
+          .orderBy(desc("rank_micro"), $"event_type")
+      },
+      Some(pageRankOracle)))
+}

@@ -184,4 +184,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"gram counts must partially aggregate map-side:\n$plan")
   }
+
+  test("dupSpanCoverage: cross-document spans flagged, within-doc repeats are not") {
+    val corpus = Seq(
+      // docs 1,2 share the 8-gram "a b c d e f g h"; each has one extra span
+      (1L, "a b c d e f g h x"),
+      (2L, "z a b c d e f g h"),
+      // repeats ITS OWN span twice but shares nothing cross-doc
+      (3L, "q w e r t y u i q w e r t y u i"),
+      // too short for any 8-gram
+      (4L, "tiny doc"),
+      // 8 distinct tokens: exactly one span, unshared
+      (5L, "m n o p s t v w")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.dupSpanCoverage(corpus, n = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_span_frac"))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    // doc 3: 9 spans; the self-repeated gram occurs in ONE doc only -> 0 dup
+    assert(got(3L) === ((9L, 0L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+    assert(got(5L) === ((1L, 0L, 0.0)))
+  }
+
+  test("dupSpanCoverage: a doc's repeated occurrences of a cross-dup span all count") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h a b c d e f g h"), // gram "a..h" occurs at pos 1 and 9
+      (2L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.dupSpanCoverage(corpus, n = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))))
+      .toMap
+    // doc1: 9 spans, the two exact "a..h" occurrences are cross-dup
+    assert(got(1L)._1 === 9L && got(1L)._2 >= 2L)
+    assert(got(2L) === ((1L, 1L)))
+  }
 }

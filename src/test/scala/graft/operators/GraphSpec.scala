@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank pinned against a single-threaded reference
+  * implementation of the same integer recurrence, plus its structural
+  * invariants (fixed points, dangling mass, determinism at any
+  * parallelism). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: the exact recurrence from Graph.pageRankFixedPoint, run
+    * sequentially on the driver. */
+  private def refRanks(edges: Seq[(String, String, Long)], iters: Int,
+      scale: Long = 1000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, c) => rank(s) * c / out(s) }.sum
+      }
+      rank = nodes.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String, Long)], iters: Int = 10): Map[String, Long] =
+    Graph.pageRankFixedPoint(edges.toDF("src", "dst", "cnt"), iters = iters)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank")).toMap
+
+  test("symmetric 2-cycle is a fixed point at the initial mass") {
+    val got = run(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("matches the sequential reference on a weighted digraph with a dangling node") {
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("b", "d", 2L)) // d dangles: no out-edges
+    val got = run(edges)
+    assert(got === refRanks(edges, 10))
+    // A source-only node bottoms out at the teleport floor.
+    val floor = run(Seq(("s", "t", 1L)))
+    assert(floor("s") === 150000L)
+  }
+
+  test("deterministic across shuffle parallelism (integer arithmetic has no summation order)") {
+    val edges = (1 to 200).map(i => (s"n${i % 50}", s"n${(i * 7) % 50}", (i % 5 + 1).toLong))
+    val df = edges.toDF("src", "dst", "cnt")
+    val a = Graph.pageRankFixedPoint(df.repartition(1), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = Graph.pageRankFixedPoint(df.repartition(7), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b)
+    assert(a === refRanks(edges.groupBy(e => (e._1, e._2)).map {
+      case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq, 5))
+  }
+
+  test("zero iterations returns the uniform initial vector") {
+    val got = run(Seq(("a", "b", 1L)), iters = 0)
+    assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+}

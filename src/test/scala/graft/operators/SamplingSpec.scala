@@ -214,4 +214,28 @@ class SamplingSpec extends SparkSpec {
     val occ = a.filter(_._2 == 0).groupBy(_._4).map(_._2.length)
     assert(occ.max <= 2 * (1000 / 16), s"skewed shards: $occ")
   }
+
+  test("exactStratifiedSample: every stratum hits exactly ceil(n*num/den) rows") {
+    // Stratum sizes 1..6 at rate 1/3 -> quotas 1,1,1,2,2,2.
+    val rows = (1 to 6).flatMap(s => (1 to s).map(i => (s * 100L + i, s"s$s")))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.exactStratifiedSample(df, num = 1, den = 3, stratumCol = "source")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val bySrc = kept.groupBy(_._2).map { case (k, v) => k -> v.length }
+    assert(bySrc === Map("s1" -> 1, "s2" -> 1, "s3" -> 1, "s4" -> 2, "s5" -> 2, "s6" -> 2))
+    // num = den keeps everything; num = 0 keeps nothing.
+    assert(Sampling.exactStratifiedSample(df, 3, 3, "source").count() === rows.length.toLong)
+    assert(Sampling.exactStratifiedSample(df, 0, 3, "source").count() === 0L)
+  }
+
+  test("exactStratifiedSample: membership is hash-deterministic and reorder-stable") {
+    val rows = (1L to 90L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("doc_id", "source")
+    val a = Sampling.exactStratifiedSample(df, 1, 5, "source")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Sampling.exactStratifiedSample(df.orderBy(org.apache.spark.sql.functions.rand(42)), 1, 5, "source")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a === b, "kept set must not depend on input order")
+    assert(a.size === 18) // 3 strata x ceil(30/5)
+  }
 }
