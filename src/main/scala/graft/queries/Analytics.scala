@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, EntityResolution, Graph, Retrieval, Sampling}
+import graft.operators.{CorpusStats, EntityResolution, Graph, IntervalJoin, Retrieval, Sampling}
 
 /** Round-10 analytics surface: lexical retrieval (BM25), edit-distance
   * entity resolution, exact-quota stratified sampling, CUBE reporting,
@@ -225,5 +225,43 @@ object Analytics extends QueryModule {
           .select($"node".as("event_type"), $"rank".as("rank_micro"))
           .orderBy(desc("rank_micro"), $"event_type")
       },
-      Some(pageRankOracle)))
+      Some(pageRankOracle)),
+
+    // --------------------------------------------------------------- q139
+    // Range join: purchases landing inside each user's daily browsing
+    // window ([min, max] view ts per user-day). The operator rewrites the
+    // containment predicate into a bucketized equi-join (one hash join on
+    // (user, hour-bucket)) — the plan Spark's own planner only produces
+    // with a range-join hint; a naive theta join is broadcast-nested-loop.
+    // The oracle states the same semantics as the plain theta join.
+    // Purchase spend sums as 6-dp DECIMAL (exact, order-independent).
+    QueryDef("q139_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val intervals = ev.filter($"event_type" === "view")
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"))
+        val points = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"value")
+        IntervalJoin.bucketedIntervalJoin(intervals, points,
+            startCol = "start_ts", endCol = "end_ts", tsCol = "ts",
+            equiKeys = Seq("user_id" -> "user_id"), bucketSeconds = 3600L)
+          .groupBy($"user_id", $"day")
+          .agg(count(lit(1)).as("n_purchases"),
+            expr("CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)")
+              .as("spend"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            min(ts) AS start_ts, max(ts) AS end_ts
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          p AS (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase')
+        SELECT iv.user_id, iv.day, count(*) AS n_purchases,
+          CAST(sum(CAST(round(p.value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            AS spend
+        FROM iv JOIN p ON iv.user_id = p.user_id
+          AND p.ts >= iv.start_ts AND p.ts <= iv.end_ts
+        GROUP BY 1, 2 ORDER BY iv.user_id, iv.day""")))
 }

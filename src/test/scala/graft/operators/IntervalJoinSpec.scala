@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bucketized interval join vs a reference theta join: exact pair parity
+  * (including bucket-boundary cases), no duplicate emission across
+  * multi-bucket intervals, and the hash-join plan shape. */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val intervals = Seq(
+    // spans 3 hour-buckets
+    (1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 02:30:00")),
+    // single bucket
+    (2L, ts("2024-01-01 05:10:00"), ts("2024-01-01 05:20:00")),
+    // degenerate: end < start — must match nothing
+    (3L, ts("2024-01-01 09:00:00"), ts("2024-01-01 08:00:00")),
+    // zero-length: start == end, inclusive bounds keep the exact hit
+    (4L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"))
+  ).toDF("iv_id", "start_ts", "end_ts")
+
+  private val points = Seq(
+    (10L, 1L, ts("2024-01-01 00:30:00")), // == start, inclusive
+    (11L, 1L, ts("2024-01-01 01:59:59")), // mid-interval, different bucket
+    (12L, 1L, ts("2024-01-01 02:30:00")), // == end, inclusive
+    (13L, 1L, ts("2024-01-01 02:30:01")), // 1s past end, same bucket -> out
+    (14L, 1L, ts("2024-01-01 00:29:59")), // 1s before start, same bucket -> out
+    (15L, 2L, ts("2024-01-01 05:15:00")),
+    (16L, 9L, ts("2024-01-01 01:00:00")), // key mismatch -> out
+    (17L, 3L, ts("2024-01-01 08:30:00")), // inside reversed interval -> out
+    (18L, 4L, ts("2024-01-01 12:00:00"))  // exact zero-length hit
+  ).toDF("p_id", "key", "ts")
+
+  private def run() = IntervalJoin.bucketedIntervalJoin(
+    intervals, points, "start_ts", "end_ts", "ts",
+    equiKeys = Seq("iv_id" -> "key"), bucketSeconds = 3600L)
+
+  test("matches exactly the theta-join pairs, inclusive bounds, once each") {
+    val got = run().select($"iv_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val expected = intervals.as("i").join(points.as("p"),
+        $"i.iv_id" === $"p.key" && $"p.ts" >= $"i.start_ts" && $"p.ts" <= $"i.end_ts")
+      .select($"iv_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === expected.toSeq)
+    assert(got.toSeq === Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 15L), (4L, 18L)))
+    assert(got.length === got.distinct.length, "no duplicate pair emission")
+  }
+
+  test("bucket width does not change the result set") {
+    val wide = IntervalJoin.bucketedIntervalJoin(intervals, points,
+        "start_ts", "end_ts", "ts", Seq("iv_id" -> "key"), bucketSeconds = 86400L)
+      .select($"iv_id", $"p_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val narrow = IntervalJoin.bucketedIntervalJoin(intervals, points,
+        "start_ts", "end_ts", "ts", Seq("iv_id" -> "key"), bucketSeconds = 60L)
+      .select($"iv_id", $"p_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(wide.toSeq === narrow.toSeq)
+  }
+
+  test("plan is a hash/sort-merge join on the bucket key, not nested-loop") {
+    val plan = run().queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must decompose to an equi-join:\n$plan")
+  }
+
+  test("without equi keys the bucket alone carries the join") {
+    val got = IntervalJoin.bucketedIntervalJoin(
+        intervals.filter($"iv_id" === 1L), points.drop("key"),
+        "start_ts", "end_ts", "ts", Nil, bucketSeconds = 3600L)
+      .select($"p_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(10L, 11L, 12L, 16L)) // key no longer filters p16
+  }
+}
