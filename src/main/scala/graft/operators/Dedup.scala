@@ -408,6 +408,68 @@ object Dedup {
       minhashCandidates(docs, textCol, idCol, k, bands, shingle, maxBucket),
       threshold, textCol, idCol, shingle)
 
+  /** Asymmetric containment pairs — "document A is (mostly) inside
+    * document B": pairs ordered smaller→larger by distinct-shingle count
+    * with containment |A∩B| / |A| ≥ tauNum/tauDen. The case Jaccard-based
+    * dedup is structurally blind to: an excerpt quoted inside a long doc
+    * has high containment but LOW Jaccard (the union is dominated by B),
+    * so no Jaccard threshold catches it without drowning in noise.
+    * Curation pipelines run this to collapse quote/boilerplate-wrapper
+    * inclusion chains.
+    *
+    * Candidate generation is the PREFIX FILTER for overlap joins
+    * (SSJoin/PPJoin family): under a global shingle order by (df, shingle),
+    * if |A∩B| ≥ ⌈τ·|A|⌉ then A's ⌊(1−τ)·|A|⌋+1 first (= globally rarest)
+    * shingles cannot all miss B — at most |A|−⌈τ|A|⌉ = ⌊(1−τ)|A|⌋ of A's
+    * shingles miss B at all. So probing ONLY those prefix shingles into the
+    * full (doc, shingle) index is a COMPLETE candidate generator, and the
+    * probe side is df-ordered-rarest by construction — posting lists stay
+    * short exactly where the join would blow up. The exact intersection
+    * count then runs once per distinct candidate pair, and the τ gate
+    * compares integers (overlap·tauDen ≥ size·tauNum): no float boundary.
+    *
+    * Scale shape: df is shingle-keyed (vocabulary-bounded); the per-doc
+    * rank window partitions by doc; the probe join keys on shingle; the
+    * refinement joins key on doc ids. No stage touches all pairs.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      tauNum: Int = 4,
+      tauDen: Int = 5,
+      minShingles: Int = 5,
+      shingle: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, s"need 0 < tau <= 1: $tauNum/$tauDen")
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfx = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfx, "sh").join(sizes, "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+      .filter(col("sz") >= minShingles &&
+        col("rk") <= expr(s"sz * ${tauDen - tauNum} div $tauDen") + 1)
+      .select(col("id"), col("sh"), col("sz"))
+    val index = sh.join(sizes, "id")
+    val cands = prefix.alias("p").join(index.alias("f"),
+        col("p.sh") === col("f.sh") &&
+        (col("p.sz") < col("f.sz") ||
+          (col("p.sz") === col("f.sz") && col("p.id") < col("f.id"))))
+      .select(col("p.id").as("id_small"), col("f.id").as("id_large"),
+        col("p.sz").as("sz_small"))
+      .distinct()
+    val overlap = cands
+      .join(sh.select(col("id").as("id_small"), col("sh")), "id_small")
+      .join(sh.select(col("id").as("id_large"), col("sh")), Seq("id_large", "sh"))
+      .groupBy(col("id_small"), col("id_large"))
+      .agg(count(lit(1)).as("overlap"))
+    cands.join(overlap, Seq("id_small", "id_large"))
+      .filter(col("overlap") * tauDen >= col("sz_small") * tauNum)
+      .select(col("id_small"), col("id_large"), col("overlap"),
+        round(col("overlap").cast("double") / col("sz_small"), 6).as("containment"))
+  }
+
   /** Canonical near-duplicate clusters: connected components over a
     * near-dup pair graph, labeling every member with its component's
     * MINIMUM doc id — the canonical id a production dedup pipeline keeps.

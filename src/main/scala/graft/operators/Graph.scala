@@ -54,11 +54,14 @@ object Graph {
         col(cntCol).cast("long").as("cnt"))
       .groupBy("src", "dst").agg(sum("cnt").as("cnt"))
     val outDeg = e.groupBy("src").agg(sum("cnt").as("out_total"))
-    // Pre-join the per-edge denominator once; the loop then touches only
-    // (src, dst, cnt, out_total) — no re-derivation per round.
-    val eo = e.join(outDeg, "src")
+    // Materialize the loop-invariant edge list (with its per-edge
+    // denominator) and node set ONCE — without this every iteration's
+    // lineage re-derives them from the raw input, turning a k-round loop
+    // into k full source scans. Same eager-materialization discipline as
+    // the connected-components loop in [[Dedup]].
+    val eo = e.join(outDeg, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val base = (100L - dampPct) * scale / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
@@ -66,9 +69,12 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(rank * cnt) div out_total").as("c"))
         .groupBy("node").agg(sum("c").as("c"))
+      // per-round checkpoint: constant-depth plans, and the next round's
+      // join reads materialized rows instead of replaying the history
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
     }
     ranks
   }

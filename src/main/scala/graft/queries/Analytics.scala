@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, EntityResolution, Graph, IntervalJoin, Retrieval, Sampling}
+import graft.operators.{CorpusStats, Dedup, EntityResolution, Graph, IntervalJoin, Retrieval, Sampling}
 
 /** Round-10 analytics surface: lexical retrieval (BM25), edit-distance
   * entity resolution, exact-quota stratified sampling, CUBE reporting,
@@ -19,6 +19,10 @@ object Analytics extends QueryModule {
   // DuckDB fragments mirroring TextFunctions.tokens / wordShingles(_, 8)
   // (same conventions as queries.Text's private helpers).
   private val wsSql = """string_split_regex(trim(text), '\s+')"""
+  private val shingles3Sql =
+    s"""CASE WHEN len($wsSql) < 3 THEN CAST([] AS VARCHAR[])
+        ELSE list_distinct(list_transform(range(1, len($wsSql) - 1),
+          i -> $wsSql[i] || ' ' || $wsSql[i+1] || ' ' || $wsSql[i+2])) END"""
   private val grams8Sql =
     s"""CASE WHEN len($wsSql) < 8 THEN CAST([] AS VARCHAR[])
         ELSE list_transform(range(1, len($wsSql) - 6),
@@ -263,5 +267,31 @@ object Analytics extends QueryModule {
             AS spend
         FROM iv JOIN p ON iv.user_id = p.user_id
           AND p.ts >= iv.start_ts AND p.ts <= iv.end_ts
-        GROUP BY 1, 2 ORDER BY iv.user_id, iv.day""")))
+        GROUP BY 1, 2 ORDER BY iv.user_id, iv.day""")),
+
+    // --------------------------------------------------------------- q140
+    // Asymmetric containment (quote/excerpt detection): pairs where >= 80%
+    // of the smaller doc's distinct 3-shingles appear in the larger doc —
+    // the inclusion relation Jaccard dedup is blind to. Spark side is the
+    // prefix-filtered overlap join (complete by pigeonhole, sub-quadratic);
+    // the O(n^2) scan exists only oracle-side, so the check is exhaustive:
+    // the engine must find EXACTLY every qualifying pair.
+    QueryDef("q140_containment_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.containmentPairs(t(s, dir, "documents"), tauNum = 4, tauDen = 5)
+          .orderBy($"id_small", $"id_large")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $shingles3Sql AS sh,
+            len($shingles3Sql) AS sz FROM documents),
+          p AS (SELECT a.doc_id AS id_small, b.doc_id AS id_large,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS overlap,
+            a.sz AS sz_small
+          FROM t a JOIN t b
+            ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+            AND a.sz >= 5)
+        SELECT id_small, id_large, CAST(overlap AS BIGINT) AS overlap,
+          round(CAST(overlap AS DOUBLE) / sz_small, 6) AS containment
+        FROM p WHERE overlap * 5 >= sz_small * 4
+        ORDER BY id_small, id_large""")))
 }

@@ -500,4 +500,60 @@ class DedupSpec extends SparkSpec {
       .agg(sum($"n_boilerplate")).head.getLong(0)
     assert(lax === 0L)
   }
+
+  test("containmentPairs: excerpt-inside-doc found with exact overlap; ordering by (size, id)") {
+    // B = A's 10 tokens + 10 extra -> A's 8 shingles all inside B's 18.
+    val aTok = "a b c d e f g h i j"
+    val docs = Seq(
+      (10L, aTok),                               // 8 distinct shingles
+      (2L, aTok + " k l m n o p q r s t"),       // superset, larger, smaller id
+      (3L, "z y x w v u t s r q p o n m l")      // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("id_small"), r.getAs[Long]("id_large"),
+        r.getAs[Long]("overlap"), r.getAs[Double]("containment")))
+    // pair ordered by SIZE (A=10 smaller than B=2) not by id
+    assert(got.toSeq === Seq((10L, 2L, 8L, 1.0)))
+  }
+
+  test("containmentPairs: integer tau gate is exact at the boundary") {
+    // A: 10 shingles; B contains exactly 8 of them -> containment 0.8 kept;
+    // C contains 7 -> 0.7 dropped. Tokens chosen so shared shingles are
+    // contiguous runs.
+    val a = "a b c d e f g h i j k l"            // 10 shingles
+    val b = "a b c d e f g h i j " + "z1 z2 z3 z4 z5 z6 z7 z8"  // shares first 8
+    val c = "a b c d e f g h i " + "y1 y2 y3 y4 y5 y6 y7 y8 y9" // shares first 7
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("id_small"), r.getAs[Long]("id_large"),
+        r.getAs[Long]("overlap")))
+    assert(got.toSeq.contains((1L, 2L, 8L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), "0.7 must not pass the 0.8 gate")
+  }
+
+  test("containmentPairs: matches an exhaustive reference on a planted corpus") {
+    // 30 docs from a small vocab, plus planted excerpts; the prefix filter
+    // must lose nothing vs brute force.
+    val vocab = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10".split(" ")
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 30L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val planted = Seq(
+      (101L, base(0)._2),                         // exact dup of doc 1
+      (102L, base(1)._2 + " v1 v2 v3 v4 v5"))     // doc 2 + tail
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("id_small"), r.getAs[Long]("id_large"))).toSet
+    // brute force over collected shingle sets
+    val sets = docs.select($"doc_id",
+        graft.functions.TextFunctions.distinctShingles($"text", 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+      if sa.size >= 5 && (sa.size < sb.size || (sa.size == sb.size && ia < ib))
+      if (sa & sb).size * 5 >= sa.size * 4
+    } yield (ia, ib)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "planted excerpts must produce pairs")
+  }
 }
