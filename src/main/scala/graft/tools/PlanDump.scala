@@ -72,7 +72,26 @@ object PlanDump {
         "the Exchange, final above) and NO Sort or Window node — the " +
         "exchange carries at most k rows per key per input partition, " +
         "which is the difference between shuffling survivors and " +
-        "shuffling the corpus at 100 TB."))
+        "shuffling the corpus at 100 TB."),
+    "q133_bm25_topk" ->
+      ("BM25 search: ONE tokenize feeds tf; df and doc-length re-aggregate " +
+        "it (no second corpus scan); the corpus constants (N, avgdl) " +
+        "arrive by broadcast; the per-term ranking keeps the rank column, " +
+        "so it runs as Spark's partial/final WindowGroupLimit pair (k rows " +
+        "per partition cross the exchange; the TopKPerKey rewrite applies " +
+        "only when the rank is dropped) — posting lists, never the corpus, " +
+        "bound every shuffle."),
+    "q139_interval_join" ->
+      ("Range join: the containment predicate executes as a HASH join on " +
+        "(user, hour-bucket) — NO BroadcastNestedLoopJoin / " +
+        "CartesianProduct anywhere. The interval side fans out by its " +
+        "span/bucket ratio; the point side maps each row to one bucket."),
+    "q140_containment_pairs" ->
+      ("Containment pairs: the candidate generator probes only each doc's " +
+        "df-rarest prefix shingles into the shingle-keyed index (Exchange " +
+        "on sh) — complete by pigeonhole, sub-quadratic by construction; " +
+        "the exact-overlap refinement joins by doc id over candidate pairs " +
+        "only. The all-pairs scan exists only in the DuckDB oracle."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -35,7 +35,10 @@ class CatalogSpec extends SparkSpec {
     "q123_perplexity_band",
     // q126/q127 run knnJoin's theta join against a <= 20-vector broadcast
     // query side (q41's justification)
-    "q126_filtered_knn", "q127_hybrid_rrf")
+    "q126_filtered_knn", "q127_hybrid_rrf",
+    // q133 cross-joins the ONE-ROW (n_docs, avgdl) corpus-constants
+    // aggregate onto the posting scan (shape (a))
+    "q133_bm25_topk")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
