@@ -293,5 +293,79 @@ object Analytics extends QueryModule {
         SELECT id_small, id_large, CAST(overlap AS BIGINT) AS overlap,
           round(CAST(overlap AS DOUBLE) / sz_small, 6) AS containment
         FROM p WHERE overlap * 5 >= sz_small * 4
-        ORDER BY id_small, id_large""")))
+        ORDER BY id_small, id_large""")),
+
+    // --------------------------------------------------------------- q141
+    // The SQL front end as a first-class surface: this query is authored
+    // entirely in spark.sql over a registered view — LATERAL VIEW
+    // posexplode (generator in the FROM clause), div bucketing, windowless
+    // aggregation. Positional token-length profile: how token length
+    // drifts across document positions (prompt/boilerplate head vs body).
+    // The mean divides exact integer sums, identically in both engines.
+    QueryDef("q141_sql_positional",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("""SELECT CAST(pos div 10 AS BIGINT) AS pos_bucket,
+            count(*) AS n_tokens,
+            round(CAST(sum(length(tok)) AS DOUBLE) / count(*), 6) AS mean_len
+          FROM documents_v
+          LATERAL VIEW posexplode(split(trim(text), '\\s+')) t AS pos, tok
+          WHERE length(tok) > 0
+          GROUP BY pos div 10
+          ORDER BY pos_bucket""")
+      },
+      Some("""WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+          tok AS (SELECT unnest(list_transform(range(1, len(ws) + 1),
+            i -> {'pos': i - 1, 'tok': ws[i]})) AS u FROM d)
+        SELECT CAST(u.pos // 10 AS BIGINT) AS pos_bucket,
+          count(*) AS n_tokens,
+          round(CAST(sum(len(u.tok)) AS DOUBLE) / count(*), 6) AS mean_len
+        FROM tok WHERE len(u.tok) > 0
+        GROUP BY 1 ORDER BY pos_bucket""")),
+
+    // --------------------------------------------------------------- q142
+    // Robust per-type outlier profile: median / MAD (median absolute
+    // deviation) with the 1.4826 normal-consistency constant — the
+    // outlier gate that, unlike q121's z-score, a few extreme values
+    // cannot drag. The median snaps to the 6-dp grid BEFORE deviations,
+    // so both engines interpolate percentiles over identical inputs.
+    // Exact percentile materializes each group's values (5 types here);
+    // at corpus scale the same query swaps in approx_percentile (q95's
+    // histogram route) — the gate logic is unchanged.
+    QueryDef("q142_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val med = ev.groupBy($"event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+        val dev = ev.join(med, "event_type")
+          .withColumn("adev", abs($"value" - $"med"))
+        val stats = dev.groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          max($"med").as("med"),
+          round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+        val outs = dev.join(stats.select($"event_type", $"mad"), "event_type")
+          .filter($"adev" > lit(3.0 * 1.4826) * $"mad")
+          .groupBy($"event_type").agg(count(lit(1)).as("n_outliers"))
+        stats.join(outs, Seq("event_type"), "left")
+          .select($"event_type", $"n", $"med", $"mad",
+            coalesce($"n_outliers", lit(0L)).as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (SELECT event_type,
+            round(quantile_cont(value, 0.5), 6) AS med
+          FROM events GROUP BY 1),
+        d AS (SELECT e.event_type, e.value, m.med,
+            abs(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (event_type)),
+        s AS (SELECT event_type, count(*) AS n, max(med) AS med,
+            round(quantile_cont(adev, 0.5), 6) AS mad
+          FROM d GROUP BY 1),
+        o AS (SELECT d.event_type, count(*) AS n_outliers
+          FROM d JOIN s USING (event_type)
+          WHERE d.adev > (3.0 * 1.4826) * s.mad GROUP BY 1)
+        SELECT s.event_type, s.n, s.med, s.mad,
+          COALESCE(o.n_outliers, 0) AS n_outliers
+        FROM s LEFT JOIN o USING (event_type) ORDER BY event_type""")))
 }
