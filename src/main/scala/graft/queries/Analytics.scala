@@ -367,5 +367,48 @@ object Analytics extends QueryModule {
           WHERE d.adev > (3.0 * 1.4826) * s.mad GROUP BY 1)
         SELECT s.event_type, s.n, s.med, s.mad,
           COALESCE(o.n_outliers, 0) AS n_outliers
-        FROM s LEFT JOIN o USING (event_type) ORDER BY event_type""")))
+        FROM s LEFT JOIN o USING (event_type) ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q143
+    // The ranking-function surface in one pass: per event type, users
+    // ranked by exact-decimal total spend — rank, dense_rank, quartile
+    // (ntile), percent_rank, cume_dist, and the leader's spend
+    // (first_value). Spend aggregates as 6-dp DECIMAL so the ORDER BY key
+    // is exact; percent_rank/cume_dist divide integers in doubles —
+    // identical IEEE ops both engines. The window partitions by type:
+    // thousands of rows per partition, never a global sort.
+    QueryDef("q143_rank_functions",
+      (s, dir) => {
+        import s.implicits._
+        val spend = t(s, dir, "events")
+          .groupBy($"event_type", $"user_id")
+          .agg(expr("sum(CAST(round(value, 6) AS DECIMAL(28,6)))").as("spend"))
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"spend".desc, $"user_id")
+        spend
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("top_spend", first_value($"spend").over(w))
+          .select($"event_type", $"user_id",
+            $"spend".cast("double").as("spend"), $"rnk", $"drnk",
+            $"quartile", $"pct_rank", $"cume",
+            $"top_spend".cast("double").as("top_spend"))
+          .orderBy($"event_type", $"rnk", $"user_id")
+      },
+      Some("""WITH spend AS (SELECT event_type, user_id,
+            sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS spend
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, user_id, CAST(spend AS DOUBLE) AS spend,
+          CAST(rank() OVER w AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume,
+          CAST(first_value(spend) OVER w AS DOUBLE) AS top_spend
+        FROM spend
+        WINDOW w AS (PARTITION BY event_type ORDER BY spend DESC, user_id)
+        ORDER BY event_type, rnk, user_id""")))
 }
