@@ -459,12 +459,13 @@ object Dedup {
       .select(col("p.id").as("id_small"), col("f.id").as("id_large"),
         col("p.sz").as("sz_small"))
       .distinct()
-    val overlap = cands
+    // sz_small rides through the aggregation key (constant per pair), so
+    // no join-back over the candidate set is needed to recover it.
+    cands
       .join(sh.select(col("id").as("id_small"), col("sh")), "id_small")
       .join(sh.select(col("id").as("id_large"), col("sh")), Seq("id_large", "sh"))
-      .groupBy(col("id_small"), col("id_large"))
+      .groupBy(col("id_small"), col("id_large"), col("sz_small"))
       .agg(count(lit(1)).as("overlap"))
-    cands.join(overlap, Seq("id_small", "id_large"))
       .filter(col("overlap") * tauDen >= col("sz_small") * tauNum)
       .select(col("id_small"), col("id_large"), col("overlap"),
         round(col("overlap").cast("double") / col("sz_small"), 6).as("containment"))

@@ -44,13 +44,12 @@ object EntityResolution {
     val segW = keyLen / segments
     val keyed = docs.select(col(idCol).as("id"),
       rpad(substring(trim(col(textCol)), 1, keyLen), keyLen, "#").as("key"))
-    // One row per (record, segment): the blocking index. posexplode over a
+    // One row per (record, segment): the blocking index. explode over a
     // generated array keeps this a single codegen stage.
     val segs = keyed.select(col("id"), col("key"),
-        posexplode(sequence(lit(1), lit(segments))).as(Seq("_p", "seg_idx")))
+        explode(sequence(lit(1), lit(segments))).as("seg_idx"))
       .select(col("id"), col("key"), col("seg_idx"),
         col("key").substr((col("seg_idx") - 1) * segW + 1, lit(segW)).as("seg"))
-      .select(col("id"), col("key"), col("seg_idx"), col("seg"))
     val cands = segs.as("a").join(segs.as("b"),
         col("a.seg_idx") === col("b.seg_idx") &&
         col("a.seg") === col("b.seg") &&

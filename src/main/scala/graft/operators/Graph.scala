@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The user-session transition multigraph over an event log: one weighted
+    * edge (src, dst, cnt) per ordered pair of CONSECUTIVE events of the
+    * same user (ordered by ts, then event id for equal timestamps). The
+    * single source of truth for every query built on event flow — the
+    * Markov transition matrix (q122) and flow centrality (q138) must rank
+    * over the SAME graph, so they share this derivation.
+    *
+    * Scale shape: one window partitioned by user (bounded sessions, never
+    * a global sort) feeding a map-side-combined (src, dst) count. */
+  def eventTransitionEdges(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .select(col(userCol), col(typeCol),
+        lead(col(typeCol), 1).over(
+          Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol)))
+          .as("_next"))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("_next").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Weighted PageRank by power iteration, damping `dampPct`/100.
     *
     * `edges`: (src, dst, cnt) with positive long weights. Nodes are

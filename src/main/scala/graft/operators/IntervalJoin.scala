@@ -42,10 +42,28 @@ object IntervalJoin {
       endCol: String,
       tsCol: String,
       equiKeys: Seq[(String, String)] = Nil,
-      bucketSeconds: Long = 3600L): DataFrame = {
+      bucketSeconds: Long = 3600L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    // Output-name safety: a silent duplicate column poisons every
+    // downstream by-name reference, so reject collisions up front.
+    val ptKept = points.columns.filterNot((equiKeys.map(_._2).toSet + tsCol))
+    val clashes = intervals.columns.toSet
+      .intersect(ptKept.toSet + "point_ts") ++
+      (intervals.columns ++ points.columns).filter(_ == "_bucket")
+    require(clashes.isEmpty,
+      s"column name collision in interval-join output: ${clashes.mkString(", ")} — " +
+        "rename before joining ('_bucket' and 'point_ts' are reserved)")
     val iv = intervals
       .filter(col(endCol) >= col(startCol))
+      // Span cap: ONE corrupt wide interval (wrong unit, sentinel date)
+      // would otherwise ask sequence() for millions of elements and abort
+      // the whole job. Same bounded-blowup contract as LSH's maxBucket:
+      // rows beyond the cap are dropped, not fatal. Production sets the
+      // cap at the honest maximum span it expects.
+      .filter(expr(s"CAST($endCol AS LONG) div $bucketSeconds") -
+        expr(s"CAST($startCol AS LONG) div $bucketSeconds") < maxBucketsPerInterval)
       .withColumn("_bucket", explode(sequence(
         expr(s"CAST($startCol AS LONG) div $bucketSeconds"),
         expr(s"CAST($endCol AS LONG) div $bucketSeconds"))))
@@ -58,10 +76,9 @@ object IntervalJoin {
       .foldLeft(col("iv._bucket") === col("pt._bucket"))(_ && _) &&
       col(s"pt.$tsCol") >= col(s"iv.$startCol") &&
       col(s"pt.$tsCol") <= col(s"iv.$endCol")
-    val ptDupCols = equiKeys.map(_._2).toSet + tsCol
     val outCols =
       intervals.columns.map(c => col(s"iv.$c")) ++
-      points.columns.filterNot(ptDupCols).map(c => col(s"pt.$c")) :+
+      ptKept.map(c => col(s"pt.$c")) :+
       col(s"pt.$tsCol").as("point_ts")
     iv.join(pt, joinCond).select(outCols.toIndexedSeq: _*)
   }

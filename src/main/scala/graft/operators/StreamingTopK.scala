@@ -110,8 +110,15 @@ object StreamingTopK {
       itemCol: String = "item",
       weightCol: Option[String] = None): Dataset[TopKRow] = {
     require(capacity >= k, s"capacity $capacity must be >= k $k")
+    // Malformed weights are ignored, not fatal: a NULL weight would kill
+    // the whole query at Dataset decode (non-nullable Long), and a
+    // negative one would silently break every SpaceSaving invariant
+    // (est >= true, err <= N/capacity) — a frequency sketch has no
+    // semantics for either.
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
     val weighted = items.select(col(groupCol).as("group"), col(itemCol).as("item"),
-        weightCol.map(col).getOrElse(lit(1L)).cast("long").as("w"))
+        w.as("w"))
+      .filter(col("w").isNotNull && col("w") > 0L)
       .as[ItemIn](Encoders.product[ItemIn])
     weighted.groupByKey(_.group)(Encoders.STRING)
       .transformWithState(new Processor(capacity, k),

@@ -218,13 +218,7 @@ object Analytics extends QueryModule {
     QueryDef("q138_event_pagerank",
       (s, dir) => {
         import s.implicits._
-        val seq = t(s, dir, "events")
-          .select($"user_id", $"event_type", lead($"event_type", 1).over(
-            Window.partitionBy($"user_id").orderBy($"ts", $"event_id"))
-            .as("next_type"))
-          .filter($"next_type".isNotNull)
-        val edges = seq.groupBy($"event_type".as("src"), $"next_type".as("dst"))
-          .agg(count(lit(1)).as("cnt"))
+        val edges = Graph.eventTransitionEdges(t(s, dir, "events"))
         Graph.pageRankFixedPoint(edges, iters = PrIters)
           .select($"node".as("event_type"), $"rank".as("rank_micro"))
           .orderBy(desc("rank_micro"), $"event_type")

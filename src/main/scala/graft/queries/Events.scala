@@ -731,14 +731,9 @@ object Events extends QueryModule {
     QueryDef("q122_event_transitions",
       (s, dir) => {
         import s.implicits._
-        val seq = t(s, dir, "events")
-          .select($"user_id", $"event_type", lead($"event_type", 1).over(
-            Window.partitionBy($"user_id").orderBy($"ts", $"event_id"))
-            .as("next_type"))
-          .filter($"next_type".isNotNull)
-        val cnt = seq.groupBy($"event_type".as("from_type"),
-            $"next_type".as("to_type"))
-          .agg(count(lit(1)).as("cnt"))
+        // shared edge derivation: q138's PageRank ranks over this same graph
+        val cnt = graft.operators.Graph.eventTransitionEdges(t(s, dir, "events"))
+          .select($"src".as("from_type"), $"dst".as("to_type"), $"cnt")
         val tot = cnt.groupBy($"from_type").agg(sum($"cnt").as("from_total"))
         cnt.join(tot, "from_type")
           .select($"from_type", $"to_type", $"cnt",

@@ -76,4 +76,29 @@ class IntervalJoinSpec extends SparkSpec {
       .select($"p_id").as[Long].collect().sorted
     assert(got.toSeq === Seq(10L, 11L, 12L, 16L)) // key no longer filters p16
   }
+
+  test("output-name collisions are rejected up front, not silently duplicated") {
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "x"))
+      .toDF("iv_id", "start_ts", "end_ts", "payload")
+    val pt = Seq((1L, ts("2024-01-01 00:30:00"), "y")).toDF("key", "ts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+        Seq("iv_id" -> "key"))
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
+  test("one corrupt wide interval is dropped by the span cap, not fatal") {
+    // end_ts accidentally in year 40000 -> ~3.4e8 hourly buckets
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 00:00:00"), Timestamp.valueOf("9999-12-31 00:00:00"))
+    ).toDF("iv_id", "start_ts", "end_ts")
+    val pt = Seq((10L, 1L, ts("2024-01-01 01:00:00")),
+      (11L, 2L, ts("2024-01-01 01:00:00"))).toDF("p_id", "key", "ts")
+    val got = IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+        Seq("iv_id" -> "key"), bucketSeconds = 3600L, maxBucketsPerInterval = 1000L)
+      .select($"iv_id", $"p_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 10L)), "good interval joins; corrupt one dropped")
+  }
 }

@@ -88,4 +88,30 @@ class StreamingTopKSpec extends SparkSpec {
     assert(out.map(c => (c.item, c.cnt, c.err)).toSet ===
       Set(("a", 9L, 1L), ("b", 3L, 0L)))
   }
+
+  test("weighted input: NULL and negative weights are ignored, positives sum") {
+    graft.streaming.Pipelines.configureStateStore(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, String, java.lang.Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-topkw").toString
+    val q = StreamingTopK.topK(
+        stream.toDF().toDF("group", "item", "wt"),
+        capacity = 8, k = 5, weightCol = Some("wt"))
+      .writeStream.format("memory").queryName("topkw_out")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(Seq(
+        ("g", "a", java.lang.Long.valueOf(3L)),
+        ("g", "a", java.lang.Long.valueOf(2L)),
+        ("g", "b", null.asInstanceOf[java.lang.Long]),  // ignored
+        ("g", "c", java.lang.Long.valueOf(-7L)),        // ignored
+        ("g", "d", java.lang.Long.valueOf(1L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("topkw_out").as[StreamingTopK.TopKRow].collect()
+    val byItem = rows.map(r => r.item -> r.cnt).toMap
+    assert(byItem === Map("a" -> 5L, "d" -> 1L))
+    assert(rows.head.n_total === 6L)
+  }
 }
