@@ -404,5 +404,33 @@ object Analytics extends QueryModule {
           CAST(first_value(spend) OVER w AS DOUBLE) AS top_spend
         FROM spend
         WINDOW w AS (PARTITION BY event_type ORDER BY spend DESC, user_id)
-        ORDER BY event_type, rnk, user_id""")))
+        ORDER BY event_type, rnk, user_id""")),
+
+    // --------------------------------------------------------------- q144
+    // Explicit GROUPING SETS — the third member of the grouping trio
+    // (rollup q124, cube q135): ONLY the two marginals plus the grand
+    // total, no (source, lang) cross cells. This is the shape reports
+    // actually want when the cross product is huge: N+M+1 output rows
+    // instead of N*M, one pass, partial aggregation per set.
+    QueryDef("q144_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupingSets(Seq(Seq($"source"), Seq($"lang"), Seq()),
+            $"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+            grouping($"source").cast("long").as("g_source"),
+            grouping($"lang").cast("long").as("g_lang"))
+          .select(coalesce($"source", lit("(all)")).as("source"),
+            coalesce($"lang", lit("(all)")).as("lang"),
+            $"g_source", $"g_lang", $"n_docs", $"chars")
+          .orderBy($"g_source", $"g_lang", $"source", $"lang")
+      },
+      Some("""SELECT COALESCE(source, '(all)') AS source,
+          COALESCE(lang, '(all)') AS lang,
+          CAST(grouping(source) AS BIGINT) AS g_source,
+          CAST(grouping(lang) AS BIGINT) AS g_lang,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
+        ORDER BY g_source, g_lang, source, lang""")))
 }
