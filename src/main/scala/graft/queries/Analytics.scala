@@ -432,5 +432,46 @@ object Analytics extends QueryModule {
           CAST(grouping(lang) AS BIGINT) AS g_lang,
           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
-        ORDER BY g_source, g_lang, source, lang""")))
+        ORDER BY g_source, g_lang, source, lang""")),
+
+    // --------------------------------------------------------------- q145
+    // MULTISET set operations — the ALL variants q14-q16's distinct forms
+    // don't cover: INTERSECT ALL keeps min(multiplicities), EXCEPT ALL
+    // subtracts them, UNION ALL concatenates. Month halves of the event
+    // stream compared by event-type multiplicity; results reduce to
+    // per-type counts so the output is grid-stable. Spark plans the ALL
+    // variants as count-compare aggregations (no distinct, one shuffle).
+    QueryDef("q145_set_ops_all",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        val a = ev.filter($"ts" < cut).select($"event_type")
+        val b = ev.filter($"ts" >= cut).select($"event_type")
+        Seq(
+          "intersect_all" -> a.intersectAll(b),
+          "except_all" -> a.exceptAll(b),
+          "union_all" -> a.union(b))
+          .map { case (op, df) =>
+            df.groupBy($"event_type").agg(count(lit(1)).as("n"))
+              .withColumn("op", lit(op))
+          }
+          .reduce(_.union(_))
+          .select($"op", $"event_type", $"n")
+          .orderBy($"op", $"event_type")
+      },
+      Some("""WITH a AS (SELECT event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+          b AS (SELECT event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+          ia AS (SELECT 'intersect_all' AS op, event_type FROM
+            (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)),
+          ea AS (SELECT 'except_all' AS op, event_type FROM
+            (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)),
+          ua AS (SELECT 'union_all' AS op, event_type FROM
+            (SELECT event_type FROM a UNION ALL SELECT event_type FROM b))
+        SELECT op, event_type, count(*) AS n
+        FROM (SELECT * FROM ia UNION ALL SELECT * FROM ea
+          UNION ALL SELECT * FROM ua)
+        GROUP BY 1, 2 ORDER BY op, event_type""")))
 }
