@@ -215,7 +215,7 @@ object Bench {
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
       "q44_lsh_knn", "q53_ivf_knn", "q72_full_pipeline", "q87_cms_heavy_hitters",
-      "q101_canonical_by_quality")
+      "q101_canonical_by_quality", "q133_bm25_topk", "q138_event_pagerank")
     val headQs = results.filter(r => headline.contains(r._1))
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val metricLine =
