@@ -423,6 +423,23 @@ object CorpusStats {
     out.toSeq
   }
 
+  /** Corpus-wide BPE ENCODE with a learned merge list — the apply side of
+    * [[bpeTrain]]: each word's character symbols fold through the merges in
+    * training priority order (exactly the Sennrich inference rule). Runs on
+    * the (word, symbols, freq) VOCAB table, so the per-word fold executes
+    * once per distinct word regardless of corpus size; corpus-level token
+    * counts re-weight by `freq`, and document-level encoding is a hash join
+    * of tokens against this table — vocabulary-keyed, never corpus-keyed.
+    *
+    * Correctness is self-verifying (the q44/q53 pattern): greedy BPE output
+    * must (a) concatenate back to the original word and (b) be a FIXED
+    * POINT of the merge rules — no learned pair may remain adjacent. Both
+    * reduce to violation counts a SQL oracle checks equal zero. */
+  def bpeEncode(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(vocab) { case (v, (a, b)) =>
+      v.withColumn("symbols", bpeMergeSymbols(col("symbols"), a, b))
+    }
+
   /** Per-document cross-document duplicate-span coverage: what fraction of a
     * document's `n`-token windows also appear verbatim in at least one OTHER
     * document. This is the corpus statistic behind exact-substring

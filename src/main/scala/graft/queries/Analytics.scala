@@ -473,5 +473,37 @@ object Analytics extends QueryModule {
         SELECT op, event_type, count(*) AS n
         FROM (SELECT * FROM ia UNION ALL SELECT * FROM ea
           UNION ALL SELECT * FROM ua)
-        GROUP BY 1, 2 ORDER BY op, event_type""")))
+        GROUP BY 1, 2 ORDER BY op, event_type""")),
+
+    // --------------------------------------------------------------- q146
+    // BPE ENCODE at corpus scale — the apply side of the tokenizer story
+    // (train: bpeTrain/q120). Merges learned on the corpus itself, then
+    // every distinct word folds through them in priority order. DuckDB
+    // cannot re-run the trainer, so correctness is the q44-style
+    // self-verifying contract: (a) encoded symbols concatenate back to
+    // the word, (b) the output is a fixed point of the merge rules (no
+    // learned pair left adjacent), (c) encoding never lengthens a word
+    // and never empties a non-empty one. Violations must be ZERO.
+    QueryDef("q146_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merges = CorpusStats.bpeTrain(docs, merges = 12)
+          .map { case (a, b, _) => (a, b) }
+        val vocab = CorpusStats.bpeVocab(docs)
+        val enc = CorpusStats.bpeEncode(vocab, merges)
+          .withColumn("adj_pairs", zip_with(
+            slice($"symbols", lit(1), size($"symbols") - 1),
+            slice($"symbols", lit(2), size($"symbols") - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        val mergePairs = array(merges.map { case (a, b) => lit(s"$a $b") }: _*)
+        enc.agg(
+          (count_if(concat_ws("", $"symbols") =!= $"word") +
+            count_if(arrays_overlap($"adj_pairs", mergePairs)) +
+            count_if(size($"symbols") > length($"word")) +
+            count_if(length($"word") > 0 && size($"symbols") < 1)
+          ).as("violations"),
+          (count(lit(1)) > 0L).as("encoded_words"))
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS violations, true AS encoded_words")))
 }

@@ -225,4 +225,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L)._1 === 9L && got(1L)._2 >= 2L)
     assert(got(2L) === ((1L, 1L)))
   }
+
+  test("bpeEncode applies merges in priority order; unseen words fall back to chars") {
+    import spark.implicits._
+    // Train on the Sennrich corpus (merges: (e,s), (es,t), (l,o)); encode a
+    // vocab containing training words AND an unseen word.
+    val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = CorpusStats.bpeTrain(train, merges = 3).map { case (a, b, _) => (a, b) }
+    val apply = Seq((1L, "newest lowest zap")).toDF("doc_id", "text")
+    val got = CorpusStats.bpeEncode(CorpusStats.bpeVocab(apply), merges)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[collection.Seq[String]]("symbols").toSeq).toMap
+    // newest: e+s -> es, es+t -> est
+    assert(got("newest") === Seq("n", "e", "w", "est"))
+    // lowest: l+o -> lo, est forms too
+    assert(got("lowest") === Seq("lo", "w", "est"))
+    // no learned pair applies to zap
+    assert(got("zap") === Seq("z", "a", "p"))
+    // every encoding reconstructs its word
+    got.foreach { case (w, syms) => assert(syms.mkString("") === w) }
+  }
 }
