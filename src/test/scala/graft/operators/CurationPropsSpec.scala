@@ -278,4 +278,85 @@ class CurationPropsSpec extends SparkSpec {
     }
     assert(got.keySet === cats)
   }
+
+  test("containmentPairs == local brute force on random corpora (prefix filter loses nothing)") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val data = corpus(seed, 80)
+      val got = Dedup.containmentPairs(data.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getAs[Long]("id_small"), r.getAs[Long]("id_large")) ->
+          r.getAs[Long]("overlap")).toMap
+      val sets = data.map { case (id, t) => id -> grams(t, 3).distinct.toSet }.toMap
+      val expected = (for {
+        (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+        if sa.size >= 5 && (sa.size < sb.size || (sa.size == sb.size && ia < ib))
+        ov = (sa & sb).size
+        if ov * 5 >= sa.size * 4
+      } yield (ia, ib) -> ov.toLong).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("dupSpanCoverage == local recomputation on random corpora") {
+    for (seed <- Seq(21L, 22L)) {
+      val data = corpus(seed, 100)
+      val got = CorpusStats.dupSpanCoverage(data.toDF("doc_id", "text"), n = 4)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))))
+        .toMap
+      val spans = data.map { case (id, t) => id -> grams(t, 4) }.toMap
+      val gramDocs = spans.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, v) => g -> v.size }
+      data.foreach { case (id, _) =>
+        val gs = spans(id)
+        val dup = gs.count(g => gramDocs(g) >= 2)
+        assert(got(id) === ((gs.size.toLong, dup.toLong)), s"doc $id seed $seed")
+      }
+    }
+  }
+
+  test("exactStratifiedSample == local hash-order quota selection on random strata") {
+    val rnd = new scala.util.Random(31L)
+    val rows = (0L until 200L).map(i => (i, s"s${rnd.nextInt(7)}"))
+    for ((num, den) <- Seq((1, 3), (2, 5), (1, 7))) {
+      val got = Sampling.exactStratifiedSample(
+          rows.toDF("doc_id", "source"), num, den, "source")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val expected = rows.groupBy(_._2).flatMap { case (_, members) =>
+        val quota = (members.size * num + den - 1) / den
+        members.map(_._1)
+          .sortBy(id => (md5hex("graft-strat" + id).take(8), id))
+          .take(quota)
+      }.toSet
+      assert(got === expected, s"rate $num/$den")
+    }
+  }
+
+  test("bucketedIntervalJoin == theta join on random intervals across bucket widths") {
+    val rnd = new scala.util.Random(41L)
+    val base = 1700000000L
+    val ivs = (1L to 40L).map { i =>
+      val s = base + rnd.nextInt(200000)
+      (i, new java.sql.Timestamp(s * 1000L),
+        new java.sql.Timestamp((s + rnd.nextInt(20000) - 2000) * 1000L)) // some reversed
+    }
+    val pts = (1L to 300L).map { j =>
+      (j, 1L + rnd.nextInt(40),
+        new java.sql.Timestamp((base + rnd.nextInt(220000)) * 1000L))
+    }
+    val ivDf = ivs.toDF("iv_id", "start_ts", "end_ts")
+    val ptDf = pts.toDF("p_id", "key", "ts")
+    val expected = (for {
+      (ii, s, e) <- ivs; (pj, k, ts) <- pts
+      if k == ii && !ts.before(s) && !ts.after(e)
+    } yield (ii, pj)).sorted
+    for (w <- Seq(60L, 3600L, 86400L)) {
+      val got = IntervalJoin.bucketedIntervalJoin(ivDf, ptDf,
+          "start_ts", "end_ts", "ts", Seq("iv_id" -> "key"), bucketSeconds = w)
+        .select("iv_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === expected, s"bucket $w")
+    }
+  }
 }
