@@ -122,6 +122,82 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------- SpaceSaving (batch)
+
+  /** Per-(buffer) SpaceSaving counter — see [[SpaceSavingAgg]]. */
+  final case class SSBuf(counters: Seq[StreamingTopK.Counter])
+
+  /** Mergeable batch SpaceSaving: the heavy-hitter companion the
+    * HLL/CMS/histogram family was missing, as a typed `Aggregator` so it
+    * composes with `groupBy(...).agg(...)` — partial summaries build
+    * map-side and MERGE at the reducer (Agarwal et al. 2012, mergeable
+    * summaries): common items sum counts and errors; an item absent from a
+    * side at capacity is bounded by that side's minimum counter (the classic
+    * SpaceSaving invariant: anything outside the summary has true count ≤
+    * min), and the union prunes back to `capacity` by (cnt desc, item).
+    * Survivor guarantees after any merge tree: est ≥ true and
+    * est − err ≤ true; every item with true count > N/capacity survives.
+    *
+    * Determinism contract: BELOW capacity the summary is the exact count
+    * map (updates commute, merges concatenate-and-sum) — identical on any
+    * partitioning, which is the mode the oracle-checked catalog query uses.
+    * AT capacity, eviction depends on arrival/merge order (true of every
+    * mergeable heavy-hitter sketch); the guarantees above still hold and
+    * are what the spec pins. */
+  final class SpaceSavingAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        StreamingTopK.ItemIn, SSBuf, Seq[StreamingTopK.Counter]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    override def zero: SSBuf = SSBuf(Seq.empty)
+
+    override def reduce(b: SSBuf, in: StreamingTopK.ItemIn): SSBuf =
+      SSBuf(StreamingTopK.fold(b.counters, Seq(in.item -> in.w), capacity))
+
+    override def merge(a: SSBuf, b: SSBuf): SSBuf = {
+      def floor(s: Seq[StreamingTopK.Counter]): Long =
+        if (s.size >= capacity) s.map(_.cnt).min else 0L
+      val (fa, fb) = (floor(a.counters), floor(b.counters))
+      val am = a.counters.map(c => c.item -> c).toMap
+      val bm = b.counters.map(c => c.item -> c).toMap
+      val merged = (am.keySet ++ bm.keySet).toSeq.map { item =>
+        val (ca, ea) = am.get(item).map(c => (c.cnt, c.err)).getOrElse((fa, fa))
+        val (cb, eb) = bm.get(item).map(c => (c.cnt, c.err)).getOrElse((fb, fb))
+        StreamingTopK.Counter(item, ca + cb, ea + eb)
+      }
+      SSBuf(merged.sortBy(c => (-c.cnt, c.item)).take(capacity))
+    }
+
+    override def finish(r: SSBuf): Seq[StreamingTopK.Counter] =
+      r.counters.sortBy(c => (-c.cnt, c.item))
+
+    override def bufferEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
+    override def outputEncoder: Encoder[Seq[StreamingTopK.Counter]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[StreamingTopK.Counter]]()
+  }
+
+  /** Per-group heavy hitters via [[SpaceSavingAgg]]: one aggregation, the
+    * summary explodes to (group, rank, item, cnt, err) rows, top `k` per
+    * group. With `capacity` ≥ the group's distinct items the output is the
+    * EXACT top-k (the oracle-checkable mode); undersized capacity degrades
+    * to the bounded-error sketch. */
+  def spaceSavingTopK(df: DataFrame, groupCols: Seq[String], item: Column,
+      weight: Column, capacity: Int, k: Int): DataFrame = {
+    val agg = udaf(new SpaceSavingAgg(capacity),
+      org.apache.spark.sql.Encoders.product[StreamingTopK.ItemIn])
+    df.select((groupCols.map(col) :+ item.cast("string").as("item") :+
+        weight.cast("long").as("w")): _*)
+      .filter(col("w").isNotNull && col("w") > 0L)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(lit(""), col("item"), col("w")).as("summary"))
+      .select((groupCols.map(col) :+
+        posexplode(slice(col("summary"), 1, k)).as(Seq("pos", "c"))): _*)
+      .select((groupCols.map(col) :+
+        (col("pos") + 1).cast("long").as("rank") :+
+        col("c.item").as("item") :+ col("c.cnt").as("cnt") :+
+        col("c.err").as("err")): _*)
+  }
+
   /** Quantile estimate from the histogram: rank r = ceil(p*total), walk the
     * cumulative counts to the covering bucket, linear-interpolate inside
     * it. Exact to within one grid cell — the error bound is `width`, by

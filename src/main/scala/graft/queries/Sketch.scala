@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators.Sketches
 
 /** Probabilistic-sketch queries over the documents corpus. Unlike
@@ -314,7 +315,37 @@ object Sketch extends QueryModule {
         FROM ex JOIN e50 USING (source) JOIN e90 USING (source)
           JOIN e99 USING (source)
         ORDER BY source"""
-      })
+      }),
+
+    // --------------------------------------------------------------- q147
+    // Mergeable batch SpaceSaving heavy hitters (Sketches.SpaceSavingAgg):
+    // per-source top-5 tokens from ONE typed-Aggregator aggregation whose
+    // partial summaries build map-side and merge at the reducer — the
+    // heavy-hitter member of the mergeable-sketch family (HLL distinct /
+    // CMS frequency / histogram quantiles / SpaceSaving top-k). Capacity 64
+    // exceeds the fixture vocabulary, so the summary is EXACT and the
+    // oracle is a plain count + rank; the undersized-capacity error
+    // guarantees are pinned by SketchesSpec on adversarial merges.
+    QueryDef("q147_spacesaving_topk",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+          .filter(length($"tok") > 0)
+        Sketches.spaceSavingTopK(toks, Seq("source"), $"tok", lit(1L),
+            capacity = 64, k = 5)
+          .orderBy($"source", $"rank")
+      },
+      Some("""WITH tok AS (SELECT source,
+            unnest(string_split_regex(trim(text), '\s+')) AS item
+          FROM documents),
+          cnt AS (SELECT source, item, count(*) AS cnt FROM tok
+            WHERE len(item) > 0 GROUP BY 1, 2)
+        SELECT source, CAST(rn AS BIGINT) AS rank, item,
+          CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, item) AS rn FROM cnt)
+        WHERE rn <= 5 ORDER BY source, rank"""))
   )
 
   // Histogram shape for q95: 16-char cells, 256 buckets (4 KB of longs per

@@ -100,4 +100,81 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted
     assert(buckets === Array(0L, 15L))
   }
+
+  // ------------------------------------------------ SpaceSaving (batch)
+
+  private def ssAgg(cap: Int) = new Sketches.SpaceSavingAgg(cap)
+
+  private def bufOf(agg: Sketches.SpaceSavingAgg, items: Seq[(String, Long)]) =
+    items.foldLeft(agg.zero)((b, iw) =>
+      agg.reduce(b, StreamingTopK.ItemIn("g", iw._1, iw._2)))
+
+  test("SpaceSavingAgg: under-capacity merge is the exact count union") {
+    val agg = ssAgg(16)
+    val a = bufOf(agg, Seq("x" -> 3L, "y" -> 2L))
+    val b = bufOf(agg, Seq("y" -> 5L, "z" -> 1L))
+    val got = agg.finish(agg.merge(a, b)).map(c => (c.item, c.cnt, c.err))
+    assert(got === Seq(("y", 7L, 0L), ("x", 3L, 0L), ("z", 1L, 0L)))
+  }
+
+  test("SpaceSavingAgg: absent-at-capacity side contributes its min bound") {
+    val agg = ssAgg(2)
+    // a at capacity: {p:10, q:4}; b at capacity: {p:6, r:5}
+    val a = bufOf(agg, Seq("p" -> 10L, "q" -> 4L))
+    val b = bufOf(agg, Seq("p" -> 6L, "r" -> 5L))
+    val m = agg.merge(a, b).counters.map(c => c.item -> ((c.cnt, c.err))).toMap
+    // p common: 10+6; q absent from b -> + minB=5 as (cnt, err); r absent
+    // from a -> + minA=4. Prune keeps top-2 by cnt: p(16) and either q(9)/r(9) by item.
+    assert(m("p") === ((16L, 0L)))
+    assert(m.size === 2 && m.contains("q") && m("q") === ((9L, 5L)))
+  }
+
+  test("SpaceSavingAgg: guarantees hold on adversarial random merge trees") {
+    val rnd = new scala.util.Random(5)
+    val items = (1 to 400).map(_ => s"i${rnd.nextInt(30)}") ++ Seq.fill(120)("HOT")
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = items.size.toLong
+    val cap = 8
+    val agg = ssAgg(cap)
+    // random partitioning into 7 buffers, random pairwise merge order
+    val shuffled = rnd.shuffle(items)
+    var bufs = shuffled.grouped(80).map(g => bufOf(agg, g.map(_ -> 1L))).toVector
+    while (bufs.size > 1) {
+      val i = rnd.nextInt(bufs.size - 1)
+      bufs = bufs.patch(i, Seq(agg.merge(bufs(i), bufs(i + 1))), 2)
+    }
+    val fin = agg.finish(bufs.head)
+    val byItem = fin.map(c => c.item -> c).toMap
+    assert(byItem.contains("HOT"), "count > N/capacity must survive any merge tree")
+    fin.foreach { c =>
+      val t = truth.getOrElse(c.item, 0L)
+      assert(c.cnt >= t, s"underestimate: $c true=$t")
+      assert(c.cnt - c.err <= t, s"error bound broken: $c true=$t")
+    }
+  }
+
+  test("spaceSavingTopK: exact mode matches a plain groupBy across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(_ => (s"s${rnd.nextInt(3)}", s"t${rnd.nextInt(12)}"))
+    val df = rows.toDF("source", "item")
+    val exact = rows.groupBy(identity).map { case ((s, i), v) => (s, i) -> v.size.toLong }
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.spaceSavingTopK(df.repartition(parts), Seq("source"),
+          org.apache.spark.sql.functions.col("item"),
+          org.apache.spark.sql.functions.lit(1L), capacity = 64, k = 3)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+          r.getAs[String]("item"), r.getAs[Long]("cnt"), r.getAs[Long]("err")))
+      got.foreach { case (s, _, i, cnt, err) =>
+        assert(cnt === exact((s, i))); assert(err === 0L)
+      }
+      // rank agrees with (cnt desc, item) over the exact counts
+      got.groupBy(_._1).foreach { case (s, rs) =>
+        val expect = exact.collect { case ((`s`, i), c) => (i, c) }.toSeq
+          .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+        assert(rs.sortBy(_._2).map(_._3).toSeq === expect, s"source $s")
+      }
+    }
+  }
 }
