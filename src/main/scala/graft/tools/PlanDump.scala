@@ -91,7 +91,13 @@ object PlanDump {
         "df-rarest prefix shingles into the shingle-keyed index (Exchange " +
         "on sh) — complete by pigeonhole, sub-quadratic by construction; " +
         "the exact-overlap refinement joins by doc id over candidate pairs " +
-        "only. The all-pairs scan exists only in the DuckDB oracle."))
+        "only. The all-pairs scan exists only in the DuckDB oracle."),
+    "q147_spacesaving_topk" ->
+      ("Mergeable SpaceSaving: the typed Aggregator runs as an " +
+        "ObjectHashAggregate with a PARTIAL phase below the exchange — " +
+        "capacity-bounded summaries, not raw (group, item) counts, cross " +
+        "the wire, so shuffle bytes are groups x capacity regardless of " +
+        "item cardinality."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
