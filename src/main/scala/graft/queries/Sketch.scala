@@ -345,7 +345,37 @@ object Sketch extends QueryModule {
           CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
         FROM (SELECT *, row_number() OVER (PARTITION BY source
                 ORDER BY cnt DESC, item) AS rn FROM cnt)
-        WHERE rn <= 5 ORDER BY source, rank"""))
+        WHERE rn <= 5 ORDER BY source, rank""")),
+
+    // --------------------------------------------------------------- q148
+    // WEIGHTED heavy hitters: top-5 spenders per day by micro-cent total
+    // (integer weights — exact, order-free). Same mergeable summary as
+    // q147 but per-group cardinality is the user population, exercising
+    // capacity sizing: 4096 counters comfortably exceed the fixture's
+    // users-per-day, so the sketch is exact and the oracle is a plain
+    // weighted groupBy + rank.
+    QueryDef("q148_weighted_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(to_date($"ts").as("day"), $"user_id",
+            expr("CAST(round(value * 100, 0) AS LONG)").as("w"))
+        Sketches.spaceSavingTopK(ev, Seq("day"), $"user_id", $"w",
+            capacity = 4096, k = 5)
+          .select($"day", $"rank", $"item".cast("long").as("user_id"),
+            $"cnt".as("spend_cents"), $"err")
+          .orderBy($"day", $"rank")
+      },
+      Some("""WITH sp AS (SELECT CAST(ts AS DATE) AS day, user_id,
+            sum(CAST(round(value * 100, 0) AS BIGINT)) AS spend_cents
+          FROM events WHERE round(value * 100, 0) > 0 GROUP BY 1, 2)
+        SELECT day, CAST(rn AS BIGINT) AS rank, user_id,
+          CAST(spend_cents AS BIGINT) AS spend_cents,
+          CAST(0 AS BIGINT) AS err
+        FROM (SELECT *, row_number() OVER (PARTITION BY day
+                ORDER BY spend_cents DESC, CAST(user_id AS VARCHAR)) AS rn
+              FROM sp)
+        WHERE rn <= 5 ORDER BY day, rank"""))
   )
 
   // Histogram shape for q95: 16-char cells, 256 buckets (4 KB of longs per
