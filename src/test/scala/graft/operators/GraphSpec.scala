@@ -61,4 +61,22 @@ class GraphSpec extends SparkSpec {
     val got = run(Seq(("a", "b", 1L)), iters = 0)
     assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
   }
+
+  test("eventTransitionEdges: consecutive-per-user edges, (ts, event_id) tie-break, weights summed") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    val events = Seq(
+      // user 1: a -> b -> a (two edges), with an equal-timestamp tie broken by event_id
+      (1L, ts(0), 1L, "a"), (2L, ts(1000), 1L, "b"), (3L, ts(1000), 1L, "a"),
+      // user 2: a -> b again (edge weight accumulates across users)
+      (4L, ts(0), 2L, "a"), (5L, ts(500), 2L, "b"),
+      // user 3: single event -> no edge
+      (6L, ts(0), 3L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Graph.eventTransitionEdges(events).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("cnt"))
+      .toMap
+    // user 1 ties at ts=1000: event_id 2 ("b") precedes 3 ("a") -> a->b then b->a
+    assert(got === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
 }
