@@ -1,6 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
@@ -9,14 +13,20 @@ import org.apache.spark.sql.functions._
   * content plus typed metadata, with decode / feature-extract / frame-sample
   * as distributed operators.
   *
-  * Plumbing is real — schemas, partitioning, batch shapes, the
-  * mapPartitions decoder loop — but the actual codec is a clearly-marked
-  * deterministic STUB (`decodeStub`): this container ships no image/audio
-  * libraries, so the stub derives "decoded" properties from a content hash.
-  * Swapping in a real decoder changes ONE function body and nothing else.
+  * The image path is REAL: `decode` runs `javax.imageio` (PNG/JPEG/BMP/GIF —
+  * the JDK's built-in readers, zero extra dependencies) inside a
+  * mapPartitions loop, extracting actual width/height/channel-count/codec
+  * from the bytes. Content the JDK cannot parse (the audio/video stand-ins,
+  * corrupt blobs) falls back to a deterministic hash-derived metadata row,
+  * clearly flagged `decoded = false` — the same contract a production
+  * pipeline needs when a blob is unreadable: keep the row, flag it, never
+  * kill the job.
   *
   * The documents fixture doubles as the asset corpus (ASCII text cast to
-  * bytes), which keeps every byte-level operator oracle-checkable from SQL.
+  * bytes) for the byte-level operators; `withSyntheticImages` swaps in real
+  * PNG bytes (encoded with `ImageIO.write`, dimensions and fill colour
+  * derived from the id by plain integer arithmetic) so the decode path is
+  * exercised end-to-end and stays oracle-checkable from SQL.
   */
 object Multimodal {
 
@@ -24,12 +34,22 @@ object Multimodal {
 
   final case class Asset(asset_id: Long, media_type: String, content: Array[Byte])
 
-  final case class DecodedAsset(
+  /** One decoded-metadata row per asset. For JDK-decodable images the
+    * dimensions/channels/codec come from the actual decoder; `solid_rgb` is
+    * the packed 0xRRGGBB value when every pixel carries one colour (the
+    * verifiable signal for synthetic fixtures), -1 when the image is not
+    * uniform or was not decodable. Fallback rows derive width/height from
+    * the content MD5 (deterministic, SQL-replicable) with `decoded=false`. */
+  final case class DecodedMedia(
       asset_id: Long,
       media_type: String,
       n_bytes: Long,
       width: Int,
       height: Int,
+      channels: Int,
+      codec: String,
+      decoded: Boolean,
+      solid_rgb: Long,
       content_md5: String)
 
   /** Adapt any (id, text) table into a typed asset table: binary content +
@@ -41,6 +61,38 @@ object Multimodal {
         array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
       col(textCol).cast("binary").as("content"))
+
+  // Deterministic fixture geometry/colour, pure integer arithmetic so any
+  // SQL engine can predict what the decoder must read back.
+  def syntheticWidth(id: Long): Int = (8 + id % 56).toInt
+  def syntheticHeight(id: Long): Int = (8 + (id / 56) % 56).toInt
+  def syntheticRgb(id: Long): Long =
+    ((id * 7 + 1) % 256) * 65536 + ((id * 13 + 3) % 256) * 256 + (id * 29 + 5) % 256
+
+  /** Encode a real PNG (via the JDK encoder) whose dimensions and solid fill
+    * colour are integer functions of the id — the decode oracle. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val (w, h, rgb) = (syntheticWidth(id), syntheticHeight(id), syntheticRgb(id).toInt)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Swap real PNG bytes into the image-typed rows (audio/video keep their
+    * opaque blobs): the fixture generator for the end-to-end decode path. */
+  def withSyntheticImages(assets: DataFrame): DataFrame = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false) // keep the encoder in-memory, no temp files
+      it.map { a =>
+        if (a.media_type == "image") a.copy(content = syntheticPng(a.asset_id)) else a
+      }
+    }(Encoders.product[Asset]).toDF()
+  }
 
   /** Byte-level features (map-only, codegen'd): size, content hash, magic
     * prefix, per-frame digest of the first frame. */
@@ -70,32 +122,69 @@ object Multimodal {
         col("col").as("frame_md5"))
   }
 
-  /** STUB DECODER — deterministic fake in place of a real codec.
-    * Runs as mapPartitions over the typed Dataset: per partition you would
-    * initialize the codec once (like a per-partition connection) and loop
-    * over assets; here the "decode" derives width/height from the first two
-    * bytes of the content's MD5, so the oracle can replicate it in SQL.
-    * Replace THIS body with javax.imageio / ffmpeg bindings in production. */
-  def decodeStub(assets: DataFrame): Dataset[DecodedAsset] = {
+  /** REAL image decode over the typed Dataset: per partition the ImageIO
+    * registry is configured once (per-partition init, like a connection),
+    * then each asset's bytes go through the JDK's codec auto-detection.
+    * Decodable content yields actual width/height/channels and the codec
+    * name; unreadable content yields the deterministic hash-metadata
+    * fallback with `decoded = false` (flag, don't drop — the corrupt-row
+    * contract every other graft edge follows). */
+  def decode(assets: DataFrame): Dataset[DecodedMedia] = {
     val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
       .as(Encoders.product[Asset])
     ds.mapPartitions { it =>
-      // per-partition init (real codecs are expensive to construct)
+      ImageIO.setUseCache(false)
       val md = MessageDigest.getInstance("MD5")
       it.map { a =>
         md.reset()
         val digest = md.digest(a.content).map("%02x".format(_)).mkString
-        val h16 = Integer.parseInt(digest.substring(0, 4), 16)
-        DecodedAsset(
-          asset_id = a.asset_id,
-          media_type = a.media_type,
-          n_bytes = a.content.length.toLong,
-          width = 64 + h16 % 448,
-          height = 64 + (h16 / 448) % 448,
-          content_md5 = digest)
+        tryDecodeImage(a.content) match {
+          case Some((w, h, ch, codec, solid)) =>
+            DecodedMedia(a.asset_id, a.media_type, a.content.length.toLong,
+              w, h, ch, codec, decoded = true, solid, digest)
+          case None =>
+            // hash-derived stand-in dims (SQL-replicable): the row survives
+            // with enough metadata to route, audit, or quarantine it
+            val h16 = Integer.parseInt(digest.substring(0, 4), 16)
+            DecodedMedia(a.asset_id, a.media_type, a.content.length.toLong,
+              64 + h16 % 448, 64 + (h16 / 448) % 448,
+              channels = 0, codec = "none", decoded = false, solid_rgb = -1L, digest)
+        }
       }
-    }(Encoders.product[DecodedAsset])
+    }(Encoders.product[DecodedMedia])
   }
+
+  /** One ImageIO decode attempt: codec sniffed from the byte stream, then a
+    * full pixel read. Returns (width, height, channels, codec, solid_rgb)
+    * where solid_rgb is the packed colour if every pixel matches the
+    * top-left one, else -1. */
+  private def tryDecodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, String, Long)] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val codec = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val ch = img.getColorModel.getNumComponents
+            val first = img.getRGB(0, 0) & 0xffffff
+            var solid = true
+            var y = 0
+            while (solid && y < h) {
+              var x = 0
+              while (solid && x < w) { solid = (img.getRGB(x, y) & 0xffffff) == first; x += 1 }
+              y += 1
+            }
+            Some((w, h, ch, codec, if (solid) first.toLong else -1L))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** "Resize": metadata-level transform over the decoded table — the shape
     * of a real resize (recompute dims, keep lineage), sans pixels. */

@@ -1017,22 +1017,39 @@ object Text extends QueryModule {
         FROM f ORDER BY asset_id, frame_no""")),
 
     // ---------------------------------------------------------------- q52
-    // The mapPartitions decode plumbing with the STUB codec: width/height
-    // derived from the content MD5 (deterministic; the oracle derives the
-    // same values from md5(text)). Real decoders replace one function body.
+    // REAL image decode (javax.imageio in mapPartitions): image-typed assets
+    // carry actual PNG bytes (encoded distributed, dims + solid fill colour
+    // integer functions of the id), and the decoder must read the true
+    // width/height/channels/codec/colour back out of the pixels — the oracle
+    // predicts them from doc_id arithmetic, so a broken codec cannot pass.
+    // Audio/video rows keep opaque blobs the JDK can't parse and exercise
+    // the flagged hash-metadata fallback (decoded=false, dims from md5).
     QueryDef("q52_multimodal_decode",
       (s, dir) => {
         import s.implicits._
-        Multimodal.decodeStub(Multimodal.assetize(t(s, dir, "documents")))
+        Multimodal.decode(
+            Multimodal.withSyntheticImages(Multimodal.assetize(t(s, dir, "documents"))))
           .toDF()
+          // PNG byte-lengths/digests are encoder details, not contract:
+          // project the decode contract columns only
+          .select($"asset_id", $"media_type", $"width", $"height",
+            $"channels", $"codec", $"decoded", $"solid_rgb")
           .orderBy($"asset_id")
       },
       Some("""SELECT doc_id AS asset_id,
         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        CAST(length(text) AS BIGINT) AS n_bytes,
-        CAST(64 + CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 448 AS INTEGER) AS width,
-        CAST(64 + (CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) // 448) % 448 AS INTEGER) AS height,
-        md5(text) AS content_md5
+        CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 56 AS INTEGER)
+             ELSE CAST(64 + CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 448 AS INTEGER)
+        END AS width,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(8 + (doc_id // 56) % 56 AS INTEGER)
+             ELSE CAST(64 + (CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) // 448) % 448 AS INTEGER)
+        END AS height,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END AS INTEGER) AS channels,
+        CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'none' END AS codec,
+        (doc_id % 3 = 0) AS decoded,
+        CASE WHEN doc_id % 3 = 0
+             THEN ((doc_id * 7 + 1) % 256) * 65536 + ((doc_id * 13 + 3) % 256) * 256 + (doc_id * 29 + 5) % 256
+             ELSE CAST(-1 AS BIGINT) END AS solid_rgb
         FROM documents ORDER BY asset_id""")),
 
     // ---------------------------------------------------------------- q39

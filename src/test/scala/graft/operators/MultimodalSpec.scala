@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -9,6 +14,12 @@ class MultimodalSpec extends SparkSpec {
 
   private def assets = Multimodal.assetize(
     Seq((0L, "a" * 600), (1L, "hello world"), (2L, "x" * 256)).toDF("doc_id", "text"))
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
 
   test("assetize: binary content + deterministic media_type per id") {
     val rows = assets.collect().map(r =>
@@ -31,21 +42,89 @@ class MultimodalSpec extends SparkSpec {
     assert(f0 === whole)
   }
 
-  test("decodeStub: deterministic dims in [64, 512), md5 matches content") {
-    val d = Multimodal.decodeStub(assets).collect().map(r => r.asset_id -> r).toMap
+  test("decode reads EXACT dimensions of a hand-crafted 13x7 PNG") {
+    val img = new BufferedImage(13, 7, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 13) img.setRGB(x, y, 0x336699)
+    val in = Seq(Multimodal.Asset(42L, "image", encode(img, "png"))).toDF()
+    val d = Multimodal.decode(in).collect().head
+    assert(d.width === 13)
+    assert(d.height === 7)
+    assert(d.channels === 3)
+    assert(d.codec === "png")
+    assert(d.decoded)
+    assert(d.solid_rgb === 0x336699L)
+  }
+
+  test("decode detects non-uniform pixels (solid_rgb = -1) and other codecs") {
+    val img = new BufferedImage(5, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, 0x102030)
+    img.setRGB(3, 2, 0xffffff) // one off-colour pixel
+    val bmp = new BufferedImage(9, 11, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 11; x <- 0 until 9) bmp.setRGB(x, y, 0xff0000)
+    val in = Seq(
+      Multimodal.Asset(1L, "image", encode(img, "png")),
+      Multimodal.Asset(2L, "image", encode(bmp, "bmp")),
+      Multimodal.Asset(3L, "image", encode(bmp, "gif"))).toDF()
+    val d = Multimodal.decode(in).collect().map(r => r.asset_id -> r).toMap
+    assert(d(1L).solid_rgb === -1L)
+    assert((d(1L).width, d(1L).height) === (5, 4))
+    assert(d(2L).codec === "bmp")
+    assert((d(2L).width, d(2L).height) === (9, 11))
+    assert(d(2L).solid_rgb === 0xff0000L)
+    assert(d(3L).codec === "gif")
+    assert((d(3L).width, d(3L).height) === (9, 11))
+  }
+
+  test("decode JPEG: dims + codec from a lossy write survive round-trip") {
+    val img = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, 0x888888)
+    val d = Multimodal.decode(
+      Seq(Multimodal.Asset(7L, "image", encode(img, "jpg"))).toDF()).collect().head
+    assert((d.width, d.height) === (24, 16))
+    assert(d.codec === "jpeg")
+    assert(d.decoded)
+  }
+
+  test("undecodable bytes fall back: decoded=false, hash dims in [64,512)") {
+    val d = Multimodal.decode(assets).collect().map(r => r.asset_id -> r).toMap
     assert(d.size === 3)
     d.values.foreach { a =>
+      assert(!a.decoded)          // ASCII text is not an image
+      assert(a.codec === "none")
+      assert(a.solid_rgb === -1L)
       assert(a.width >= 64 && a.width < 512)
       assert(a.height >= 64 && a.height < 512)
     }
-    // same input -> same output (stub is pure)
-    val d2 = Multimodal.decodeStub(assets).collect().map(r => r.asset_id -> r).toMap
-    assert(d.mapValues(_.width).toMap === d2.mapValues(_.width).toMap)
+    // same input -> same output (fallback is pure)
+    val d2 = Multimodal.decode(assets).collect().map(r => r.asset_id -> r).toMap
+    assert(d.view.mapValues(_.width).toMap === d2.view.mapValues(_.width).toMap)
     assert(d(1L).n_bytes === 11L)
   }
 
+  test("withSyntheticImages: PNG bytes land only on image rows; decode " +
+    "recovers the id-derived dims and fill colour") {
+    val d = Multimodal.decode(Multimodal.withSyntheticImages(assets))
+      .collect().map(r => r.asset_id -> r).toMap
+    // asset 0 is the image row: real PNG, exact synthetic geometry
+    assert(d(0L).decoded)
+    assert(d(0L).codec === "png")
+    assert(d(0L).width === Multimodal.syntheticWidth(0L))
+    assert(d(0L).height === Multimodal.syntheticHeight(0L))
+    assert(d(0L).solid_rgb === Multimodal.syntheticRgb(0L))
+    assert(d(0L).channels === 3)
+    // audio/video rows keep text bytes -> fallback
+    assert(!d(1L).decoded && !d(2L).decoded)
+    assert(d(1L).n_bytes === 11L)
+    // a couple more ids through the pure fixture functions: PNG magic header
+    val png = Multimodal.syntheticPng(123L)
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    assert(Multimodal.syntheticWidth(123L) === (8 + 123 % 56))
+    assert(Multimodal.syntheticRgb(123L) ===
+      ((123L * 7 + 1) % 256) * 65536 + ((123L * 13 + 3) % 256) * 256 + (123L * 29 + 5) % 256)
+  }
+
   test("resizeMeta caps the longest dimension, preserves aspect via scale") {
-    val decoded = Multimodal.decodeStub(assets).toDF()
+    val decoded = Multimodal.decode(assets).toDF()
     val resized = Multimodal.resizeMeta(decoded, maxDim = 128).collect()
       .map(r => r.getAs[Long]("asset_id") -> r).toMap
     resized.values.foreach { r =>
