@@ -441,21 +441,43 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, s"need 0 < tau <= 1: $tauNum/$tauDen")
+    // The shingle explode feeds sizes, df, the rank window AND both
+    // refinement probes — materialize it once (the signature-cache
+    // discipline ensembleNearDups uses). At cluster scale this is the
+    // SSJoin index build's temp-table materialization; partition-local
+    // checkpoint is the single-JVM analog and spills.
     val sh = docs.select(col(idCol).as("id"),
       explode(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfx = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfx, "sh").join(sizes, "id")
+    // Every shingle ranked within its doc under ONE global (df, shingle)
+    // order — the probe side filters this to the prefix; the index side
+    // keeps it all but carries the rank for the positional filter below.
+    // Materialized eagerly: prefix, the probe join's index side, and both
+    // refinement legs all read these blocks instead of re-running the
+    // window.
+    val ranked = sh.join(dfx, "sh").join(sizes, "id")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+      .select(col("id"), col("sh"), col("sz"), col("rk"))
+    val prefix = ranked
       .filter(col("sz") >= minShingles &&
         col("rk") <= expr(s"sz * ${tauDen - tauNum} div $tauDen") + 1)
-      .select(col("id"), col("sh"), col("sz"))
-    val index = sh.join(sizes, "id")
-    val cands = prefix.alias("p").join(index.alias("f"),
+    // PPJoin positional filter: a probe match at in-doc ranks (rkA, rkB)
+    // admits at most 1 + min(szA − rkA, szB − rkB) common shingles (all
+    // commons at or after the matched rank on BOTH sides), so any candidate
+    // whose bound is already below ⌈τ·szA⌉ is dead on arrival. Completeness:
+    // for a true pair, the globally FIRST common shingle sits inside A's
+    // prefix (else overlap ≤ ⌊(1−τ)szA⌋ < ⌈τ·szA⌉) and its bound is ≥ the
+    // true overlap — that probe row always survives. Integer compare as in
+    // the final τ gate: bound·tauDen ≥ szA·tauNum ⟺ bound ≥ ⌈τ·szA⌉.
+    val cands = prefix.alias("p").join(ranked.alias("f"),
         col("p.sh") === col("f.sh") &&
         (col("p.sz") < col("f.sz") ||
-          (col("p.sz") === col("f.sz") && col("p.id") < col("f.id"))))
+          (col("p.sz") === col("f.sz") && col("p.id") < col("f.id"))) &&
+        (lit(1) + least(col("p.sz") - col("p.rk"), col("f.sz") - col("f.rk"))) * tauDen >=
+          col("p.sz") * tauNum)
       .select(col("p.id").as("id_small"), col("f.id").as("id_large"),
         col("p.sz").as("sz_small"))
       .distinct()
