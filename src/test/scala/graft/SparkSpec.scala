@@ -16,8 +16,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 2]: maxFailures=2 so task-level chaos tests (kill a task
+    // mid-delivery on attempt 0) exercise Spark's retry path — plain
+    // local[N] fails the whole job on the first task failure.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -17,6 +17,39 @@ import graft.streaming.Processors.LiveResult
   * the Sinks trait seam holds for a store that outlives the JVM
   * (DEVIATIONS #8's promise). Plus durability itself: a second store
   * instance over the same root sees the first instance's writes. */
+/** ObjectStore wrapper that injects ONE mid-partition task failure: the
+  * N-th put() on a task's first attempt throws AFTER earlier puts landed,
+  * leaving genuinely partial sink state for the retry to reconcile. Local
+  * mode runs executors in this JVM, so the companion's statics observe both
+  * attempts. */
+final class ChaosObjectStore(inner: Sinks.ObjectStore)
+    extends Sinks.ObjectStore with Serializable {
+  override def put(bucket: String, key: String, body: Array[Byte],
+      contentType: String, meta: Map[String, String]): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) ChaosObjectStore.maxAttemptSeen.accumulateAndGet(
+      tc.attemptNumber(), math.max)
+    if (tc != null && tc.attemptNumber() == 0 &&
+        ChaosObjectStore.puts.incrementAndGet() == ChaosObjectStore.failOnPut &&
+        ChaosObjectStore.fired.compareAndSet(false, true))
+      throw new RuntimeException("chaos: injected task failure mid-delivery")
+    inner.put(bucket, key, body, contentType, meta)
+  }
+  override def get(bucket: String, key: String): Option[Array[Byte]] =
+    inner.get(bucket, key)
+  override def keys(bucket: String): Seq[String] = inner.keys(bucket)
+}
+
+object ChaosObjectStore {
+  val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val maxAttemptSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var failOnPut: Int = Int.MaxValue
+  def reset(failOnPut: Int): Unit = {
+    puts.set(0); fired.set(false); maxAttemptSeen.set(0); this.failOnPut = failOnPut
+  }
+}
+
 class DurableSinksSpec extends SparkSpec {
 
   private def eventJson(streamId: String, idx: Long, seq: Long, durationMs: Long): String =
@@ -186,6 +219,52 @@ class DurableSinksSpec extends SparkSpec {
     assert(meta.count("live_metadata") === 6L, "no chunk re-delivered to the sink")
     assert(meta.find("live_metadata", "stream-j", 7L).get("sequence_number") === "7")
     assert(meta.findLatest("live_metadata", "stream-j").get("chunk_index") === "7")
+  }
+
+  test("chaos: task killed mid-foreachPartition delivery still converges to exactly-once") {
+    // UNPLANNED failure, not a planned replay: the object store throws from
+    // inside put() partway through the partition on the task's FIRST
+    // attempt (after one row is fully delivered and the next row's chunk is
+    // mid-flight), so Spark kills the task and re-runs it (master is
+    // local[4, 2] -> one retry). The partial first-attempt writes must be
+    // absorbed by the idempotent-overwrite/upsert contract: after the retry
+    // the object store and the transactional JDBC metadata table hold
+    // EXACTLY the clean-run state — no missing chunk, no duplicate, no
+    // half-written metadata row.
+    val db = Files.createTempDirectory("graft-jdbc-x").resolve("meta")
+    val inner = new Sinks.FileObjectStore(Files.createTempDirectory("graft-fos-x").toString)
+    val objects = new ChaosObjectStore(inner)
+    val meta = new Sinks.JdbcMetadataSink(s"jdbc:derby:$db;create=true")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-chaos").toString
+
+    ChaosObjectStore.reset(failOnPut = 3) // row 0 delivered, row 1 chunk mid-flight
+    val q = Pipelines.startLive(StreamSources.frames(stream.toDF()), objects, meta,
+      ckpt, trigger = Trigger.ProcessingTime(0), queryName = "live-chaos")
+    try {
+      stream.addData((0L to 2L).map(i => eventJson("stream-x", i, i, 3000)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(ChaosObjectStore.fired.get(), "chaos fault was injected on attempt 0")
+    assert(ChaosObjectStore.maxAttemptSeen.get() >= 1, "the task actually re-ran")
+    // exactly-once convergence: the retry's full redelivery overwrote the
+    // partial attempt; nothing is missing, nothing doubled
+    assert(meta.count("live_metadata") === 3L)
+    (0L to 2L).foreach { i =>
+      val doc = meta.find("live_metadata", "stream-x", i).get
+      assert(doc("status") === "live")
+      assert(doc("sequence_number") === i.toString)
+    }
+    assert(inner.keys("live-streams") ===
+      (0L to 2L).map(i => s"stream-x/chunks/$i.ts"))
+    val expected = ManifestFunctions.buildLiveManifest(
+      (0L to 2L).map(i => Segment(3.0, s"stream-x/chunks/$i.ts")),
+      latestChunkIndex = 2L)
+    assert(inner.getString("manifests", "stream-x/live_manifest.m3u8").get === expected)
   }
 
   test("file stores reject path-traversal keys and stream ids") {
