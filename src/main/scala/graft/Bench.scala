@@ -161,7 +161,18 @@ object Bench {
             // recall>=0.8 IVF point: 5 Lloyd passes, 16 of `cells` probed
             // (16/4096 = 0.4% of a production-sized quantizer)
             "ivf_i5_p16" -> point(() => Similarity.ivfKnnJoin(emb, queries, k,
-              nProbe = 16, centroids = t5)))
+              nProbe = 16, centroids = t5)),
+            // IVF-PQ: same probe fraction as ivf_i5_p16, but candidates
+            // score from 8-byte residual codes (32x smaller index) with
+            // exact re-rank of the ADC top-128 — recall cost vs ivf_i5_p16
+            // is only what the ADC shortlist loses (measured 0.826 vs the
+            // probe set's 0.836 ceiling; grid in tools/AnnTune)
+            "ivf_pq" -> {
+              val mdl = Similarity.trainIvfPq(emb, nCentroids = cells,
+                coarseIterations = 5)
+              point(() => Similarity.ivfPqKnnJoin(emb, queries, k,
+                model = mdl, nProbe = 16, rerank = 128))
+            })
           s""","ann_recall":{"k":$k,"n_queries":$nQ,"format":"[recall,min_sec]",""" +
             entries.map { case (nm, v) => s""""$nm":$v""" }.mkString(",") + "}"
         } catch { case _: Throwable => "" }

@@ -345,6 +345,234 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ model: coarse quantizer over the UNIT-NORMALIZED space plus
+    * per-subspace residual codebooks. The memory story at 100 TB: an fp32
+    * corpus vector is d*4 bytes; its PQ code is `m` bytes (+ cell id), a
+    * d*4/m compression (32x at d=64, m=8) — the difference between "the
+    * index fits in executor memory" and "it doesn't". */
+  final case class PqModel(
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], // m x ksub x dsub
+      m: Int,
+      dsub: Int) {
+    def ksub: Int = codebooks(0).length
+  }
+
+  private[operators] def normalizeLocal(v: Array[Float]): Array[Float] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v.clone()
+    else { val o = new Array[Float](v.length); i = 0
+      while (i < v.length) { o(i) = (v(i) / n).toFloat; i += 1 }; o }
+  }
+
+  /** Plain L2 k-means over a (small, bounded) in-memory sample — the PQ
+    * codebook trainer. Deterministic: first-k init in sample order, argmin
+    * ties to the lower index, empty clusters keep their centroid. */
+  private[operators] def kmeansLocal(
+      points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val kk = math.min(k, points.length)
+    var cents = Array.tabulate(kk)(i => points(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](points(0).length))
+      val cnts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < p.length) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < p.length) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(x => (x / cnts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Train an IVF-PQ model: Lloyd-refined coarse quantizer on the
+    * normalized corpus, then per-subspace k-means codebooks over the
+    * RESIDUALS (v - coarse_centroid) of a bounded, hash-ordered sample —
+    * the FAISS training recipe. The driver pull is the sample only
+    * (sampleSize x d floats, ~1 MB at the default 4096 x 64), the same
+    * bounded pattern as [[ivfCentroids]]; the corpus itself never moves. */
+  def trainIvfPq(
+      corpus: DataFrame,
+      nCentroids: Int = 0,
+      m: Int = 8,
+      ksub: Int = 256,
+      sampleSize: Int = 4096,
+      coarseIterations: Int = 2,
+      pqIterations: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      corpusSize: Long = -1): PqModel = {
+    import corpus.sparkSession.implicits._
+    val normed = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, normalizeLocal(v)) }
+      .toDF(idCol, vecCol)
+    val c = if (nCentroids > 0) nCentroids
+      else math.min(DefaultMaxCentroids,
+        math.max(2, math.ceil(sizeOf(corpus, corpusSize).toDouble / 64).toInt))
+    val coarse = ivfCentroidsTrained(normed, c, coarseIterations, idCol, vecCol)
+    val sample = normed.as[(Long, Array[Float])]
+      .toDF(idCol, vecCol)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .as[(Long, Array[Float])]
+      .collect() // bounded: sampleSize x d floats
+      .map(_._2)
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    val residuals = sample.map { v =>
+      val cell = nearestCells(coarse, v, 1)(0)
+      val r = new Array[Float](d)
+      var j = 0
+      while (j < d) { r(j) = v(j) - coarse(cell)(j); j += 1 }
+      r
+    }
+    val codebooks = Array.tabulate(m) { sub =>
+      val pts = residuals.map(r => java.util.Arrays.copyOfRange(r, sub * dsub, (sub + 1) * dsub))
+      kmeansLocal(pts, ksub, pqIterations)
+    }
+    PqModel(coarse, codebooks, m, dsub)
+  }
+
+  /** IVF-PQ approximate k-NN with asymmetric-distance re-ranking — the ANN
+    * memory path for corpora whose fp32 vectors don't fit executor memory.
+    *
+    * Index side: each corpus vector normalizes, takes its coarse cell, and
+    * encodes its RESIDUAL as `m` codebook bytes; the full vector is then
+    * DROPPED from the index (re-rank fetches it back by id). Query side:
+    * each query probes `nProbe` cells carrying one precomputed ADC lookup
+    * table (q-sub-dot of all ksub codebook entries, m x ksub floats built
+    * ONCE per query) plus the per-cell q.centroid dot. A candidate's ADC
+    * score is then `cell_dot + sum_sub lut[sub*ksub + code]` — m lookups
+    * per pair instead of d multiplies, the whole point of PQ. The top
+    * `rerank` candidates per query by ADC re-score EXACTLY against the
+    * fetched fp32 vectors, so every returned `sim` is a true cosine and
+    * rank order within the returned set is exact — ADC approximation can
+    * only affect which candidates reach the re-rank pool.
+    *
+    * Scale shape: one shuffle keys the probe join by cell; the ADC fold is
+    * a per-row codegen'd HOF over an 8-byte array; the re-rank join keys by
+    * neighbor id and touches rerank x |Q| rows, not the corpus. */
+  def ivfPqKnnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      model: PqModel = null,
+      nProbe: Int = 8,
+      rerank: Int = 0,
+      nCentroids: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      corpusSize: Long = -1): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val mdl = if (model != null) model
+      else trainIvfPq(corpus, nCentroids, idCol = idCol, vecCol = vecCol,
+        corpusSize = corpusSize)
+    val pool = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val bc = corpus.sparkSession.sparkContext.broadcast(mdl)
+
+    // index: (cell, id, m residual-codebook bytes) — no vectors
+    val codes = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val md = bc.value
+        it.map { case (id, raw) =>
+          val v = normalizeLocal(raw)
+          val cell = nearestCells(md.coarse, v, 1)(0)
+          val cs = new Array[Int](md.m)
+          var sub = 0
+          while (sub < md.m) {
+            val cb = md.codebooks(sub)
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cb.length) {
+              var dd = 0.0; var j = 0
+              while (j < md.dsub) {
+                val t = (v(sub * md.dsub + j) - md.coarse(cell)(sub * md.dsub + j)) - cb(c)(j)
+                dd += t * t; j += 1
+              }
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            cs(sub) = best; sub += 1
+          }
+          (cell, id, cs)
+        }
+      }.toDF("cell", "neighbor_id", "codes")
+
+    // probes: (cell, query_id, q.c_cell, flattened m x ksub ADC table)
+    val probes = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val md = bc.value
+        it.flatMap { case (id, raw) =>
+          val q = normalizeLocal(raw)
+          val lut = new Array[Float](md.m * md.ksub)
+          var sub = 0
+          while (sub < md.m) {
+            val cb = md.codebooks(sub)
+            var c = 0
+            while (c < cb.length) {
+              var s = 0.0; var j = 0
+              while (j < md.dsub) { s += q(sub * md.dsub + j).toDouble * cb(c)(j); j += 1 }
+              lut(sub * md.ksub + c) = s.toFloat; c += 1
+            }
+            sub += 1
+          }
+          nearestCells(md.coarse, q, nProbe).map { cell =>
+            var cd = 0.0; var j = 0
+            while (j < q.length) { cd += q(j).toDouble * md.coarse(cell)(j); j += 1 }
+            (cell, id, cd.toFloat, lut)
+          }
+        }
+      }.toDF("cell", "query_id", "cell_dot", "lut")
+
+    val ksubLit = lit(mdl.ksub)
+    val adcScored = codes.join(probes, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("cell_dot") + aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(mdl.m - 1)),
+            (code, sub) => element_at(col("lut"), (sub * ksubLit + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x)).as("adc"))
+      // a (query, neighbor) pair meets once per probed cell it shares; the
+      // corpus side has ONE cell per vector, so pairs are already unique
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adcScored.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= pool)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank: fetch the shortlist's fp32 vectors and score for real
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("query_vec"), norm(col(vecCol)).as("query_nrm")))
+    val rescored = shortlist
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("corpus_vec"), norm(col(vecCol)).as("corpus_nrm")), "neighbor_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("corpus_vec"), col("query_vec")) /
+          (col("corpus_nrm") * col("query_nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
     * multi-table LSH so the pair join never goes cartesian and bucket count
     * grows with the corpus. Pairs are (a < b).

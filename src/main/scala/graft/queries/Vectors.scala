@@ -126,6 +126,25 @@ object Vectors extends QueryModule {
       },
       Some(annContractOracle)),
 
+    // --------------------------------------------------------------- q149
+    // IVF-PQ with asymmetric-distance re-ranking: the ANN memory path —
+    // corpus vectors live in the index as m=8 residual-codebook BYTES
+    // (32x smaller than fp32 at d=64), candidates score via per-query
+    // lookup tables (m adds per pair), and the ADC shortlist re-ranks
+    // against fetched fp32 vectors. The annContract makes the re-rank
+    // guarantee checkable: every returned sim must equal the exact
+    // recomputed cosine (so PQ approximation provably never leaks into
+    // returned scores or their order), no self-matches, dense ranks.
+    QueryDef("q149_ivfpq_knn",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val res = Similarity.ivfPqKnnJoin(emb, emb.filter($"vec_id" < 5), k = 3,
+          nProbe = 3, rerank = 12)
+        annContract(res, emb)
+      },
+      Some(annContractOracle)),
+
     // ---------------------------------------------------------------- q74
     // Per-row symmetric int8 quantization profile: maxabs -> scale =
     // 127/maxabs -> per-element round -> reconstruction RMSE. The storage

@@ -66,6 +66,12 @@ object AnnTune {
         Similarity.lshKnnJoin(emb, queries, k, tables = tables, probes = probes))
       println(f"lsh tables=$tables%d probes=$probes%-2d recall=$r%.3f minSec=$t%.2f")
     }
+    for (m <- Seq(8, 16); pool <- Seq(64, 128, 192)) {
+      val mdl = Similarity.trainIvfPq(emb, nCentroids = cells, m = m, coarseIterations = 5)
+      val (r, t) = timeIt(() =>
+        Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl, nProbe = 16, rerank = pool))
+      println(f"ivfpq m=$m%-2d nProbe=16 rerank=$pool%-3d recall=$r%.3f minSec=$t%.2f")
+    }
     spark.stop()
   }
 }

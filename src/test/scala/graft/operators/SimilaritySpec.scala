@@ -221,6 +221,69 @@ class SimilaritySpec extends SparkSpec {
     assert(again === approx)
   }
 
+  test("ivfPqKnnJoin: full re-rank pool equals exact scoring over the same probe set") {
+    val k = 5
+    val queries = emb.filter($"vec_id" < 10)
+    val mdl = Similarity.trainIvfPq(emb, m = 8)
+    assert(mdl.dsub === 8) // d=64 / m=8
+    assert(mdl.codebooks.length === 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"))).toSet
+    // With a re-rank pool covering every probed candidate, ADC can drop
+    // nothing, so IVF-PQ must return EXACTLY what exact-scored IVF returns
+    // over the same coarse cells (same centroids, same nProbe) — the
+    // "recall 1.0 within the probe set by construction" contract.
+    val pq = pairs(Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl,
+      nProbe = 3, rerank = 1000000))
+    val exactIvf = pairs(Similarity.ivfKnnJoin(emb, queries, k,
+      centroids = mdl.coarse, nProbe = 3))
+    assert(pq === exactIvf)
+    // determinism across evaluations
+    val again = pairs(Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl,
+      nProbe = 3, rerank = 1000000))
+    assert(again === pq)
+  }
+
+  test("ivfPqKnnJoin: finite ADC pool still returns only true cosines, bounded recall loss") {
+    val k = 5
+    val queries = emb.filter($"vec_id" < 10)
+    val mdl = Similarity.trainIvfPq(emb, m = 8)
+    val res = Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl, nProbe = 3, rerank = 2 * k)
+      .collect()
+    assert(res.nonEmpty)
+    // every returned sim is the exact recomputed cosine (ADC never leaks
+    // into returned scores) and no self-matches survive
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    res.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(q != n)
+      val expect = BigDecimal(Similarity.cosineLocal(byId(q), byId(n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("sim") - expect) < 1e-9)
+    }
+    // the tight pool keeps most of what the full pool finds on the fixture
+    def ids(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val full = Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl,
+      nProbe = 3, rerank = 1000000).collect()
+    val overlap = (ids(res) & ids(full)).size.toDouble / ids(full).size
+    assert(overlap >= 0.5, s"ADC@${2 * k} shortlist lost too much: $overlap")
+  }
+
+  test("kmeansLocal: deterministic, recovers crafted well-separated clusters") {
+    val pts = Array(
+      Array(0f, 0f), Array(0.1f, 0f), Array(0f, 0.1f),
+      Array(10f, 10f), Array(10.1f, 10f), Array(10f, 10.1f))
+    val cents = Similarity.kmeansLocal(pts, 2, 8)
+    assert(cents.length === 2)
+    val sorted = cents.sortBy(_(0))
+    assert(math.abs(sorted(0)(0) - 0.0333f) < 0.01 && math.abs(sorted(1)(0) - 10.0333f) < 0.01)
+    // ksub > points degrades gracefully
+    assert(Similarity.kmeansLocal(pts, 256, 2).length === 6)
+  }
+
   test("ivfCentroidsTrained: Lloyd passes improve recall on a clustered corpus at equal nProbe") {
     // 8 tight, well-separated clusters. A hash-sample quantizer draws 8
     // seeds uniformly from the 400 points — P(one seed per cluster) ~ 0.2%,
