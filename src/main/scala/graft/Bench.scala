@@ -182,6 +182,9 @@ object Bench {
     // the session the shutdown block must quiesce — replaced below when the
     // stream legs restart the context
     var lastSession = spark
+    // per-operator state rows/bytes/commit-latency from the stream legs —
+    // sidecar-only (the stdout metric line has a ~1.5 KB tail budget)
+    var streamStateJson = ""
     val streamJson =
       if (streamSec <= 0 || only.isDefined) ""
       else {
@@ -208,6 +211,9 @@ object Bench {
           durable = false, warmupSec = warmup)
         val dur = graft.streaming.StreamBench.run(s2, streamSec, rps = 2,
           durable = true, warmupSec = warmup)
+        streamStateJson =
+          s""","stream_state_operators":{"in_memory":${mem.stateOpsJson},""" +
+            s""""durable":${dur.stateOpsJson}}"""
         s""","stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
           s""""stream_p50_ms":${mem.steadyP50},"stream_p50_ms_durable":${dur.steadyP50},""" +
           s""""stream_rate_rps":2,"stream_sec":$streamSec"""
@@ -222,7 +228,7 @@ object Bench {
     //    count, stream/ann telemetry, and a *headline* subset of per-query
     //    medians, staying well under 1.5 KB at any catalog size.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""mins":$minsJson,"reps":$repsJson$annJson$streamJson$filtered,"sf":"$sfDir"}"""
+      s""""mins":$minsJson,"reps":$repsJson$annJson$streamJson$streamStateJson$filtered,"sf":"$sfDir"}"""
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
       "q44_lsh_knn", "q53_ivf_knn", "q72_full_pipeline", "q87_cms_heavy_hitters",

@@ -192,6 +192,17 @@ object Metrics {
           case _ => ()
         }
       }
+      // State-store observability (the number a 100x-scale operator watches
+      // to know keyed state is BOUNDED, not leaking): per stateful operator,
+      // the last progress event's total state rows, state memory, and
+      // commit latency, as labeled gauges.
+      val qName = Option(e.progress.name).getOrElse("unnamed")
+      e.progress.stateOperators.foreach { so =>
+        val labels = s"{query=$qName,operator=${so.operatorName}}"
+        setGauge(s"spark_state_rows_total$labels", so.numRowsTotal)
+        setGauge(s"spark_state_memory_bytes$labels", so.memoryUsedBytes)
+        setGauge(s"spark_state_commit_ms$labels", so.commitTimeMs)
+      }
       // one time-series sample per progress event feeds the dashboard
       // rate()/histogram_quantile() panels (Dashboard.series)
       Dashboard.series.record()
@@ -211,7 +222,15 @@ object Metrics {
       "Time between event timestamp and processing completion"),
     ("spark_vod_variants_generated_total", "counter",
       "Total quality variants generated for VOD chunks"),
-    ("spark_active_live_streams", "gauge", "Number of live streams currently active"))
+    ("spark_active_live_streams", "gauge", "Number of live streams currently active"),
+    // graft extensions beyond the reference's 7 families: keyed-state
+    // boundedness telemetry (StateOperatorProgress, last progress event)
+    ("spark_state_rows_total", "gauge",
+      "Streaming state rows per stateful operator (last progress)"),
+    ("spark_state_memory_bytes", "gauge",
+      "Streaming state memory bytes per stateful operator (last progress)"),
+    ("spark_state_commit_ms", "gauge",
+      "State store commit milliseconds per stateful operator (last progress)"))
 
   private val ApiHelp: Seq[(String, String, String)] = Seq(
     // the reference API service's scrape surface (api/main.py:66-80;
@@ -273,7 +292,10 @@ object Metrics {
             sb.append('\n')
           }
         case "gauge" =>
-          sb.append(s"$family ${gauge(family)}\n")
+          val labelled = gauges.asScala.keys.filter(_.startsWith(family + "{")).toSeq.sorted
+          if (labelled.nonEmpty)
+            labelled.foreach(k => sb.append(s"${renderLabels(k)} ${gauge(k)}\n"))
+          else sb.append(s"$family ${gauge(family)}\n")
         case _ =>
           val labelled = counters.asScala.keys.filter(_.startsWith(family + "{")).toSeq.sorted
           if (labelled.nonEmpty)
@@ -285,9 +307,11 @@ object Metrics {
   }
 
   /** Prometheus text exposition format 0.0.4 over the official metric
-    * surface (reference `start_http_server`, spark_streaming.py:548). Only
-    * the 7 reference families are exposed; generic `observation.field`
-    * counters are registry/debug-only. */
+    * surface (reference `start_http_server`, spark_streaming.py:548): the
+    * 7 reference families name-for-name, plus the three spark_state_*
+    * keyed-state gauges (a graft extension — state boundedness is the
+    * scale-operations signal the reference never surfaced). Generic
+    * `observation.field` counters are registry/debug-only. */
   def exposition: String = expositionFor(Help)
 
   /** The API service's exposition (the reference scrapes it as a separate

@@ -36,13 +36,26 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamBench {
 
+  /** Per-stateful-operator state telemetry over the run: final (= last
+    * progress) state rows and memory — the boundedness signal — plus commit
+    * latency percentiles across batches. */
+  final case class StateOpStats(
+      operator: String, rowsTotal: Long, memoryBytes: Long,
+      commitP50: Long, commitP99: Long)
+
   final case class Result(
       chunksPerSec: Double, chunks: Long, wallSec: Double, rps: Int,
       batches: Int, p50: Long, p95: Long, p99: Long,
       warmupSec: Int, steadyBatches: Int,
       steadyP50: Long, steadyP95: Long, steadyP99: Long,
       gaps: Long, activeStreams: Long, shufflePartitions: String,
-      durable: Boolean)
+      durable: Boolean, stateOps: Seq[StateOpStats] = Nil) {
+    def stateOpsJson: String = stateOps.map { s =>
+      s"""{"operator":"${s.operator}","rows":${s.rowsTotal},""" +
+        s""""memory_bytes":${s.memoryBytes},"commit_ms_p50":${s.commitP50},""" +
+        s""""commit_ms_p99":${s.commitP99}}"""
+    }.mkString("[", ",", "]")
+  }
 
   /** Drive the live pipeline for `seconds` at `rps` rows/s and collect
     * micro-batch percentiles. Safe to call repeatedly in one session. */
@@ -50,10 +63,17 @@ object StreamBench {
       durable: Boolean, warmupSec: Int): Result = {
     // (ns-at-completion, triggerExecution ms) per non-empty batch
     val batches = new ConcurrentLinkedQueue[(Long, Long)]()
+    // per stateful operator: last-seen (rows, memory) + all commit latencies
+    val stateLast = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val stateCommits = new ConcurrentLinkedQueue[(String, Long)]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        e.progress.stateOperators.foreach { so =>
+          stateLast.put(so.operatorName, (so.numRowsTotal, so.memoryUsedBytes))
+          stateCommits.add((so.operatorName, so.commitTimeMs))
+        }
         if (e.progress.numInputRows > 0) {
           // triggerExecution is the end-to-end micro-batch time; the other
           // durationMs entries are its sub-phases (summing would double-count).
@@ -135,7 +155,11 @@ object StreamBench {
       gaps = Metrics.counter("live_chunk_gaps_total"),
       activeStreams = Metrics.activeLiveStreams,
       shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions"),
-      durable = durable)
+      durable = durable,
+      stateOps = stateLast.asScala.toSeq.sortBy(_._1).map { case (op, (rows, bytes)) =>
+        val commits = stateCommits.asScala.collect { case (`op`, ms) => ms }.toSeq.sorted
+        StateOpStats(op, rows, bytes, pct(commits, 0.5), pct(commits, 0.99))
+      })
   }
 
   def main(args: Array[String]): Unit = {
@@ -171,7 +195,8 @@ object StreamBench {
         s""""gaps":${r.gaps},""" +
         s""""active_streams":${r.activeStreams},""" +
         s""""shuffle_partitions":${r.shufflePartitions},""" +
-        s""""durable_sinks":${r.durable}}"""
+        s""""durable_sinks":${r.durable},""" +
+        s""""state_operators":${r.stateOpsJson}}"""
     println(json)
     spark.stop()
   }

@@ -71,8 +71,42 @@ class MetricsSpec extends AnyFunSuite {
         |# HELP spark_active_live_streams Number of live streams currently active
         |# TYPE spark_active_live_streams gauge
         |spark_active_live_streams 2
+        |# HELP spark_state_rows_total Streaming state rows per stateful operator (last progress)
+        |# TYPE spark_state_rows_total gauge
+        |spark_state_rows_total 0
+        |# HELP spark_state_memory_bytes Streaming state memory bytes per stateful operator (last progress)
+        |# TYPE spark_state_memory_bytes gauge
+        |spark_state_memory_bytes 0
+        |# HELP spark_state_commit_ms State store commit milliseconds per stateful operator (last progress)
+        |# TYPE spark_state_commit_ms gauge
+        |spark_state_commit_ms 0
         |""".stripMargin
     assert(Metrics.exposition === expected)
+    Metrics.reset()
+  }
+
+  test("state-operator gauges render per (query, operator) with labels") {
+    Metrics.reset()
+    // what ProgressListener writes from StateOperatorProgress
+    Metrics.setGauge(
+      "spark_state_rows_total{query=live,operator=transformWithStateExec}", 16)
+    Metrics.setGauge(
+      "spark_state_rows_total{query=vod,operator=transformWithStateExec}", 7)
+    Metrics.setGauge(
+      "spark_state_memory_bytes{query=live,operator=transformWithStateExec}", 204800)
+    Metrics.setGauge(
+      "spark_state_commit_ms{query=live,operator=transformWithStateExec}", 12)
+    val exp = Metrics.exposition
+    assert(exp.contains(
+      """spark_state_rows_total{query="live",operator="transformWithStateExec"} 16"""))
+    assert(exp.contains(
+      """spark_state_rows_total{query="vod",operator="transformWithStateExec"} 7"""))
+    assert(exp.contains(
+      """spark_state_memory_bytes{query="live",operator="transformWithStateExec"} 204800"""))
+    assert(exp.contains(
+      """spark_state_commit_ms{query="live",operator="transformWithStateExec"} 12"""))
+    // labelled entries replace the unlabelled zero sample for that family
+    assert(!exp.contains("\nspark_state_rows_total 0\n"))
     Metrics.reset()
   }
 

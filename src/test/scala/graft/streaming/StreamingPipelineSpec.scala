@@ -305,6 +305,19 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(Metrics.counter("vod_metrics.chunks") === 1L)
     // gauge: distinct live streams ever seen (reference gauge semantics)
     assert(Metrics.activeLiveStreams === 1L)
+    // state observability: the listener surfaced per-operator keyed-state
+    // gauges from StateOperatorProgress — rows present for BOTH queries'
+    // stateful operators, memory strictly positive (the boundedness signal
+    // a scale operator watches)
+    val stateKeys = Metrics.snapshot.keys
+      .filter(_.startsWith("spark_state_rows_total{")).toSeq
+    assert(stateKeys.exists(_.contains("query=live")), s"live state gauge in $stateKeys")
+    assert(stateKeys.exists(_.contains("query=vod")), s"vod state gauge in $stateKeys")
+    val liveRows = stateKeys.filter(_.contains("query=live")).map(Metrics.gauge).sum
+    assert(liveRows >= 1L, "live keyed state holds at least the seen stream keys")
+    val memKeys = Metrics.snapshot.keys
+      .filter(_.startsWith("spark_state_memory_bytes{query=live")).toSeq
+    assert(memKeys.nonEmpty && memKeys.map(Metrics.gauge).sum > 0L)
   }
 
   test("dedupedChunks drops re-delivered (stream_id, chunk_index) within watermark (T11)") {
