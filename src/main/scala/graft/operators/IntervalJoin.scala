@@ -34,6 +34,16 @@ object IntervalJoin {
     *
     * `equiKeys` maps interval-side column → point-side column; the bucket
     * key rides alongside them in one hash join.
+    *
+    * Wide-interval policy (r10 advice: never a SILENT loss): intervals
+    * spanning ≥ `maxBucketsPerInterval` buckets are corrupt by declaration.
+    * `strict = false` (default) drops them but publishes the dropped count
+    * as the observed metric `<metricName>.dropped_wide_intervals` — read it
+    * from `result.queryExecution.observedMetrics` after any action, or from
+    * any Query(Execution)Listener, so a caller with legitimately wide
+    * intervals SEES the loss. `strict = true` fails the job instead, from
+    * inside the plan (distributed `raise_error`, no extra driver job),
+    * naming the offending span.
     */
   def bucketedIntervalJoin(
       intervals: DataFrame,
@@ -43,7 +53,9 @@ object IntervalJoin {
       tsCol: String,
       equiKeys: Seq[(String, String)] = Nil,
       bucketSeconds: Long = 3600L,
-      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+      maxBucketsPerInterval: Long = 100000L,
+      strict: Boolean = false,
+      metricName: String = "interval_join"): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     // Output-name safety: a silent duplicate column poisons every
@@ -51,19 +63,34 @@ object IntervalJoin {
     val ptKept = points.columns.filterNot((equiKeys.map(_._2).toSet + tsCol))
     val clashes = intervals.columns.toSet
       .intersect(ptKept.toSet + "point_ts") ++
-      (intervals.columns ++ points.columns).filter(_ == "_bucket")
+      (intervals.columns ++ points.columns).filter(c => c == "_bucket" || c == "_span_buckets")
     require(clashes.isEmpty,
       s"column name collision in interval-join output: ${clashes.mkString(", ")} — " +
-        "rename before joining ('_bucket' and 'point_ts' are reserved)")
-    val iv = intervals
+        "rename before joining ('_bucket', '_span_buckets' and 'point_ts' are reserved)")
+    val spanned = intervals
       .filter(col(endCol) >= col(startCol))
       // Span cap: ONE corrupt wide interval (wrong unit, sentinel date)
       // would otherwise ask sequence() for millions of elements and abort
-      // the whole job. Same bounded-blowup contract as LSH's maxBucket:
-      // rows beyond the cap are dropped, not fatal. Production sets the
-      // cap at the honest maximum span it expects.
-      .filter(expr(s"CAST($endCol AS LONG) div $bucketSeconds") -
-        expr(s"CAST($startCol AS LONG) div $bucketSeconds") < maxBucketsPerInterval)
+      // the whole job. Same bounded-blowup contract as LSH's maxBucket.
+      // Production sets the cap at the honest maximum span it expects.
+      .withColumn("_span_buckets",
+        expr(s"CAST($endCol AS LONG) div $bucketSeconds") -
+          expr(s"CAST($startCol AS LONG) div $bucketSeconds"))
+    val guarded =
+      if (strict)
+        spanned.filter(
+          when(col("_span_buckets") < maxBucketsPerInterval, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"interval spans "), col("_span_buckets"),
+              lit(s" buckets >= maxBucketsPerInterval=$maxBucketsPerInterval" +
+                s" (bucketSeconds=$bucketSeconds); widen the cap or fix the data")))))
+      else
+        spanned
+          .observe(metricName, count_if(col("_span_buckets") >= maxBucketsPerInterval)
+            .as("dropped_wide_intervals"))
+          .filter(col("_span_buckets") < maxBucketsPerInterval)
+    val iv = guarded
+      .drop("_span_buckets")
       .withColumn("_bucket", explode(sequence(
         expr(s"CAST($startCol AS LONG) div $bucketSeconds"),
         expr(s"CAST($endCol AS LONG) div $bucketSeconds"))))

@@ -124,8 +124,14 @@ object Sketches {
 
   // ---------------------------------------------------- SpaceSaving (batch)
 
-  /** Per-(buffer) SpaceSaving counter — see [[SpaceSavingAgg]]. */
-  final case class SSBuf(counters: Seq[StreamingTopK.Counter])
+  /** Per-(buffer) SpaceSaving counter — see [[SpaceSavingAgg]]. `evicted`
+    * records whether this summary EVER dropped an item (by update-time
+    * eviction or merge-time pruning): only then does "absent from this
+    * side" carry the min-counter uncertainty. A summary that merely REACHED
+    * capacity without evicting is still the exact count map, and absent
+    * items are exactly 0 — so exactness holds for vocabulary == capacity,
+    * not just strictly below it. */
+  final case class SSBuf(counters: Seq[StreamingTopK.Counter], evicted: Boolean)
 
   /** Mergeable batch SpaceSaving: the heavy-hitter companion the
     * HLL/CMS/histogram family was missing, as a typed `Aggregator` so it
@@ -138,26 +144,34 @@ object Sketches {
     * Survivor guarantees after any merge tree: est ≥ true and
     * est − err ≤ true; every item with true count > N/capacity survives.
     *
-    * Determinism contract: BELOW capacity the summary is the exact count
-    * map (updates commute, merges concatenate-and-sum) — identical on any
-    * partitioning, which is the mode the oracle-checked catalog query uses.
-    * AT capacity, eviction depends on arrival/merge order (true of every
-    * mergeable heavy-hitter sketch); the guarantees above still hold and
-    * are what the spec pins. */
+    * Determinism contract: as long as NO eviction has occurred (vocabulary
+    * <= capacity — tracked per summary by [[SSBuf]]'s `evicted` flag, so a
+    * full-but-exact side never taxes absent items with a phantom min bound)
+    * the summary is the exact count map, identical on any partitioning —
+    * the mode the oracle-checked catalog query uses. Past eviction the
+    * contents depend on arrival/merge order (true of every mergeable
+    * heavy-hitter sketch); the guarantees above still hold and are what
+    * the spec pins. */
   final class SpaceSavingAgg(capacity: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         StreamingTopK.ItemIn, SSBuf, Seq[StreamingTopK.Counter]] {
     import org.apache.spark.sql.{Encoder, Encoders}
 
-    override def zero: SSBuf = SSBuf(Seq.empty)
+    override def zero: SSBuf = SSBuf(Seq.empty, evicted = false)
 
-    override def reduce(b: SSBuf, in: StreamingTopK.ItemIn): SSBuf =
-      SSBuf(StreamingTopK.fold(b.counters, Seq(in.item -> in.w), capacity))
+    override def reduce(b: SSBuf, in: StreamingTopK.ItemIn): SSBuf = {
+      // eviction happens iff the item is new while the summary is full
+      val evicts = b.counters.size >= capacity && !b.counters.exists(_.item == in.item)
+      SSBuf(StreamingTopK.fold(b.counters, Seq(in.item -> in.w), capacity),
+        b.evicted || evicts)
+    }
 
     override def merge(a: SSBuf, b: SSBuf): SSBuf = {
-      def floor(s: Seq[StreamingTopK.Counter]): Long =
-        if (s.size >= capacity) s.map(_.cnt).min else 0L
-      val (fa, fb) = (floor(a.counters), floor(b.counters))
+      // The min-counter bound applies to items absent from a side only if
+      // that side ever evicted; a full-but-exact side bounds them at 0.
+      def floor(s: SSBuf): Long =
+        if (s.evicted) s.counters.map(_.cnt).min else 0L
+      val (fa, fb) = (floor(a), floor(b))
       val am = a.counters.map(c => c.item -> c).toMap
       val bm = b.counters.map(c => c.item -> c).toMap
       val merged = (am.keySet ++ bm.keySet).toSeq.map { item =>
@@ -165,7 +179,8 @@ object Sketches {
         val (cb, eb) = bm.get(item).map(c => (c.cnt, c.err)).getOrElse((fb, fb))
         StreamingTopK.Counter(item, ca + cb, ea + eb)
       }
-      SSBuf(merged.sortBy(c => (-c.cnt, c.item)).take(capacity))
+      SSBuf(merged.sortBy(c => (-c.cnt, c.item)).take(capacity),
+        a.evicted || b.evicted || merged.size > capacity)
     }
 
     override def finish(r: SSBuf): Seq[StreamingTopK.Counter] =

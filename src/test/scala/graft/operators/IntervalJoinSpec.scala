@@ -96,9 +96,39 @@ class IntervalJoinSpec extends SparkSpec {
     ).toDF("iv_id", "start_ts", "end_ts")
     val pt = Seq((10L, 1L, ts("2024-01-01 01:00:00")),
       (11L, 2L, ts("2024-01-01 01:00:00"))).toDF("p_id", "key", "ts")
-    val got = IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+    val res = IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
         Seq("iv_id" -> "key"), bucketSeconds = 3600L, maxBucketsPerInterval = 1000L)
-      .select($"iv_id", $"p_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select($"iv_id", $"p_id")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 10L)), "good interval joins; corrupt one dropped")
+    // the loss is OBSERVABLE, not silent: the drop count is published as an
+    // observed metric on the completed action (r10 advice)
+    val metric = res.queryExecution.observedMetrics("interval_join")
+    assert(metric.getAs[Long]("dropped_wide_intervals") === 1L)
+  }
+
+  test("strict mode fails on a wide interval instead of dropping it") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 00:00:00"), Timestamp.valueOf("9999-12-31 00:00:00"))
+    ).toDF("iv_id", "start_ts", "end_ts")
+    val pt = Seq((10L, 1L, ts("2024-01-01 01:00:00"))).toDF("p_id", "key", "ts")
+    val e = intercept[Exception] {
+      IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+          Seq("iv_id" -> "key"), bucketSeconds = 3600L, maxBucketsPerInterval = 1000L,
+          strict = true)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBucketsPerInterval=1000")),
+      s"got: ${messages(e)}")
+    // and a clean corpus passes strict mode untouched
+    val ok = IntervalJoin.bucketedIntervalJoin(
+        iv.filter($"iv_id" === 1L), pt, "start_ts", "end_ts", "ts",
+        Seq("iv_id" -> "key"), bucketSeconds = 3600L, maxBucketsPerInterval = 1000L,
+        strict = true)
+      .select($"iv_id", $"p_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.toSeq === Seq((1L, 10L)))
   }
 }

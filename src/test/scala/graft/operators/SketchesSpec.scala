@@ -117,16 +117,34 @@ class SketchesSpec extends SparkSpec {
     assert(got === Seq(("y", 7L, 0L), ("x", 3L, 0L), ("z", 1L, 0L)))
   }
 
-  test("SpaceSavingAgg: absent-at-capacity side contributes its min bound") {
+  test("SpaceSavingAgg: absent-from-EVICTED side gets its min bound; " +
+    "absent-from-full-but-exact side gets 0") {
     val agg = ssAgg(2)
-    // a at capacity: {p:10, q:4}; b at capacity: {p:6, r:5}
-    val a = bufOf(agg, Seq("p" -> 10L, "q" -> 4L))
+    // a evicts: p->10, q->2, then r arrives at capacity -> q(2) evicted,
+    // r enters as (cnt=3, err=2); minA = 3 and a.evicted = true
+    val a = bufOf(agg, Seq("p" -> 10L, "q" -> 2L, "r" -> 1L))
+    assert(a.evicted)
+    // b reaches capacity with exactly 2 distinct items -> still EXACT
     val b = bufOf(agg, Seq("p" -> 6L, "r" -> 5L))
+    assert(!b.evicted)
     val m = agg.merge(a, b).counters.map(c => c.item -> ((c.cnt, c.err))).toMap
-    // p common: 10+6; q absent from b -> + minB=5 as (cnt, err); r absent
-    // from a -> + minA=4. Prune keeps top-2 by cnt: p(16) and either q(9)/r(9) by item.
-    assert(m("p") === ((16L, 0L)))
-    assert(m.size === 2 && m.contains("q") && m("q") === ((9L, 5L)))
+    // p common: 10+6, err 0+0; r: (3, err 2) + (5, 0). Nothing absent from
+    // only-b pays a floor (b never evicted), so no phantom min-counter mass.
+    assert(m === Map("p" -> ((16L, 0L)), "r" -> ((8L, 2L))))
+  }
+
+  test("SpaceSavingAgg: vocabulary EXACTLY == capacity stays exact through merges") {
+    // the r10-advice case: both sides full but never evicted — the merge
+    // floor must NOT inflate items absent from one side
+    val agg = ssAgg(2)
+    val a = bufOf(agg, Seq("x" -> 3L, "y" -> 2L))
+    val b = bufOf(agg, Seq("y" -> 5L, "z" -> 1L))
+    val merged = agg.merge(a, b)
+    val m = merged.counters.map(c => c.item -> ((c.cnt, c.err))).toMap
+    assert(m === Map("y" -> ((7L, 0L)), "x" -> ((3L, 0L))))
+    // the union overflowed capacity, so the pruned result IS now evicted:
+    // a later merge must apply this side's min bound
+    assert(merged.evicted)
   }
 
   test("SpaceSavingAgg: guarantees hold on adversarial random merge trees") {
@@ -150,6 +168,28 @@ class SketchesSpec extends SparkSpec {
       val t = truth.getOrElse(c.item, 0L)
       assert(c.cnt >= t, s"underestimate: $c true=$t")
       assert(c.cnt - c.err <= t, s"error bound broken: $c true=$t")
+    }
+  }
+
+  test("spaceSavingTopK: exact with distinct items == capacity, any partitioning") {
+    import spark.implicits._
+    // every group sees exactly 12 distinct items and capacity is 12: the
+    // summary must remain the exact count map (no eviction ever happens)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 12; _ <- 0 to t)
+      yield (g, s"t$t")
+    val df = rows.toDF("source", "item")
+    for (parts <- Seq(1, 5)) {
+      val got = Sketches.spaceSavingTopK(df.repartition(parts), Seq("source"),
+          org.apache.spark.sql.functions.col("item"),
+          org.apache.spark.sql.functions.lit(1L), capacity = 12, k = 12)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[String]("item"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("err")))
+      assert(got.length === 24)
+      got.foreach { case (_, i, cnt, err) =>
+        assert(cnt === i.drop(1).toLong + 1, s"item $i")
+        assert(err === 0L, s"item $i must stay exact at vocabulary == capacity")
+      }
     }
   }
 
