@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions.udaf
+
+import graft.operators.{Dedup, Retrieval, Sketches, StreamingTopK}
+import graft.sources.Tables
+
+/** The engine's SQL-ONLY surface: one registration call makes the fixture
+  * tables, the operator-backed views, and the sketch aggregates reachable
+  * from `spark.sql(...)` (and therefore from JDBC/Thrift clients and
+  * notebook SQL cells) with zero Scala in the query text.
+  *
+  * Three layers, all installed by [[registerAll]]:
+  *
+  *  1. the fixture tables as `<name>_v` temp views (read through
+  *     [[Tables]], so the ts normalization and GraftExtensions' scalar
+  *     kernels — doc_fingerprint, minhash_signature, word_shingles, … —
+  *     come along);
+  *  2. SQL-callable sketch AGGREGATES ([[registerSpaceSaving]]): the typed
+  *     SpaceSaving summary as a named UDAF, so `GROUP BY` queries can build
+  *     mergeable heavy-hitter summaries the way they call `sum`;
+  *  3. operator-backed VIEWS for whole-operator entry points whose logic a
+  *     SQL author should not re-derive (BM25 top-k, exact-dedup groups) —
+  *     lazy DataFrames behind names, planned and optimized only when a SQL
+  *     query actually selects from them.
+  *
+  * q150-q152 pin this surface against the SAME DuckDB oracles as their
+  * Scala-authored counterparts (q34/q147/q133).
+  */
+object GraftSql {
+
+  /** Fixture parquet tables as `<name>_v` temp views. */
+  def registerTables(
+      spark: SparkSession,
+      dir: String,
+      tables: Seq[String] = Seq("documents", "events", "embeddings")): Unit =
+    tables.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
+
+  /** Register the SpaceSaving summary as a SQL-callable aggregate under
+    * `name`: `SELECT g, <name>('', item, w) FROM ... GROUP BY g` returns the
+    * array<struct<item,cnt,err>> summary (exact while no eviction occurs —
+    * see [[Sketches.SpaceSavingAgg]]). Capacity is bound at registration
+    * (it parameterizes the aggregator instance, like the Scala API). */
+  def registerSpaceSaving(spark: SparkSession, name: String, capacity: Int): Unit =
+    spark.udf.register(name,
+      udaf(new Sketches.SpaceSavingAgg(capacity),
+        Encoders.product[StreamingTopK.ItemIn]))
+
+  /** Operator-backed temp views over the fixture corpus. */
+  def registerOperatorViews(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.exact(docs).createOrReplaceTempView("graft_dedup_groups")
+    Retrieval.bm25TopK(docs, nQueryTerms = 10, topK = 10)
+      .createOrReplaceTempView("graft_bm25_topk")
+  }
+
+  /** Everything a SQL-only client needs, in one call. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    registerTables(spark, dir)
+    registerSpaceSaving(spark, "ss_summary_64", 64)
+    registerOperatorViews(spark, dir)
+  }
+}

@@ -505,5 +505,88 @@ object Analytics extends QueryModule {
           ).as("violations"),
           (count(lit(1)) > 0L).as("encoded_words"))
       },
-      Some("SELECT CAST(0 AS BIGINT) AS violations, true AS encoded_words")))
+      Some("SELECT CAST(0 AS BIGINT) AS violations, true AS encoded_words")),
+
+    // --------------------------------------------------------------- q150
+    // SQL-only exact dedup: the q34 pipeline authored entirely in SQL —
+    // the registered doc_fingerprint kernel (GraftExtensions) over the
+    // documents_v view (GraftSql.registerAll is the one non-SQL call a
+    // SQL-only client makes). Same oracle as q34.
+    QueryDef("q150_sql_exact_dedup",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""SELECT doc_fingerprint(text) AS content_hash,
+            min(doc_id) AS canonical_id, count(*) AS dup_count
+          FROM documents_v GROUP BY content_hash ORDER BY content_hash""")
+      },
+      Some("""SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS content_hash,
+        min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY content_hash""")),
+
+    // --------------------------------------------------------------- q151
+    // SQL-only heavy hitters: the SpaceSaving summary as a registered SQL
+    // AGGREGATE (GraftSql.registerSpaceSaving) — built per group like any
+    // sum(), exploded and ranked in SQL. Capacity 64 >= the per-source
+    // vocabulary on the fixture, so the exact mode holds and the oracle is
+    // q147's plain groupBy top-5.
+    QueryDef("q151_sql_heavy_hitters",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""WITH tok AS (SELECT source, tok FROM documents_v
+              LATERAL VIEW explode(split(trim(text), '\\s+')) t AS tok
+              WHERE length(tok) > 0),
+            summ AS (SELECT source, ss_summary_64('', tok, CAST(1 AS BIGINT)) AS summary
+              FROM tok GROUP BY source)
+          SELECT source, CAST(pos + 1 AS BIGINT) AS rank,
+            c.item AS item, c.cnt AS cnt, c.err AS err
+          FROM summ LATERAL VIEW posexplode(slice(summary, 1, 5)) p AS pos, c
+          ORDER BY source, rank""")
+      },
+      Some("""WITH tok AS (SELECT source,
+            unnest(string_split_regex(trim(text), '\s+')) AS item
+          FROM documents),
+          cnt AS (SELECT source, item, count(*) AS cnt FROM tok
+            WHERE len(item) > 0 GROUP BY 1, 2)
+        SELECT source, CAST(rn AS BIGINT) AS rank, item,
+          CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, item) AS rn FROM cnt)
+        WHERE rn <= 5 ORDER BY source, rank""")),
+
+    // --------------------------------------------------------------- q152
+    // SQL-only BM25: the whole-operator entry point as a named view
+    // (graft_bm25_topk) — a SQL author selects ranked search results
+    // without re-deriving the scoring pipeline; the view is a lazy
+    // DataFrame, so Catalyst plans it with the selecting query. Same
+    // oracle as q133.
+    QueryDef("q152_sql_bm25_view",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""SELECT term, rank, doc_id, tf, score FROM graft_bm25_topk
+          ORDER BY term, rank""")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE len(term) > 0 GROUP BY 1, 2),
+          dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+          dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+            (SELECT sum(dl) FROM dl) AS sum_dl),
+          qt AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 10),
+          scored AS (SELECT tf.term, tf.doc_id, tf.tf,
+            round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                  (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+              6) AS score
+            FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN consts)
+        SELECT term, CAST(rn AS BIGINT) AS rank, doc_id,
+          CAST(tf AS BIGINT) AS tf, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS rn FROM scored)
+        WHERE rn <= 10 ORDER BY term, rank""")))
 }
