@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scale-ramp harness for the heavy dedup family: measures each operator on
+  * deterministically synthesized 1x/3x/10x versions of the documents
+  * fixture and prints wall time plus the fitted growth exponent
+  * (log(t_10/t_1) / log 10 — 1.0 is linear, 2.0 quadratic). The 100 TB
+  * design claims are plan-audited elsewhere (PLANS.md); this is the
+  * measured leg: bucketed candidate generation should ramp ~linearly,
+  * and anything super-linear names its cause.
+  *
+  * Corpus synthesis: copy i shifts doc_id by i*1e9 and prefixes every 5th
+  * token with a copy marker — every 3-shingle window covering a marked
+  * token changes, so Jaccard(copy, original) lands ~0.25, far below the
+  * near-dup thresholds. The scaled corpus therefore has the SAME dup/near-
+  * dup structure per copy (each copy keeps its internal near-dup pairs)
+  * and no cross-copy pairs — pair count grows linearly with the factor,
+  * which is what "10x the corpus at equal dup rate" means. Deterministic:
+  * no RNG anywhere.
+  *
+  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.ScaleRamp [reps]"`
+  */
+object ScaleRamp {
+
+  def scaledDocs(spark: SparkSession, dir: String, factor: Int): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+        .withColumn("text", array_join(
+          transform(split(trim(col("text")), "\\s+"),
+            (w, ix) => when(ix % 5 === 0, concat(lit(s"cp${i}x"), w)).otherwise(w)),
+          " "))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-ramp")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "exact_dedup" -> (d => Dedup.exact(d)),
+      "minhash_neardups" -> (d => Dedup.minhashNearDups(d, threshold = 0.8)),
+      "neardup_clusters" -> (d =>
+        Dedup.nearDupClusters(Dedup.minhashNearDups(d, threshold = 0.5))),
+      "containment_pairs" -> (d => Dedup.containmentPairs(d)))
+
+    val factors = Seq(1, 3, 10)
+    val mins = scala.collection.mutable.Map[(String, Int), Double]()
+    factors.foreach { f =>
+      // materialize the scaled corpus once so synthesis cost is not billed
+      // to the operators (on a cluster this is the table on disk)
+      val corpus = scaledDocs(spark, sfDir, f).localCheckpoint(true)
+      val n = corpus.count()
+      ops.foreach { case (name, op) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          op(corpus).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        mins((name, f)) = times.min
+        println(f"RAMP op=$name%-18s factor=$f%-2d rows=$n%-7d min_sec=${times.min}%.2f")
+      }
+      corpus.unpersist(blocking = true)
+    }
+    ops.foreach { case (name, _) =>
+      val (t1, t3, t10) = (mins((name, 1)), mins((name, 3)), mins((name, 10)))
+      val exp = math.log(t10 / t1) / math.log(10.0)
+      println(f"RAMP_FIT op=$name%-18s t1=$t1%.2f t3=$t3%.2f t10=$t10%.2f exponent=$exp%.2f")
+    }
+    spark.stop()
+  }
+}
