@@ -38,7 +38,9 @@ class CatalogSpec extends SparkSpec {
     "q126_filtered_knn", "q127_hybrid_rrf",
     // q133 cross-joins the ONE-ROW (n_docs, avgdl) corpus-constants
     // aggregate onto the posting scan (shape (a))
-    "q133_bm25_topk")
+    "q133_bm25_topk",
+    // q152 selects from the graft_bm25_topk view = q133's plan verbatim
+    "q152_sql_bm25_view")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
