@@ -97,7 +97,13 @@ object PlanDump {
         "ObjectHashAggregate with a PARTIAL phase below the exchange — " +
         "capacity-bounded summaries, not raw (group, item) counts, cross " +
         "the wire, so shuffle bytes are groups x capacity regardless of " +
-        "item cardinality."))
+        "item cardinality."),
+    "q149_ivfpq_knn" ->
+      ("IVF-PQ: the index side is (cell, id, 8 code bytes) — vectors are " +
+        "DROPPED before the probe join, so the one cell-keyed Exchange " +
+        "shuffles byte codes, not fp32 arrays (the 100 TB memory story). " +
+        "ADC scoring is a codegen'd per-row HOF over the codes; the exact " +
+        "re-rank joins the small ADC shortlist back to the corpus by id."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
