@@ -196,4 +196,86 @@ object Multimodal {
       floor(col("height") * scale).cast("int").as("height"),
       round(scale, 6).as("scale"))
   }
+
+  /** Per-channel pixel statistics row. Means are EXACT integers for the
+    * synthetic solid-fill fixtures, which is what makes this feature
+    * extractor oracle-checkable; undecodable assets emit -1 sentinels. */
+  final case class PixelFeatures(
+      asset_id: Long, media_type: String, decoded: Boolean,
+      width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Pixel-level feature extraction (the "embed this image" precursor):
+    * decode, then per-channel means over the full raster — the same
+    * mapPartitions decode loop as [[decode]], one pass over the pixels. */
+  def pixelFeatures(assets: DataFrame): Dataset[PixelFeatures] = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { a =>
+        readImage(a.content) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            PixelFeatures(a.asset_id, a.media_type, decoded = true, w, h,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          case None =>
+            PixelFeatures(a.asset_id, a.media_type, decoded = false,
+              -1, -1, -1.0, -1.0, -1.0)
+        }
+      }
+    }(Encoders.product[PixelFeatures])
+  }
+
+  /** REAL pixel resize: decode, resample with Graphics2D (bilinear) to the
+    * [[resizeMeta]] geometry (longest side capped at `maxDim`, aspect
+    * preserved, floor dims), re-encode as PNG. Already-small and
+    * undecodable assets pass through untouched — resize is a best-effort
+    * normalization, not a gate. Verified by decoding the OUTPUT again
+    * (q154): the re-encoded bytes must carry the predicted dimensions. */
+  def resizePixels(assets: DataFrame, maxDim: Int): Dataset[Asset] = {
+    require(maxDim > 0, "maxDim must be positive")
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { a =>
+        readImage(a.content) match {
+          case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+            val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+            val (w, h) = (math.max(1, math.floor(img.getWidth * scale).toInt),
+              math.max(1, math.floor(img.getHeight * scale).toInt))
+            val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            a.copy(content = bos.toByteArray)
+          case _ => a
+        }
+      }
+    }(Encoders.product[Asset])
+  }
+
+  /** One decode attempt returning the raster (shared by the metadata and
+    * pixel paths). */
+  private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
 }

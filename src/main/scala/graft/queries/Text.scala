@@ -1052,6 +1052,67 @@ object Text extends QueryModule {
              ELSE CAST(-1 AS BIGINT) END AS solid_rgb
         FROM documents ORDER BY asset_id""")),
 
+    // --------------------------------------------------------------- q153
+    // Pixel-level feature extraction over REALLY decoded rasters: per-
+    // channel means from the full pixel pass. The synthetic fixtures are
+    // solid PNG fills, so each mean equals the id-derived channel value
+    // EXACTLY (integer-valued doubles; PNG is lossless) — the oracle
+    // predicts every number from arithmetic, so a codec or channel-order
+    // bug cannot pass. Undecodable assets emit -1 sentinels.
+    QueryDef("q153_multimodal_pixel_stats",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.pixelFeatures(
+            Multimodal.withSyntheticImages(Multimodal.assetize(t(s, dir, "documents"))))
+          .toDF()
+          .orderBy($"asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        (doc_id % 3 = 0) AS decoded,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 56 AS INTEGER) ELSE -1 END AS width,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(8 + (doc_id // 56) % 56 AS INTEGER) ELSE -1 END AS height,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 7 + 1) % 256 AS DOUBLE) ELSE -1.0 END AS mean_r,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 13 + 3) % 256 AS DOUBLE) ELSE -1.0 END AS mean_g,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 29 + 5) % 256 AS DOUBLE) ELSE -1.0 END AS mean_b
+        FROM documents ORDER BY asset_id""")),
+
+    // --------------------------------------------------------------- q154
+    // REAL pixel resize round-trip: synthesize PNGs -> Graphics2D bilinear
+    // resample capped at 16 px -> re-encode -> DECODE THE OUTPUT. The
+    // decoded dims must match the floor(w*scale) geometry the oracle
+    // computes (identical IEEE arithmetic both engines), and the solid
+    // fill must survive resampling (bilinear over equal pixels), so the
+    // resample provably ran on real pixels.
+    QueryDef("q154_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val images = Multimodal.withSyntheticImages(
+          Multimodal.assetize(t(s, dir, "documents"))).filter($"media_type" === "image")
+        Multimodal.decode(Multimodal.resizePixels(images, maxDim = 16).toDF())
+          .toDF()
+          .select($"asset_id", $"width", $"height", $"channels",
+            $"codec", $"decoded", $"solid_rgb")
+          .orderBy($"asset_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(8 + doc_id % 56 AS INTEGER) AS w0,
+            CAST(8 + (doc_id // 56) % 56 AS INTEGER) AS h0
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT doc_id AS asset_id,
+          CASE WHEN greatest(w0, h0) > 16
+            THEN greatest(1, CAST(floor(w0 * (16.0 / greatest(w0, h0))) AS INTEGER))
+            ELSE w0 END AS width,
+          CASE WHEN greatest(w0, h0) > 16
+            THEN greatest(1, CAST(floor(h0 * (16.0 / greatest(w0, h0))) AS INTEGER))
+            ELSE h0 END AS height,
+          CAST(3 AS INTEGER) AS channels,
+          'png' AS codec,
+          true AS decoded,
+          ((doc_id * 7 + 1) % 256) * 65536 + ((doc_id * 13 + 3) % 256) * 256
+            + (doc_id * 29 + 5) % 256 AS solid_rgb
+        FROM g ORDER BY asset_id""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

@@ -123,6 +123,39 @@ class MultimodalSpec extends SparkSpec {
       ((123L * 7 + 1) % 256) * 65536 + ((123L * 13 + 3) % 256) * 256 + (123L * 29 + 5) % 256)
   }
 
+  test("pixelFeatures: exact channel means on a crafted non-uniform image") {
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xff0000)
+    val in = Seq(
+      Multimodal.Asset(1L, "image", encode(img, "png")),
+      Multimodal.Asset(2L, "audio", "not an image".getBytes("UTF-8"))).toDF()
+    val f = Multimodal.pixelFeatures(in).collect().map(r => r.asset_id -> r).toMap
+    assert(f(1L).decoded && (f(1L).width, f(1L).height) === (2, 1))
+    assert(f(1L).mean_r === 127.5 && f(1L).mean_g === 0.0 && f(1L).mean_b === 0.0)
+    assert(!f(2L).decoded && f(2L).mean_r === -1.0)
+  }
+
+  test("resizePixels: real resample to capped dims; small and opaque assets pass through") {
+    val big = new BufferedImage(30, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 30) big.setRGB(x, y, 0x224466)
+    val small = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) small.setRGB(x, y, 0x112233)
+    val smallBytes = encode(small, "png")
+    val opaque = "definitely not an image".getBytes("UTF-8")
+    val in = Seq(
+      Multimodal.Asset(1L, "image", encode(big, "png")),
+      Multimodal.Asset(2L, "image", smallBytes),
+      Multimodal.Asset(3L, "video", opaque)).toDF()
+    val out = Multimodal.resizePixels(in, maxDim = 15).collect()
+      .map(a => a.asset_id -> a).toMap
+    val d = Multimodal.decode(Seq(out(1L)).toDF()).collect().head
+    assert((d.width, d.height) === (15, 5)) // floor(30*0.5), floor(10*0.5)
+    assert(d.solid_rgb === 0x224466L, "bilinear over a solid fill stays solid")
+    assert(out(2L).content.toSeq === smallBytes.toSeq, "small image untouched")
+    assert(out(3L).content.toSeq === opaque.toSeq, "opaque blob untouched")
+  }
+
   test("resizeMeta caps the longest dimension, preserves aspect via scale") {
     val decoded = Multimodal.decode(assets).toDF()
     val resized = Multimodal.resizeMeta(decoded, maxDim = 128).collect()
