@@ -278,4 +278,107 @@ object Multimodal {
   private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------- video path
+
+  /** One decoded video frame (or the n_frames=0 sentinel for undecodable
+    * content — flag, don't drop). */
+  final case class DecodedFrame(
+      asset_id: Long, media_type: String, frame_no: Long, n_frames: Int,
+      width: Int, height: Int, codec: String, solid_rgb: Long)
+
+  /** Per-frame fill colour of the synthetic videos — pure integer
+    * arithmetic, like the still-image fixtures. */
+  def syntheticFrameRgb(id: Long, f: Int): Long =
+    ((id * 7 + f * 11 + 1) % 256) * 65536 +
+      ((id * 13 + f * 17 + 3) % 256) * 256 + (id * 29 + f * 23 + 5) % 256
+  def syntheticFrameCount(id: Long): Int = (2 + id % 4).toInt
+
+  /** A real multi-frame animated GIF (the JDK's only multi-frame container;
+    * a stand-in for video with genuine per-frame decode): 2-5 full frames,
+    * id-derived dims, per-frame solid fill. Single-colour frames get their
+    * own exact palette entry, so colours round-trip losslessly. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val (w, h) = (syntheticWidth(id), syntheticHeight(id))
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val nf = syntheticFrameCount(id)
+      while (f < nf) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val rgb = syntheticFrameRgb(id, f).toInt
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Swap real animated-GIF bytes into the video-typed rows. */
+  def withSyntheticVideos(assets: DataFrame): DataFrame = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { a =>
+        if (a.media_type == "video") a.copy(content = syntheticGif(a.asset_id)) else a
+      }
+    }(Encoders.product[Asset]).toDF()
+  }
+
+  /** REAL frame extraction: every frame of a multi-frame container decodes
+    * to its own row (the per-frame fan-out a video pipeline feeds to
+    * downstream per-frame work — [[sampleFrames]] is the byte-slice
+    * approximation of this, kept for opaque codecs). Undecodable content
+    * emits one n_frames=0 sentinel row. */
+  def decodeFrames(assets: DataFrame): Dataset[DecodedFrame] = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val frames =
+          try {
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(a.content))
+            try {
+              val readers = ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Seq.empty
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false, true)
+                  val codec = reader.getFormatName.toLowerCase
+                  val n = reader.getNumImages(true)
+                  (0 until n).map { i =>
+                    val img = reader.read(i)
+                    val first = img.getRGB(0, 0) & 0xffffff
+                    var solid = true
+                    var y = 0
+                    while (solid && y < img.getHeight) {
+                      var x = 0
+                      while (solid && x < img.getWidth) {
+                        solid = (img.getRGB(x, y) & 0xffffff) == first; x += 1
+                      }
+                      y += 1
+                    }
+                    DecodedFrame(a.asset_id, a.media_type, i.toLong, n,
+                      img.getWidth, img.getHeight, codec,
+                      if (solid) first.toLong else -1L)
+                  }
+                } finally reader.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (frames.nonEmpty) frames
+        else Seq(DecodedFrame(a.asset_id, a.media_type, -1L, 0, -1, -1, "none", -1L))
+      }
+    }(Encoders.product[DecodedFrame])
+  }
 }

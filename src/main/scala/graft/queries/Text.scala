@@ -1113,6 +1113,36 @@ object Text extends QueryModule {
             + (doc_id * 29 + 5) % 256 AS solid_rgb
         FROM g ORDER BY asset_id""")),
 
+    // --------------------------------------------------------------- q155
+    // REAL video frame extraction: video-typed assets carry genuine
+    // multi-frame animated GIFs (2-5 solid frames, dims and per-frame fill
+    // colours integer functions of the id); decodeFrames must read every
+    // frame back out — count, dims, codec, and each frame's colour are all
+    // oracle-predicted from doc_id arithmetic, so a broken container
+    // parser or frame indexer cannot pass.
+    QueryDef("q155_multimodal_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val videos = Multimodal.withSyntheticVideos(
+          Multimodal.assetize(t(s, dir, "documents"))).filter($"media_type" === "video")
+        Multimodal.decodeFrames(videos)
+          .toDF()
+          .select($"asset_id", $"frame_no", $"n_frames", $"width", $"height",
+            $"codec", $"solid_rgb")
+          .orderBy($"asset_id", $"frame_no")
+      },
+      Some("""WITH v AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS nf
+            FROM documents WHERE doc_id % 3 = 2),
+          u AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM v)
+        SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_no, nf AS n_frames,
+          CAST(8 + doc_id % 56 AS INTEGER) AS width,
+          CAST(8 + (doc_id // 56) % 56 AS INTEGER) AS height,
+          'gif' AS codec,
+          ((doc_id * 7 + f * 11 + 1) % 256) * 65536
+            + ((doc_id * 13 + f * 17 + 3) % 256) * 256
+            + (doc_id * 29 + f * 23 + 5) % 256 AS solid_rgb
+        FROM u ORDER BY asset_id, frame_no""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

@@ -156,6 +156,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).content.toSeq === opaque.toSeq, "opaque blob untouched")
   }
 
+  test("decodeFrames: every frame of a crafted animated GIF, exact colours; sentinel for opaque") {
+    val gif = Multimodal.syntheticGif(11L) // 5 frames (2 + 11%4)
+    val in = Seq(
+      Multimodal.Asset(11L, "video", gif),
+      Multimodal.Asset(12L, "video", "not a container".getBytes("UTF-8"))).toDF()
+    val rows = Multimodal.decodeFrames(in).collect()
+    val v = rows.filter(_.asset_id == 11L).sortBy(_.frame_no)
+    assert(v.length === 5)
+    v.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.n_frames === 5)
+      assert(fr.frame_no === i.toLong)
+      assert(fr.codec === "gif")
+      assert((fr.width, fr.height) ===
+        (Multimodal.syntheticWidth(11L), Multimodal.syntheticHeight(11L)))
+      assert(fr.solid_rgb === Multimodal.syntheticFrameRgb(11L, i),
+        s"frame $i colour must round-trip the GIF palette exactly")
+    }
+    val sentinel = rows.filter(_.asset_id == 12L)
+    assert(sentinel.length === 1)
+    assert(sentinel.head.n_frames === 0 && sentinel.head.frame_no === -1L)
+    // single-frame stills also flow through the frame API (n_frames = 1)
+    val still = Multimodal.decodeFrames(
+      Seq(Multimodal.Asset(5L, "image", Multimodal.syntheticPng(5L))).toDF()).collect()
+    assert(still.length === 1 && still.head.n_frames === 1)
+    assert(still.head.solid_rgb === Multimodal.syntheticRgb(5L))
+  }
+
   test("resizeMeta caps the longest dimension, preserves aspect via scale") {
     val decoded = Multimodal.decode(assets).toDF()
     val resized = Multimodal.resizeMeta(decoded, maxDim = 128).collect()
