@@ -23,6 +23,21 @@ Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // registry; parallel suites race on both (observed flake: a counter
 // asserted by one suite incremented by another's pipeline).
 Test / parallelExecution := false
+// DurableSinksSpec's chaos case needs task retries (master local[4, 2]),
+// but suite-wide retries would silently mask one-shot flaky task
+// failures in every other test. Fork that one suite into its own JVM
+// with the retry master; everything else stays fail-fast local[4].
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  def group(name: String, ts: Seq[TestDefinition], extra: Seq[String]) =
+    Tests.Group(name, ts, Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(opts ++ extra)))
+  val (chaos, rest) = tests.partition(_.name.endsWith("DurableSinksSpec"))
+  Seq(
+    group("chaos-retry", chaos, Seq("-Dgraft.spec.master=local[4, 2]")),
+    group("main", rest, Seq.empty))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

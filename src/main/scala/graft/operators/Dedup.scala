@@ -454,9 +454,12 @@ object Dedup {
     // Every shingle ranked within its doc under ONE global (df, shingle)
     // order — the probe side filters this to the prefix; the index side
     // keeps it all but carries the rank for the positional filter below.
-    // Materialized eagerly: prefix, the probe join's index side, and both
-    // refinement legs all read these blocks instead of re-running the
-    // window.
+    // The window subtree is evaluated once per consumer (probe + index
+    // side): checkpointing it eagerly was MEASURED slower at fixture scale
+    // (the extra materialization job costs more than the recompute over
+    // the checkpointed `sh` blocks), so the recompute is the accepted
+    // trade; at cluster scale the SSJoin index would be a written temp
+    // table and both consumers would scan it.
     val ranked = sh.join(dfx, "sh").join(sizes, "id")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))

@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  // per-JVM sequence for the default observe name: Spark rejects two
+  // CollectMetrics nodes with the same name in one plan
+  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Join `points` into `intervals` where `equiKeys` match and
     * `tsCol ∈ [startCol, endCol]` (inclusive both ends). Returns all
     * interval columns plus all point columns except its join duplicates.
@@ -38,12 +42,16 @@ object IntervalJoin {
     * Wide-interval policy (r10 advice: never a SILENT loss): intervals
     * spanning ≥ `maxBucketsPerInterval` buckets are corrupt by declaration.
     * `strict = false` (default) drops them but publishes the dropped count
-    * as the observed metric `<metricName>.dropped_wide_intervals` — read it
-    * from `result.queryExecution.observedMetrics` after any action, or from
-    * any Query(Execution)Listener, so a caller with legitimately wide
-    * intervals SEES the loss. `strict = true` fails the job instead, from
-    * inside the plan (distributed `raise_error`, no extra driver job),
-    * naming the offending span.
+    * as an observed metric `<name>.dropped_wide_intervals` — read it from
+    * `result.queryExecution.observedMetrics` after any action (match the
+    * key by the `interval_join` prefix, or pass `metricName` to fix it), or
+    * from any Query(Execution)Listener, so a caller with legitimately wide
+    * intervals SEES the loss. The default name carries a per-JVM sequence
+    * suffix because Spark requires observe names to be UNIQUE within one
+    * query plan — a fixed default would make any composition of two
+    * interval joins fail analysis. `strict = true` fails the job instead,
+    * from inside the plan (distributed `raise_error`, no extra driver
+    * job), naming the offending span.
     */
   def bucketedIntervalJoin(
       intervals: DataFrame,
@@ -55,7 +63,7 @@ object IntervalJoin {
       bucketSeconds: Long = 3600L,
       maxBucketsPerInterval: Long = 100000L,
       strict: Boolean = false,
-      metricName: String = "interval_join"): DataFrame = {
+      metricName: String = ""): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     // Output-name safety: a silent duplicate column poisons every
@@ -84,11 +92,14 @@ object IntervalJoin {
               lit(s"interval spans "), col("_span_buckets"),
               lit(s" buckets >= maxBucketsPerInterval=$maxBucketsPerInterval" +
                 s" (bucketSeconds=$bucketSeconds); widen the cap or fix the data")))))
-      else
+      else {
+        val mName = if (metricName.nonEmpty) metricName
+          else s"interval_join_${observeSeq.incrementAndGet()}"
         spanned
-          .observe(metricName, count_if(col("_span_buckets") >= maxBucketsPerInterval)
+          .observe(mName, count_if(col("_span_buckets") >= maxBucketsPerInterval)
             .as("dropped_wide_intervals"))
           .filter(col("_span_buckets") < maxBucketsPerInterval)
+      }
     val iv = guarded
       .drop("_span_buckets")
       .withColumn("_bucket", explode(sequence(

@@ -432,6 +432,7 @@ object Similarity {
       .as[(Long, Array[Float])]
       .collect() // bounded: sampleSize x d floats
       .map(_._2)
+    require(sample.nonEmpty, "trainIvfPq: corpus is empty — nothing to train on")
     val d = sample(0).length
     require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
     val dsub = d / m
@@ -483,6 +484,8 @@ object Similarity {
     val mdl = if (model != null) model
       else trainIvfPq(corpus, nCentroids, idCol = idCol, vecCol = vecCol,
         corpusSize = corpusSize)
+    require(mdl.coarse.nonEmpty && mdl.codebooks.nonEmpty,
+      "ivfPqKnnJoin: model has no centroids/codebooks (trained on an empty corpus?)")
     val pool = if (rerank > 0) rerank else math.max(4 * k, 32)
     val bc = corpus.sparkSession.sparkContext.broadcast(mdl)
 
@@ -514,12 +517,32 @@ object Similarity {
         }
       }.toDF("cell", "neighbor_id", "codes")
 
-    // probes: (cell, query_id, q.c_cell, flattened m x ksub ADC table)
+    // probes: (cell, query_id, q.c_cell) — the ADC lookup table deliberately
+    // does NOT ride these rows: at nProbe cells it would put nProbe copies
+    // of an m x ksub float table (~8 KB at the defaults) per query on the
+    // cell-keyed shuffle, 32x the query vector it derives from. The table
+    // lives in its own one-row-per-query frame and broadcast-joins onto the
+    // candidates AFTER the cell match, so exactly one copy per query exists.
     val probes = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val md = bc.value
         it.flatMap { case (id, raw) =>
+          val q = normalizeLocal(raw)
+          nearestCells(md.coarse, q, nProbe).map { cell =>
+            var cd = 0.0; var j = 0
+            while (j < q.length) { cd += q(j).toDouble * md.coarse(cell)(j); j += 1 }
+            (cell, id, cd.toFloat)
+          }
+        }
+      }.toDF("cell", "query_id", "cell_dot")
+
+    // one flattened m x ksub ADC table per query (built once per query)
+    val luts = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val md = bc.value
+        it.map { case (id, raw) =>
           val q = normalizeLocal(raw)
           val lut = new Array[Float](md.m * md.ksub)
           var sub = 0
@@ -533,17 +556,14 @@ object Similarity {
             }
             sub += 1
           }
-          nearestCells(md.coarse, q, nProbe).map { cell =>
-            var cd = 0.0; var j = 0
-            while (j < q.length) { cd += q(j).toDouble * md.coarse(cell)(j); j += 1 }
-            (cell, id, cd.toFloat, lut)
-          }
+          (id, lut)
         }
-      }.toDF("cell", "query_id", "cell_dot", "lut")
+      }.toDF("query_id", "lut")
 
     val ksubLit = lit(mdl.ksub)
     val adcScored = codes.join(probes, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(luts), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         (col("cell_dot") + aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(mdl.m - 1)),

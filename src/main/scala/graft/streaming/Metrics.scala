@@ -201,7 +201,9 @@ object Metrics {
         val labels = s"{query=$qName,operator=${so.operatorName}}"
         setGauge(s"spark_state_rows_total$labels", so.numRowsTotal)
         setGauge(s"spark_state_memory_bytes$labels", so.memoryUsedBytes)
-        setGauge(s"spark_state_commit_ms$labels", so.commitTimeMs)
+        // commitTimeMs is Spark's per-batch SUM across the operator's
+        // state-store partitions — commit work, not wall latency
+        setGauge(s"spark_state_commit_sum_ms$labels", so.commitTimeMs)
       }
       // one time-series sample per progress event feeds the dashboard
       // rate()/histogram_quantile() panels (Dashboard.series)
@@ -229,8 +231,9 @@ object Metrics {
       "Streaming state rows per stateful operator (last progress)"),
     ("spark_state_memory_bytes", "gauge",
       "Streaming state memory bytes per stateful operator (last progress)"),
-    ("spark_state_commit_ms", "gauge",
-      "State store commit milliseconds per stateful operator (last progress)"))
+    ("spark_state_commit_sum_ms", "gauge",
+      "State store commit ms per stateful operator, summed across its " +
+        "store partitions for the last batch (work, not wall latency)"))
 
   private val ApiHelp: Seq[(String, String, String)] = Seq(
     // the reference API service's scrape surface (api/main.py:66-80;

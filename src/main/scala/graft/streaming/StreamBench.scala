@@ -37,8 +37,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object StreamBench {
 
   /** Per-stateful-operator state telemetry over the run: final (= last
-    * progress) state rows and memory — the boundedness signal — plus commit
-    * latency percentiles across batches. */
+    * progress) state rows and memory — the boundedness signal — plus
+    * per-batch commit-time percentiles. NOTE the commit figures are
+    * Spark's `StateOperatorProgress.commitTimeMs`, the SUM of commit times
+    * across ALL of the operator's state-store partitions in that batch
+    * (32 partitions x ~400 ms each ≈ 13 s per batch is normal against a
+    * sub-second wall clock) — a per-batch commit-work series, NOT a wall
+    * latency. The JSON keys carry the `_sum_` marker for that reason. */
   final case class StateOpStats(
       operator: String, rowsTotal: Long, memoryBytes: Long,
       commitP50: Long, commitP99: Long)
@@ -52,8 +57,8 @@ object StreamBench {
       durable: Boolean, stateOps: Seq[StateOpStats] = Nil) {
     def stateOpsJson: String = stateOps.map { s =>
       s"""{"operator":"${s.operator}","rows":${s.rowsTotal},""" +
-        s""""memory_bytes":${s.memoryBytes},"commit_ms_p50":${s.commitP50},""" +
-        s""""commit_ms_p99":${s.commitP99}}"""
+        s""""memory_bytes":${s.memoryBytes},"commit_sum_ms_p50":${s.commitP50},""" +
+        s""""commit_sum_ms_p99":${s.commitP99}}"""
     }.mkString("[", ",", "]")
   }
 

@@ -16,11 +16,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    // local[4, 2]: maxFailures=2 so task-level chaos tests (kill a task
-    // mid-delivery on attempt 0) exercise Spark's retry path — plain
-    // local[N] fails the whole job on the first task failure.
+    // Default is fail-fast local[4]; the chaos suite's JVM (see build.sbt
+    // testGrouping) overrides to "local[4, 2]" so its task-kill test
+    // exercises Spark's retry path WITHOUT retry-masking flaky task
+    // failures in every other suite.
     val s = SparkSession.builder()
-      .master("local[4, 2]")
+      .master(sys.props.getOrElse("graft.spec.master", "local[4]"))
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

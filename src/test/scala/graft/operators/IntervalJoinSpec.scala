@@ -102,9 +102,31 @@ class IntervalJoinSpec extends SparkSpec {
     val got = res.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 10L)), "good interval joins; corrupt one dropped")
     // the loss is OBSERVABLE, not silent: the drop count is published as an
-    // observed metric on the completed action (r10 advice)
-    val metric = res.queryExecution.observedMetrics("interval_join")
+    // observed metric on the completed action (r10 advice); the default
+    // name carries a uniqueness suffix, so match by prefix
+    val metric = res.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("interval_join") => v }.get
     assert(metric.getAs[Long]("dropped_wide_intervals") === 1L)
+    // and a FIXED name is available when the caller wants to scrape it
+    val named = IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+        Seq("iv_id" -> "key"), bucketSeconds = 3600L, maxBucketsPerInterval = 1000L,
+        metricName = "my_join")
+    named.collect()
+    assert(named.queryExecution.observedMetrics("my_join")
+      .getAs[Long]("dropped_wide_intervals") === 1L)
+  }
+
+  test("two interval joins compose in one plan (default observe names are unique)") {
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("iv_id", "start_ts", "end_ts")
+    val pt = Seq((10L, 1L, ts("2024-01-01 01:00:00"))).toDF("p_id", "key", "ts")
+    val a = IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+      Seq("iv_id" -> "key")).select($"iv_id", $"p_id")
+    val b = IntervalJoin.bucketedIntervalJoin(iv, pt, "start_ts", "end_ts", "ts",
+      Seq("iv_id" -> "key")).select($"iv_id", $"p_id")
+    // a fixed default name made this union throw AnalysisException
+    // (duplicate observed-metric name) before the sequence suffix
+    assert(a.union(b).count() === 2L)
   }
 
   test("strict mode fails on a wide interval instead of dropping it") {

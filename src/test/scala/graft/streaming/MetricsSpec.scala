@@ -77,9 +77,9 @@ class MetricsSpec extends AnyFunSuite {
         |# HELP spark_state_memory_bytes Streaming state memory bytes per stateful operator (last progress)
         |# TYPE spark_state_memory_bytes gauge
         |spark_state_memory_bytes 0
-        |# HELP spark_state_commit_ms State store commit milliseconds per stateful operator (last progress)
-        |# TYPE spark_state_commit_ms gauge
-        |spark_state_commit_ms 0
+        |# HELP spark_state_commit_sum_ms State store commit ms per stateful operator, summed across its store partitions for the last batch (work, not wall latency)
+        |# TYPE spark_state_commit_sum_ms gauge
+        |spark_state_commit_sum_ms 0
         |""".stripMargin
     assert(Metrics.exposition === expected)
     Metrics.reset()
@@ -95,7 +95,7 @@ class MetricsSpec extends AnyFunSuite {
     Metrics.setGauge(
       "spark_state_memory_bytes{query=live,operator=transformWithStateExec}", 204800)
     Metrics.setGauge(
-      "spark_state_commit_ms{query=live,operator=transformWithStateExec}", 12)
+      "spark_state_commit_sum_ms{query=live,operator=transformWithStateExec}", 12)
     val exp = Metrics.exposition
     assert(exp.contains(
       """spark_state_rows_total{query="live",operator="transformWithStateExec"} 16"""))
@@ -104,7 +104,7 @@ class MetricsSpec extends AnyFunSuite {
     assert(exp.contains(
       """spark_state_memory_bytes{query="live",operator="transformWithStateExec"} 204800"""))
     assert(exp.contains(
-      """spark_state_commit_ms{query="live",operator="transformWithStateExec"} 12"""))
+      """spark_state_commit_sum_ms{query="live",operator="transformWithStateExec"} 12"""))
     // labelled entries replace the unlabelled zero sample for that family
     assert(!exp.contains("\nspark_state_rows_total 0\n"))
     Metrics.reset()
