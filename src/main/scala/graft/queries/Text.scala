@@ -1072,9 +1072,9 @@ object Text extends QueryModule {
         (doc_id % 3 = 0) AS decoded,
         CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 56 AS INTEGER) ELSE -1 END AS width,
         CASE WHEN doc_id % 3 = 0 THEN CAST(8 + (doc_id // 56) % 56 AS INTEGER) ELSE -1 END AS height,
-        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 7 + 1) % 256 AS DOUBLE) ELSE -1.0 END AS mean_r,
-        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 13 + 3) % 256 AS DOUBLE) ELSE -1.0 END AS mean_g,
-        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 29 + 5) % 256 AS DOUBLE) ELSE -1.0 END AS mean_b
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 7 + 1) % 256 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS mean_r,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 13 + 3) % 256 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS mean_g,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 29 + 5) % 256 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS mean_b
         FROM documents ORDER BY asset_id""")),
 
     // --------------------------------------------------------------- q154
