@@ -279,6 +279,95 @@ object Multimodal {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------------------- audio path
+
+  /** Decoded-audio metadata + sample-exact statistics (peak and sum of
+    * absolute amplitudes are INTEGER aggregates over the PCM samples, so
+    * the synthetic fixtures verify the decode sample-for-sample).
+    * Undecodable content emits the n_samples=0 sentinel. */
+  final case class DecodedAudio(
+      asset_id: Long, media_type: String, decoded: Boolean,
+      sample_rate: Int, channels: Int, bits: Int, n_samples: Long,
+      duration_ms: Long, peak_abs: Long, sum_abs: Long)
+
+  val AudioSampleRate = 8000
+
+  /** Deterministic synthetic PCM: sample k of asset `id` — integer
+    * arithmetic any SQL engine can replicate. */
+  def syntheticSample(id: Long, k: Long): Int =
+    (((id * 31 + k * 7) % 2048) - 1024).toInt
+  def syntheticSampleCount(id: Long): Int = (400 + (id % 5) * 100).toInt
+
+  /** A real 16-bit mono PCM WAV (JDK `javax.sound.sampled` encoder) whose
+    * every sample is an integer function of (id, k). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = syntheticSampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = syntheticSample(id, k)
+      pcm(2 * k) = (s & 0xff).toByte          // little-endian int16
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(AudioSampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Swap real WAV bytes into the audio-typed rows. */
+  def withSyntheticAudio(assets: DataFrame): DataFrame = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions(_.map { a =>
+      if (a.media_type == "audio") a.copy(content = syntheticWav(a.asset_id)) else a
+    })(Encoders.product[Asset]).toDF()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the container and
+    * format (sample rate, channels, bit depth), then the PCM payload reads
+    * sample-by-sample into integer amplitude statistics — peak |s| and
+    * Σ|s|, both exact integers, so a synthetic fixture pins the decode to
+    * the sample level. Unreadable content emits the flagged sentinel. */
+  def decodeAudio(assets: DataFrame): Dataset[DecodedAudio] = {
+    import javax.sound.sampled.AudioSystem
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions(_.map { a =>
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.content))
+        try {
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val n = bytes.length / (bits / 8) / ch
+          var (peak, sum) = (0L, 0L)
+          if (bits == 16 && !fmt.isBigEndian) {
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toLong
+              val abs = math.abs(s)
+              if (abs > peak) peak = abs
+              sum += abs
+              i += 2
+            }
+          }
+          DecodedAudio(a.asset_id, a.media_type, decoded = true,
+            fmt.getSampleRate.toInt, ch, bits, n.toLong,
+            n.toLong * 1000L / fmt.getSampleRate.toInt, peak, sum)
+        } finally ais.close()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          DecodedAudio(a.asset_id, a.media_type, decoded = false,
+            0, 0, 0, 0L, 0L, -1L, -1L)
+      }
+    })(Encoders.product[DecodedAudio])
+  }
+
   // ------------------------------------------------------------- video path
 
   /** One decoded video frame (or the n_frames=0 sentinel for undecodable

@@ -1143,6 +1143,39 @@ object Text extends QueryModule {
             + (doc_id * 29 + f * 23 + 5) % 256 AS solid_rgb
         FROM u ORDER BY asset_id, frame_no""")),
 
+    // --------------------------------------------------------------- q156
+    // REAL audio decode: audio-typed assets carry genuine 16-bit mono PCM
+    // WAVs (javax.sound.sampled encoder) whose every sample is an integer
+    // function of (id, k); decodeAudio parses the container format and
+    // reads the PCM back sample-by-sample into exact integer statistics —
+    // peak |s| and sum |s| — that the oracle recomputes from the same
+    // arithmetic. A decoder that mis-parses the header, byte order, or a
+    // single sample cannot match.
+    QueryDef("q156_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val audio = Multimodal.withSyntheticAudio(
+          Multimodal.assetize(t(s, dir, "documents"))).filter($"media_type" === "audio")
+        Multimodal.decodeAudio(audio)
+          .toDF()
+          .orderBy($"asset_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, CAST(400 + (doc_id % 5) * 100 AS BIGINT) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+          s AS (SELECT doc_id, n,
+            list_transform(range(0, n),
+              k -> abs((doc_id * 31 + k * 7) % 2048 - 1024)) AS sa
+          FROM a)
+        SELECT doc_id AS asset_id, 'audio' AS media_type, true AS decoded,
+          CAST(8000 AS INTEGER) AS sample_rate,
+          CAST(1 AS INTEGER) AS channels,
+          CAST(16 AS INTEGER) AS bits,
+          n AS n_samples,
+          CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+          CAST(list_aggregate(sa, 'max') AS BIGINT) AS peak_abs,
+          CAST(list_aggregate(sa, 'sum') AS BIGINT) AS sum_abs
+        FROM s ORDER BY asset_id""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

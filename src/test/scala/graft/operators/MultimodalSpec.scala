@@ -183,6 +183,28 @@ class MultimodalSpec extends SparkSpec {
     assert(still.head.solid_rgb === Multimodal.syntheticRgb(5L))
   }
 
+  test("decodeAudio: WAV round-trip is sample-exact; corrupt bytes get a sentinel") {
+    val id = 7L
+    val wav = Multimodal.syntheticWav(id)
+    // WAV magic: RIFF....WAVE
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val in = Seq(
+      Multimodal.Asset(id, "audio", wav),
+      Multimodal.Asset(8L, "audio", "white noise this is not".getBytes("UTF-8"))).toDF()
+    val d = Multimodal.decodeAudio(in).collect().map(r => r.asset_id -> r).toMap
+    val n = Multimodal.syntheticSampleCount(id)
+    val expectSamples = (0L until n.toLong).map(k => Multimodal.syntheticSample(id, k))
+    assert(d(id).decoded)
+    assert(d(id).sample_rate === Multimodal.AudioSampleRate)
+    assert((d(id).channels, d(id).bits) === (1, 16))
+    assert(d(id).n_samples === n.toLong)
+    assert(d(id).duration_ms === n.toLong * 1000 / Multimodal.AudioSampleRate)
+    assert(d(id).peak_abs === expectSamples.map(s => math.abs(s.toLong)).max)
+    assert(d(id).sum_abs === expectSamples.map(s => math.abs(s.toLong)).sum)
+    assert(!d(8L).decoded && d(8L).peak_abs === -1L && d(8L).n_samples === 0L)
+  }
+
   test("resizeMeta caps the longest dimension, preserves aspect via scale") {
     val decoded = Multimodal.decode(assets).toDF()
     val resized = Multimodal.resizeMeta(decoded, maxDim = 128).collect()
