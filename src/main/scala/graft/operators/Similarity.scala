@@ -480,17 +480,27 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       corpusSize: Long = -1): DataFrame = {
-    import corpus.sparkSession.implicits._
     val mdl = if (model != null) model
       else trainIvfPq(corpus, nCentroids, idCol = idCol, vecCol = vecCol,
         corpusSize = corpusSize)
     require(mdl.coarse.nonEmpty && mdl.codebooks.nonEmpty,
       "ivfPqKnnJoin: model has no centroids/codebooks (trained on an empty corpus?)")
-    val pool = if (rerank > 0) rerank else math.max(4 * k, 32)
-    val bc = corpus.sparkSession.sparkContext.broadcast(mdl)
+    ivfPqSearch(encodeIvfPq(corpus, mdl, idCol, vecCol), corpus, queries, k,
+      mdl, nProbe, rerank, idCol, vecCol)
+  }
 
-    // index: (cell, id, m residual-codebook bytes) — no vectors
-    val codes = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+  /** Encode a corpus into the PQ index frame: (cell, neighbor_id, m
+    * residual-codebook bytes) — NO vectors. This is the table a production
+    * deployment builds ONCE and persists ([[saveIvfPqIndex]]); every
+    * search scans it instead of the fp32 corpus. */
+  def encodeIvfPq(
+      corpus: DataFrame,
+      mdl: PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bc = corpus.sparkSession.sparkContext.broadcast(mdl)
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val md = bc.value
@@ -516,6 +526,25 @@ object Similarity {
           (cell, id, cs)
         }
       }.toDF("cell", "neighbor_id", "codes")
+  }
+
+  /** Search a (possibly persisted) PQ index: ADC shortlist over `codes`,
+    * exact re-rank against `corpus` (the fp32 source of truth, fetched by
+    * id — at 100 TB this is the point: only the shortlist's vectors are
+    * ever read). */
+  def ivfPqSearch(
+      codes: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      mdl: PqModel,
+      nProbe: Int = 8,
+      rerank: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val pool = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val bc = corpus.sparkSession.sparkContext.broadcast(mdl)
 
     // probes: (cell, query_id, q.c_cell) — the ADC lookup table deliberately
     // does NOT ride these rows: at nProbe cells it would put nProbe copies
@@ -591,6 +620,44 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist a trained PQ index — model (coarse centroids + codebooks) and
+    * the encoded corpus — as plain parquet under `path`. Train once, search
+    * many: the serving session calls [[loadIvfPqIndex]] and never touches
+    * the trainer or re-encodes the corpus. */
+  def saveIvfPqIndex(mdl: PqModel, codes: DataFrame, path: String): Unit = {
+    import codes.sparkSession.implicits._
+    val coarseRows = mdl.coarse.zipWithIndex.map { case (v, i) => ("coarse", i, -1, v) }
+    val cbRows = for {
+      (cb, sub) <- mdl.codebooks.zipWithIndex
+      (v, code) <- cb.zipWithIndex
+    } yield ("codebook", sub, code, v)
+    (coarseRows ++ cbRows).toSeq.toDF("part", "i", "j", "vec")
+      .repartition(1) // model is tiny (<= C*d + m*ksub*dsub floats)
+      .write.mode("overwrite").parquet(s"$path/model")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a PQ index persisted by [[saveIvfPqIndex]]: the (model, codes)
+    * pair [[ivfPqSearch]] serves from. Model floats round-trip exactly
+    * (parquet float32). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (PqModel, DataFrame) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/model")
+      .select(col("part"), col("i"), col("j"), col("vec").cast("array<float>"))
+      .as[(String, Int, Int, Array[Float])]
+      .collect()
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
+    val cbRows = rows.filter(_._1 == "codebook")
+    require(coarse.nonEmpty && cbRows.nonEmpty, s"no PQ model under $path/model")
+    val m = cbRows.map(_._2).max + 1
+    val codebooks = Array.tabulate(m) { sub =>
+      cbRows.filter(_._2 == sub).sortBy(_._3).map(_._4)
+    }
+    val dsub = codebooks(0)(0).length
+    (PqModel(coarse, codebooks, m, dsub), spark.read.parquet(s"$path/codes"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by

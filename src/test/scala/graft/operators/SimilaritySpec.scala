@@ -272,6 +272,29 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.5, s"ADC@${2 * k} shortlist lost too much: $overlap")
   }
 
+  test("IVF-PQ index persists: save -> load -> search equals the direct join") {
+    val k = 5
+    val queries = emb.filter($"vec_id" < 10)
+    val mdl = Similarity.trainIvfPq(emb, m = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    Similarity.saveIvfPqIndex(mdl, Similarity.encodeIvfPq(emb, mdl), path)
+    val (loaded, codes) = Similarity.loadIvfPqIndex(spark, path)
+    // model round-trips exactly (parquet float32)
+    assert(loaded.m === mdl.m && loaded.dsub === mdl.dsub)
+    assert(loaded.coarse.length === mdl.coarse.length)
+    assert(loaded.coarse.flatten.toSeq === mdl.coarse.flatten.toSeq)
+    assert(loaded.codebooks.flatten.flatten.toSeq === mdl.codebooks.flatten.flatten.toSeq)
+    // serving from the persisted index == building the index inline
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"))).toSet
+    val served = pairs(Similarity.ivfPqSearch(codes, emb, queries, k, loaded,
+      nProbe = 3, rerank = 2 * k))
+    val direct = pairs(Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl,
+      nProbe = 3, rerank = 2 * k))
+    assert(served === direct)
+  }
+
   test("kmeansLocal: deterministic, recovers crafted well-separated clusters") {
     val pts = Array(
       Array(0f, 0f), Array(0.1f, 0f), Array(0f, 0.1f),
