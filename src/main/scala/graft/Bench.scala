@@ -43,6 +43,23 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Environment context stamped into every artifact: the per-job
+    // scheduling floor (min/p50 of a trivial two-stage job — see
+    // PROFILING.md round 11 and tools/JobFloor). Loop-family numbers are
+    // only comparable across rounds at similar floors; a p50 far above
+    // ~200 ms marks the run as contention-inflated.
+    val (floorMinMs, floorP50Ms) = {
+      val times = (1 to 7).map { _ =>
+        val t0 = System.nanoTime()
+        try spark.range(0, 1000000, 1, cpus.toInt).repartition(cpus.toInt)
+          .selectExpr("sum(id)").collect()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      (times.head.round, times(times.size / 2).round)
+    }
+    val floorJson = s""","job_floor_ms_min":$floorMinMs,"job_floor_ms_p50":$floorP50Ms"""
+
     // Optional comma-separated name filter for iterating on one query
     // locally; the driver never sets it, so official runs time everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -228,7 +245,7 @@ object Bench {
     //    count, stream/ann telemetry, and a *headline* subset of per-query
     //    medians, staying well under 1.5 KB at any catalog size.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""mins":$minsJson,"reps":$repsJson$annJson$streamJson$streamStateJson$filtered,"sf":"$sfDir"}"""
+      s""""mins":$minsJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$filtered,"sf":"$sfDir"}"""
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
       "q44_lsh_knn", "q53_ivf_knn", "q72_full_pipeline", "q87_cms_heavy_hitters",
@@ -238,7 +255,7 @@ object Bench {
     val metricLine =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","total_min":$totalMin%.2f,""" +
       s""""queries_total":${results.size},"queries_errored":$errored,""" +
-      s""""queries":$headQs$annJson$streamJson$filtered,"sf":"$sfDir"}"""
+      s""""queries":$headQs$annJson$streamJson$floorJson$filtered,"sf":"$sfDir"}"""
 
     // The round-6 artifact was lost to a shutdown race: the metric line was
     // printed BEFORE spark.stop(), and the StateStore-maintenance threads the

@@ -272,6 +272,30 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.5, s"ADC@${2 * k} shortlist lost too much: $overlap")
   }
 
+  test("ivfPqKnnJoin property: full pool == exact-within-probe-set on random corpora") {
+    // the fixture test pins one corpus; this pins the INVARIANT — for any
+    // corpus, an ADC pool covering every candidate cannot change what the
+    // exact re-rank returns vs exact scoring over the same probed cells
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 2) {
+      val dim = 16
+      val vecs = (0 until 150).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val mdl = Similarity.trainIvfPq(df, nCentroids = 6, m = 4, ksub = 16,
+        pqIterations = 4)
+      val q = df.filter($"vec_id" < 8)
+      def pairs(r: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        r.collect().map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"),
+          x.getAs[Double]("sim"))).toSet
+      val pq = pairs(Similarity.ivfPqKnnJoin(df, q, k = 4, model = mdl,
+        nProbe = 2, rerank = 1000000))
+      val exact = pairs(Similarity.ivfKnnJoin(df, q, k = 4,
+        centroids = mdl.coarse, nProbe = 2))
+      assert(pq === exact, s"trial $trial")
+    }
+  }
+
   test("IVF-PQ index persists: save -> load -> search equals the direct join") {
     val k = 5
     val queries = emb.filter($"vec_id" < 10)
