@@ -347,6 +347,70 @@ object Sketch extends QueryModule {
                 ORDER BY cnt DESC, item) AS rn FROM cnt)
         WHERE rn <= 5 ORDER BY source, rank""")),
 
+    // --------------------------------------------------------------- q157
+    // Incremental sketch rollup with PERSISTENCE — the production seam the
+    // mergeable-sketch family exists for (reference spark_streaming.py
+    // keeps manifests, not sketches; at 100 TB the nightly shard publishes
+    // its ≤4096-row register frame once and every later question is
+    // arithmetic on tiny frames). Day-1 (even doc_id) per-source HLL
+    // registers are WRITTEN to parquet; day-2 (odd doc_id) registers merge
+    // against the LOADED frame — day 1 is never re-scanned — and the
+    // rolled-up estimate must land on the same 6-dp grid point as the
+    // single-pass whole-corpus estimate (max-merge associativity over
+    // integer registers, exact through the parquet round-trip). The oracle
+    // computes the single-pass estimate once and asserts rollup == full.
+    // The same seam serves the CMS/histogram/SpaceSaving frames (sum /
+    // sum / counter merges respectively).
+    QueryDef("q157_sketch_rollup_persist",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            explode(TextFunctions.tokens($"text")).as("token"))
+          .filter(length($"token") > 0)
+        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_q157_registers").getAbsolutePath
+        Sketches.hllRegisters(toks.filter($"doc_id" % 2 === 0),
+            Seq("source"), $"token", B)
+          .write.mode("overwrite").parquet(store)
+        val merged = s.read.parquet(store)
+          .unionByName(Sketches.hllRegisters(toks.filter($"doc_id" % 2 === 1),
+            Seq("source"), $"token", B))
+          .groupBy($"source", $"bucket").agg(max($"register").as("register"))
+        val rollup = Sketches.hllEstimate(merged, Seq("source"), B)
+          .select($"source", round($"hll_estimate", 6).as("est_rollup"))
+        val full = Sketches.hllEstimate(
+            Sketches.hllRegisters(toks, Seq("source"), $"token", B),
+            Seq("source"), B)
+          .select($"source", round($"hll_estimate", 6).as("est_full"))
+        full.join(rollup, "source")
+          .select($"source", $"est_full", $"est_rollup",
+            ($"est_full" === $"est_rollup").as("rollup_exact"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH tk AS (SELECT source, token FROM ($tokSql)
+            WHERE len(token) > 0),
+          h AS (SELECT source, ${h60Sql("token")} AS h FROM tk),
+          hh AS (SELECT source, h & ${M - 1} AS bucket,
+              CASE WHEN (h >> $B) = 0 THEN ${SuffixBits + 1}
+                ELSE ${SuffixBits + 1} - length(printf('%b', h >> $B)) END AS rho
+            FROM h),
+          reg AS (SELECT source, bucket, max(rho) AS register
+            FROM hh GROUP BY 1, 2),
+          agg AS (SELECT source,
+              sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              count(*) AS c FROM reg GROUP BY 1),
+          est AS (SELECT source,
+              CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
+          fin AS (SELECT source,
+              CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
+                THEN CAST($M AS DOUBLE) *
+                  ln(CAST($M AS DOUBLE) / ($M - c))
+                ELSE raw END AS e FROM est)
+        SELECT source, round(e, 6) AS est_full, round(e, 6) AS est_rollup,
+          TRUE AS rollup_exact
+        FROM fin ORDER BY source""")),
+
     // --------------------------------------------------------------- q148
     // WEIGHTED heavy hitters: top-5 spenders per day by micro-cent total
     // (integer weights — exact, order-free). Same mergeable summary as
