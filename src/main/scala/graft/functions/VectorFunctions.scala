@@ -73,8 +73,20 @@ object VectorFunctions {
     * family — approximates cosine similarity neighborhoods). Bucket count is
     * 2^nPlanes: callers must scale nPlanes with corpus size (see
     * Similarity.autoPlanes) or the within-bucket join degenerates to
-    * O(n^2 / constant). */
+    * O(n^2 / constant).
+    *
+    * Native single-kernel form (graft.LshBucket): all planes accumulate in
+    * one pass with ONE compact generated loop — the composed per-plane form
+    * ([[lshBucketHof]]) blew past the JVM's JIT huge-method limit at
+    * auto-scaled plane counts and ran interpreted, 80x slower. Bit-identical
+    * to the HOF composition in every case (parity property in
+    * SimilaritySpec). */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int, table: Int = 0): Column =
+    org.apache.spark.sql.graft.VectorExpressions.lshBucket(vec, table, nPlanes, dim)
+
+  /** The composed per-plane form — kept as the executable spec for the
+    * native kernel's parity property. */
+  def lshBucketHof(vec: Column, nPlanes: Int, dim: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
       when(planeProjection(vec, table, p, dim) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -52,6 +52,39 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("native LshBucket == composed HOF bucket, all tables/planes, both eval paths") {
+    import graft.functions.VectorFunctions
+    val d = emb.select(size($"embedding")).head.getInt(0)
+    // real vectors plus the degenerate cases the composed form collapses
+    // to bucket 0 (null vec, null element, wrong length)
+    val edge = Seq(
+      (Option.empty[Seq[Option[Float]]], 1L),
+      (Some(Seq(Some(1.0f), None) ++ Seq.fill(d - 2)(Some(0.5f))), 2L),
+      (Some(Seq(Some(1.0f))), 3L)
+    ).toDF("embedding", "vec_id")
+    val vecs = emb.select($"embedding".cast("array<float>"), $"vec_id")
+      .unionByName(edge.select($"embedding".cast("array<float>"), $"vec_id"))
+    val cols = for (t <- 0 until 4; p <- Seq(5, 9, 13)) yield
+      (VectorFunctions.lshBucket($"embedding", p, d, t).as(s"n_${t}_$p"),
+        VectorFunctions.lshBucketHof($"embedding", p, d, t).as(s"h_${t}_$p"))
+    def check(): Unit = {
+      val rows = vecs.select(cols.flatMap(c => Seq(c._1, c._2)): _*).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        (0 until cols.size).foreach { ci =>
+          assert(r.getLong(2 * ci) === r.getLong(2 * ci + 1),
+            s"parity at ${cols(ci)._1}")
+        }
+      }
+    }
+    check()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      check()
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("double_dot is SQL-callable via GraftExtensions registration") {
     org.apache.spark.sql.graft.GraftExtensions.registerInto(spark)
     val r = spark.sql(
