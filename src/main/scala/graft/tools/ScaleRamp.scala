@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Retrieval, Similarity}
 import graft.sources.Tables
 
 /** Scale-ramp harness for the heavy dedup family: measures each operator on
@@ -40,6 +40,24 @@ object ScaleRamp {
     }.reduce(_ unionByName _)
   }
 
+  /** Scaled embeddings corpus: copy i shifts vec_id and deterministically
+    * perturbs every component by up to ±0.3% (a hash of (id, position) —
+    * no RNG), so copies are near the original but not byte-equal ties.
+    * Cosine paths normalize internally, so the perturbation needs no
+    * re-normalization; it only has to break exact duplication. */
+  def scaledVecs(spark: SparkSession, dir: String, factor: Int): DataFrame = {
+    val vecs = Tables(spark, dir, "embeddings")
+    (0 until factor).map { i =>
+      if (i == 0) vecs
+      else vecs
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), (v, ix) =>
+            (v * (lit(1.0f) + ((col("vec_id") * 31 + ix * 7 + i) % 7 - 3)
+              .cast("float") * lit(0.001f))).cast("float")))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = args.headOption.map(_.toInt).getOrElse(2)
@@ -53,36 +71,56 @@ object ScaleRamp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+    val factors = Seq(1, 3, 10)
+
+    def ramp(family: String, synth: Int => DataFrame,
+        ops: Seq[(String, DataFrame => DataFrame)]): Unit = {
+      val mins = scala.collection.mutable.Map[(String, Int), Double]()
+      factors.foreach { f =>
+        // materialize the scaled corpus once so synthesis cost is not
+        // billed to the operators (on a cluster this is the table on disk)
+        val corpus = synth(f).localCheckpoint(true)
+        val n = corpus.count()
+        ops.foreach { case (name, op) =>
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            op(corpus).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          mins((name, f)) = times.min
+          println(f"RAMP op=$name%-18s factor=$f%-2d rows=$n%-7d min_sec=${times.min}%.2f")
+        }
+        corpus.unpersist(blocking = true)
+      }
+      ops.foreach { case (name, _) =>
+        val (t1, t3, t10) = (mins((name, 1)), mins((name, 3)), mins((name, 10)))
+        val exp = math.log(t10 / t1) / math.log(10.0)
+        println(f"RAMP_FIT family=$family op=$name%-18s t1=$t1%.2f t3=$t3%.2f t10=$t10%.2f exponent=$exp%.2f")
+      }
+    }
+
+    ramp("dedup", scaledDocs(spark, sfDir, _), Seq(
       "exact_dedup" -> (d => Dedup.exact(d)),
       "minhash_neardups" -> (d => Dedup.minhashNearDups(d, threshold = 0.8)),
       "neardup_clusters" -> (d =>
         Dedup.nearDupClusters(Dedup.minhashNearDups(d, threshold = 0.5))),
-      "containment_pairs" -> (d => Dedup.containmentPairs(d)))
+      "containment_pairs" -> (d => Dedup.containmentPairs(d)),
+      "bm25_topk" -> (d => Retrieval.bm25TopK(d))))
 
-    val factors = Seq(1, 3, 10)
-    val mins = scala.collection.mutable.Map[(String, Int), Double]()
-    factors.foreach { f =>
-      // materialize the scaled corpus once so synthesis cost is not billed
-      // to the operators (on a cluster this is the table on disk)
-      val corpus = scaledDocs(spark, sfDir, f).localCheckpoint(true)
-      val n = corpus.count()
-      ops.foreach { case (name, op) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          op(corpus).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        mins((name, f)) = times.min
-        println(f"RAMP op=$name%-18s factor=$f%-2d rows=$n%-7d min_sec=${times.min}%.2f")
-      }
-      corpus.unpersist(blocking = true)
-    }
-    ops.foreach { case (name, _) =>
-      val (t1, t3, t10) = (mins((name, 1)), mins((name, 3)), mins((name, 10)))
-      val exp = math.log(t10 / t1) / math.log(10.0)
-      println(f"RAMP_FIT op=$name%-18s t1=$t1%.2f t3=$t3%.2f t10=$t10%.2f exponent=$exp%.2f")
-    }
+    // Fixed 256-query probe set from the base fixture: the scaled axis is
+    // the CORPUS (index build + candidate generation); query fan-out is a
+    // constant multiplier and stays pinned so exponents read corpus growth.
+    val queries = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 37 === 0).limit(256).localCheckpoint(true)
+    ramp("ann", scaledVecs(spark, sfDir, _), Seq(
+      "ivf_knn" -> (c => Similarity.ivfKnnJoin(c, queries, k = 10,
+        nProbe = 4, trainIterations = 2)),
+      "lsh_knn" -> (c => Similarity.lshKnnJoin(c, queries, k = 10,
+        tables = 4)),
+      "ivfpq_encode" -> { c =>
+        val mdl = Similarity.trainIvfPq(c)
+        Similarity.encodeIvfPq(c, mdl)
+      }))
     spark.stop()
   }
 }
