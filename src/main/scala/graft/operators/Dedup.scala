@@ -917,6 +917,25 @@ object Dedup {
       blocks: Int = 4,
       maxBucket: Int = 0,
       matchBlocks: Int = 1,
+      maxHamming: Int = Int.MaxValue): DataFrame =
+    signatureHammingPairs(
+      simhashTable(docs, textCol, idCol), "id", "simhash",
+      blocks, maxBucket, matchBlocks, maxHamming)
+
+  /** Hamming-bounded pairs over ANY 64-bit signature frame — the banded
+    * self-join [[simhashCandidates]] is built on, factored out so other
+    * fingerprint families (image perceptual hashes, audio fingerprints)
+    * reuse the same pigeonhole machinery instead of reinventing it. Returns
+    * (id_a, id_b, hamming) with id_a < id_b. Completeness: every pair at
+    * hamming <= blocks - matchBlocks is guaranteed present (Manku et al.
+    * multi-index pigeonhole); `maxHamming` within that bound is exact. */
+  def signatureHammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      blocks: Int = 4,
+      maxBucket: Int = 0,
+      matchBlocks: Int = 1,
       maxHamming: Int = Int.MaxValue): DataFrame = {
     val width = 64 / blocks
     require(matchBlocks >= 1 && matchBlocks <= blocks,
@@ -931,7 +950,7 @@ object Dedup {
     // (computed once instead of on both join sides), and released the same
     // way: candidates are eagerly materialized, then the cache is dropped so
     // repeated calls don't pin storage for the session lifetime.
-    val withSim = simhashTable(docs, textCol, idCol).withColumnRenamed("simhash", "sim")
+    val withSim = sigs.select(col(idCol).as("id"), col(sigCol).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockKey = (b: Int) =>
       shiftrightunsigned(col("sim"), b * width).bitwiseAND(lit((1L << width) - 1))
@@ -962,7 +981,7 @@ object Dedup {
     val banded = withSim
       .select(col("id"), col("sim"), explode(array(tables: _*)).as("t"))
       .select(col("id"), col("sim"), col("t.block").as("block"), col("t.key").as("key"))
-    val capped = capBuckets(banded, Seq("block", "key"), maxBucket, "simhashCandidates")
+    val capped = capBuckets(banded, Seq("block", "key"), maxBucket, "signatureHammingPairs")
     val l = capped.as("l")
     val r = capped.as("r")
     // hamming is computed BEFORE the distinct and the optional maxHamming

@@ -279,6 +279,124 @@ object Multimodal {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  // ----------------------------------------------------- perceptual hashing
+
+  /** Pattern-fixture geometry: dims are MULTIPLES OF 8 so every aHash grid
+    * cell covers a uniform pixel block and the expected hash is pure integer
+    * arithmetic on the id (see [[syntheticPatternPng]]). */
+  def patternWidth(id: Long): Int = (8 * (2 + id % 6)).toInt
+  def patternHeight(id: Long): Int = (8 * (2 + (id / 6) % 6)).toInt
+  /** White band width in aHash grid columns (1..7). */
+  def patternBandCols(id: Long): Int = (1 + id % 7).toInt
+  /** Accent-cell position in the 8x8 grid, row-major 0..62 (bit 63 avoided
+    * so the expected hash stays positive in engines without uint64). */
+  def patternAccentPos(id: Long): Int = ((id * 11 + 2) % 63).toInt
+
+  /** Encode a real PNG whose 8x8 block-mean aHash is an exact integer
+    * function of the id: `bandCols` leftmost grid columns white, the rest
+    * black, and ONE accent cell colour-inverted. Derivation (all-integer —
+    * the oracle replays it): with bg in 1..7 white cells keep bit 1 and
+    * black cells bit 0 even after the accent shifts the global mean
+    * (64 > 8*bg + 1), and the accent cell's bit flips, so
+    * ahash = bandPattern(bg) XOR (1 << accentPos) exactly. Images sharing
+    * bg differ only in accent position => hamming 2 (0 if equal); bg
+    * differing by d >= 1 => hamming >= 8d - 2 >= 6. A hamming <= 2 cut
+    * therefore recovers exactly the same-band groups. */
+  def syntheticPatternPng(id: Long): Array[Byte] = {
+    val (w, h) = (patternWidth(id), patternHeight(id))
+    val (bg, p) = (patternBandCols(id), patternAccentPos(id))
+    val (r0, c0) = (p / 8, p % 8)
+    val (cw, chh) = (w / 8, h / 8)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (gr, gc) = (y / chh, x / cw)
+        val white = gc < bg
+        val inv = gr == r0 && gc == c0
+        img.setRGB(x, y, if (white != inv) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Swap pattern PNGs into the image-typed rows — the perceptual-hash
+    * fixture generator (audio/video rows keep their opaque blobs). */
+  def withSyntheticPatternImages(assets: DataFrame): DataFrame = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { a =>
+        if (a.media_type == "image") a.copy(content = syntheticPatternPng(a.asset_id)) else a
+      }
+    }(Encoders.product[Asset]).toDF()
+  }
+
+  final case class ImageHash(
+      asset_id: Long, media_type: String, decoded: Boolean, ahash: Long)
+
+  /** 64-bit average-hash (aHash) over REALLY decoded pixels: the raster
+    * partitions into an 8x8 grid (cell r,c covers y with r <= y*8/h < r+1 —
+    * exact integer boundaries, no resampling), each cell accumulates an
+    * integer gray sum (r+g+b per pixel), and bit r*8+c is set iff the
+    * cell's mean STRICTLY exceeds the whole-image mean — compared by
+    * integer cross-multiplication (cellSum * totalPix > totalSum * cellPix),
+    * so there is no float rounding anywhere and any SQL engine can predict
+    * the hash of a synthetic raster. This is the image member of the dedup
+    * ladder: near-identical images differ in few bits, and
+    * [[Dedup.signatureHammingPairs]] buckets the hashes sub-quadratically.
+    *
+    * The cross-multiply stays in Long up to ~3 MP rasters (765 * pixels^2
+    * < 2^63); production pipelines hash AFTER [[resizePixels]], which also
+    * makes the hash resolution-invariant — the usual aHash recipe.
+    * Undecodable content emits the flagged ahash=0 sentinel row. */
+  def imageAHash(assets: DataFrame): Dataset[ImageHash] = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { a =>
+        readImage(a.content) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Long](64)
+            val pix = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val gr = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                val cell = gr * 8 + x * 8 / w
+                sums(cell) += g; pix(cell) += 1; total += g
+                x += 1
+              }
+              y += 1
+            }
+            val totalPix = w.toLong * h
+            var hash = 0L
+            var cell = 0
+            while (cell < 64) {
+              if (pix(cell) > 0 && sums(cell) * totalPix > total * pix(cell))
+                hash |= 1L << cell
+              cell += 1
+            }
+            ImageHash(a.asset_id, a.media_type, decoded = true, hash)
+          case None =>
+            ImageHash(a.asset_id, a.media_type, decoded = false, 0L)
+        }
+      }
+    }(Encoders.product[ImageHash])
+  }
+
   // ------------------------------------------------------------- audio path
 
   /** Decoded-audio metadata + sample-exact statistics (peak and sum of

@@ -1176,6 +1176,46 @@ object Text extends QueryModule {
           CAST(list_aggregate(sa, 'sum') AS BIGINT) AS sum_abs
         FROM s ORDER BY asset_id""")),
 
+    // --------------------------------------------------------------- q159
+    // Image near-dup detection via perceptual hash over REALLY decoded
+    // pixels — the LAION-style image-dedup step. Image assets carry pattern
+    // PNGs (white band + one inverted accent cell, cell-aligned dims) whose
+    // 8x8 block-mean aHash is an exact integer function of the id:
+    // ahash = bandPattern(bg) XOR (1 << accentPos), where bg = 1 + id % 7
+    // and accentPos = (id*11 + 2) % 63 (derivation in
+    // Multimodal.syntheticPatternPng's scaladoc). Same-band images differ
+    // only in accent position (hamming <= 2); adjacent bands sit at
+    // hamming >= 6 — so a hamming <= 2 cut recovers exactly the same-band
+    // groups, and the oracle predicts every pair from doc_id arithmetic.
+    // Candidates come from Dedup.signatureHammingPairs (4-block banded
+    // self-join, pigeonhole-complete to hamming 3 > 2), so no all-pairs
+    // stage exists on the Spark side; the oracle IS the exhaustive O(n^2)
+    // scan — a decoder, hash, or banding bug cannot match it.
+    QueryDef("q159_image_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = Multimodal.withSyntheticPatternImages(
+            Multimodal.assetize(t(s, dir, "documents")))
+          .filter($"media_type" === "image")
+        val hashes = Multimodal.imageAHash(imgs).toDF().filter($"decoded")
+        Dedup.signatureHammingPairs(hashes, "asset_id", "ahash",
+            blocks = 4, maxHamming = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH i AS (SELECT doc_id,
+            CAST(1 + doc_id % 7 AS BIGINT) AS bg,
+            CAST((doc_id * 11 + 2) % 63 AS BIGINT) AS p
+          FROM documents WHERE doc_id % 3 = 0),
+        h AS (SELECT doc_id,
+            xor(((CAST(1 AS BIGINT) << bg) - 1) * 72340172838076673,
+                CAST(1 AS BIGINT) << p) AS ahash
+          FROM i)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+        ORDER BY id_a, id_b""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

@@ -145,6 +145,51 @@ object Vectors extends QueryModule {
       },
       Some(annContractOracle)),
 
+    // --------------------------------------------------------------- q158
+    // Incremental ANN index maintenance — the production pattern for a
+    // GROWING corpus: the day-1 IVF-PQ index is trained, encoded, and
+    // persisted ONCE; day-2 vectors are encoded with the LOADED model
+    // (quantizers frozen — the serving invariant) and their codes simply
+    // append to the index frame. Day 1 is never re-trained or re-encoded.
+    // Two pins: (1) the shared annContract on the merged-index search
+    // (exact re-ranked sims, no self-matches, dense ranks), and (2)
+    // append-equivalence — searching the appended index returns EXACTLY
+    // what a whole-corpus re-encode under the same model returns (encoding
+    // is a deterministic per-row function of the frozen model, so
+    // append ≡ rebuild; `append_mismatch` counts the symmetric difference,
+    // pinned 0). At 100 TB this is the difference between a nightly
+    // map-only encode of the new shard and a full-corpus rebuild.
+    QueryDef("q158_ivfpq_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val day1 = emb.filter($"vec_id" % 2 === 0)
+        val day2 = emb.filter($"vec_id" % 2 === 1)
+        val mdl = Similarity.trainIvfPq(day1)
+        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_q158_ivfpq").getAbsolutePath
+        Similarity.saveIvfPqIndex(mdl, Similarity.encodeIvfPq(day1, mdl), store)
+        val (loaded, day1Codes) = Similarity.loadIvfPqIndex(s, store)
+        val merged = day1Codes.unionByName(Similarity.encodeIvfPq(day2, loaded))
+        val queries = emb.filter($"vec_id" < 5)
+        val incr = Similarity.ivfPqSearch(merged, emb, queries, k = 3,
+          loaded, nProbe = 3, rerank = 12)
+        // append ≡ rebuild is pinned at the INDEX level: each vector's
+        // (cell, codes) row from the appended index must equal the
+        // whole-corpus re-encode under the same frozen model. Search is a
+        // deterministic function of (codes, model, queries), so code-frame
+        // equality implies search equality without paying a second search.
+        val rebuilt = Similarity.encodeIvfPq(emb, loaded)
+        val mismatch = merged.as("m")
+          .join(rebuilt.as("r"), Seq("neighbor_id"), "full_outer")
+          .filter(col("m.cell").isNull || col("r.cell").isNull ||
+            col("m.cell") =!= col("r.cell") || col("m.codes") =!= col("r.codes"))
+        annContract(incr, emb)
+          .crossJoin(mismatch.agg(count(lit(1)).as("append_mismatch")))
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS violations, true AS found_neighbors,
+        CAST(0 AS BIGINT) AS append_mismatch""")),
+
     // ---------------------------------------------------------------- q74
     // Per-row symmetric int8 quantization profile: maxabs -> scale =
     // 127/maxabs -> per-element round -> reconstruction RMSE. The storage

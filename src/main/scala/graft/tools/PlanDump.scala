@@ -103,7 +103,14 @@ object PlanDump {
         "DROPPED before the probe join, so the one cell-keyed Exchange " +
         "shuffles byte codes, not fp32 arrays (the 100 TB memory story). " +
         "ADC scoring is a codegen'd per-row HOF over the codes; the exact " +
-        "re-rank joins the small ADC shortlist back to the corpus by id."))
+        "re-rank joins the small ADC shortlist back to the corpus by id."),
+    "q159_image_phash_dedup" ->
+      ("Image perceptual-hash dedup: the decode + 64-bit aHash is one " +
+        "map-only mapPartitions pass (no shuffle until the hash frame), " +
+        "and the pair stage is the banded signature self-join — Exchange " +
+        "on (block, key), equi-join within buckets, hamming filter before " +
+        "the distinct. No all-pairs stage; the exhaustive scan exists " +
+        "only in the DuckDB oracle."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

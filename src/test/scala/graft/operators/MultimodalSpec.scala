@@ -214,4 +214,60 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("scale") <= 1.0)
     }
   }
+
+  test("imageAHash: one white pixel in an 8x8 black raster sets exactly that bit") {
+    // 8x8 raster = one pixel per aHash cell, so the hash is hand-derivable:
+    // the white cell (gray 765) strictly exceeds the global mean (765/64),
+    // every black cell (0) does not -> hash = 1L << (row*8 + col).
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 3, 0xffffff) // col 5, row 3 -> bit 29
+    val in = Seq(Multimodal.Asset(1L, "image", encode(img, "png"))).toDF()
+    val h = Multimodal.imageAHash(in).collect().head
+    assert(h.decoded)
+    assert(h.ahash === (1L << 29))
+  }
+
+  test("imageAHash: pattern fixture hash equals bandPattern XOR accent bit") {
+    val ids = Seq(0L, 3L, 17L, 41L, 62L, 123L)
+    val in = ids.map(id =>
+      Multimodal.Asset(id, "image", Multimodal.syntheticPatternPng(id))).toDF()
+    val got = Multimodal.imageAHash(in).collect().map(h => h.asset_id -> h.ahash).toMap
+    ids.foreach { id =>
+      val band = ((1L << Multimodal.patternBandCols(id)) - 1) * 0x0101010101010101L
+      val expect = band ^ (1L << Multimodal.patternAccentPos(id))
+      assert(got(id) === expect, s"id=$id")
+    }
+  }
+
+  test("imageAHash: undecodable content flags decoded=false with ahash 0") {
+    val in = Seq(Multimodal.Asset(9L, "image", "not an image".getBytes("UTF-8"))).toDF()
+    val h = Multimodal.imageAHash(in).collect().head
+    assert(!h.decoded)
+    assert(h.ahash === 0L)
+  }
+
+  test("signatureHammingPairs over aHash recovers exactly the brute-force " +
+      "hamming<=2 pair set on pattern images") {
+    val ids = (0L until 40L).toSeq
+    val in = ids.map(id =>
+      Multimodal.Asset(id, "image", Multimodal.syntheticPatternPng(id))).toDF()
+    val hashes = Multimodal.imageAHash(in).toDF().filter($"decoded")
+    val got = Dedup.signatureHammingPairs(hashes, "asset_id", "ahash",
+        blocks = 4, maxHamming = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val local = hashes.collect().map(r =>
+      r.getAs[Long]("asset_id") -> r.getAs[Long]("ahash"))
+    val brute = (for {
+      (ia, ha) <- local; (ib, hb) <- local if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // same-band ids exist in 0..39 (7 band values)
+    // and every pair's members share a band (the fixture's semantic claim)
+    brute.foreach { case (a, b, _) =>
+      assert(Multimodal.patternBandCols(a) === Multimodal.patternBandCols(b))
+    }
+  }
 }

@@ -40,7 +40,11 @@ class CatalogSpec extends SparkSpec {
     // aggregate onto the posting scan (shape (a))
     "q133_bm25_topk",
     // q152 selects from the graft_bm25_topk view = q133's plan verbatim
-    "q152_sql_bm25_view")
+    "q152_sql_bm25_view",
+    // q158 cross-joins the ONE-ROW annContract aggregate with the ONE-ROW
+    // append-mismatch counter (shape (a)), and runs ivfPqSearch's bounded
+    // <= 5-query broadcast side (q41's justification)
+    "q158_ivfpq_incremental")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
