@@ -486,6 +486,111 @@ object Multimodal {
     })(Encoders.product[DecodedAudio])
   }
 
+  // ------------------------------------------- audio fingerprinting (dedup)
+
+  /** Variant-track fixture for audio near-dup detection: every 12-id block
+    * holds 4 audio ids (id % 3 == 1) that are VARIANTS of one base track —
+    * same triangle-wave PCM, plus a +40 bump on the ~n/89 samples where
+    * k % 89 == variant*17 (a "slightly re-encoded copy"). Variants share
+    * window-energy structure, so their fingerprints sit at small hamming;
+    * different bases differ in phase and length and sit far apart. */
+  def variantBase(id: Long): Long = id / 12
+  def variantNo(id: Long): Int = ((id / 3) % 4).toInt
+  def variantSampleCount(id: Long): Int = (400 + (variantBase(id) % 5) * 100).toInt
+  def variantSample(id: Long, k: Long): Int = {
+    val base = (((variantBase(id) * 31 + k * 7) % 2048) - 1024).toInt
+    if (k % 89 == variantNo(id).toLong * 17) base + 40 else base
+  }
+
+  /** Real 16-bit mono PCM WAV of the variant track. */
+  def syntheticWavVariant(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = variantSampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = variantSample(id, k)
+      pcm(2 * k) = (s & 0xff).toByte          // little-endian int16
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(AudioSampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Swap variant-track WAVs into the audio-typed rows. */
+  def withSyntheticAudioVariants(assets: DataFrame): DataFrame = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions(_.map { a =>
+      if (a.media_type == "audio") a.copy(content = syntheticWavVariant(a.asset_id)) else a
+    })(Encoders.product[Asset]).toDF()
+  }
+
+  final case class AudioFingerprint(
+      asset_id: Long, media_type: String, decoded: Boolean,
+      n_samples: Long, fingerprint: Long)
+
+  /** 63-bit audio fingerprint over REALLY decoded PCM: the sample stream
+    * partitions into `windows` equal spans (span w covers k in
+    * [w*n/W, (w+1)*n/W) — exact integer boundaries), each span accumulates
+    * an integer energy Σ|s|, and bit w is set iff span w+1's energy
+    * STRICTLY exceeds span w's — the classic energy-delta-sign fingerprint
+    * (the Haitsma–Kalker shape, minus the FFT: deltas over band energies),
+    * all-integer so any SQL engine can predict a synthetic track's
+    * fingerprint exactly. Near-identical tracks (re-encodes, light edits)
+    * flip few delta signs; [[Dedup.signatureHammingPairs]] buckets the
+    * fingerprints sub-quadratically, exactly as with text SimHash and image
+    * aHash — one banding kernel, three modalities. Unreadable or non-16-bit
+    * content emits the flagged fingerprint=0 sentinel. */
+  def audioFingerprint(assets: DataFrame, windows: Int = 64): Dataset[AudioFingerprint] = {
+    require(windows >= 2 && windows <= 64, s"windows must be in [2, 64], got $windows")
+    import javax.sound.sampled.AudioSystem
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions(_.map { a =>
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.content))
+        try {
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || fmt.getChannels != 1)
+            AudioFingerprint(a.asset_id, a.media_type, decoded = false, 0L, 0L)
+          else {
+            val n = bytes.length / 2
+            val energy = new Array[Long](windows)
+            var w = 0
+            while (w < windows) {
+              // span w covers k in [floor(w*n/W), floor((w+1)*n/W)) — the
+              // exact floor boundaries a SQL range() replays
+              var k = (w.toLong * n / windows).toInt
+              val end = ((w + 1).toLong * n / windows).toInt
+              while (k < end) {
+                val s = ((bytes(2 * k + 1) << 8) | (bytes(2 * k) & 0xff)).toShort.toLong
+                energy(w) += math.abs(s)
+                k += 1
+              }
+              w += 1
+            }
+            var fp = 0L
+            w = 0
+            while (w < windows - 1) {
+              if (energy(w + 1) > energy(w)) fp |= 1L << w
+              w += 1
+            }
+            AudioFingerprint(a.asset_id, a.media_type, decoded = true, n.toLong, fp)
+          }
+        } finally ais.close()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          AudioFingerprint(a.asset_id, a.media_type, decoded = false, 0L, 0L)
+      }
+    })(Encoders.product[AudioFingerprint])
+  }
+
   // ------------------------------------------------------------- video path
 
   /** One decoded video frame (or the n_frames=0 sentinel for undecodable

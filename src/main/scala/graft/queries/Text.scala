@@ -1216,6 +1216,52 @@ object Text extends QueryModule {
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
         ORDER BY id_a, id_b""")),
 
+    // --------------------------------------------------------------- q160
+    // Audio fingerprint near-dup detection over REALLY decoded PCM — the
+    // third modality of the dedup ladder, through the SAME banding kernel
+    // as text SimHash and image aHash. Audio assets carry variant-track
+    // WAVs: every 12-id block's 4 audio ids share one base triangle-wave
+    // track plus a per-variant +40 bump on the ~n/89 samples where
+    // k % 89 == variant*17 (a "slightly re-encoded copy"). The fingerprint
+    // is the 63-bit energy-delta-sign signature (64 equal spans, exact
+    // integer floor boundaries, bit w = E[w+1] > E[w]) — all-integer, so
+    // the oracle recomputes every track's fingerprint from (base, variant,
+    // k) arithmetic and runs the exhaustive O(n^2) hamming <= 3 scan the
+    // banded Spark side must reproduce exactly. A decoder that mis-parses
+    // the WAV header, byte order, or any sample lands in different spans
+    // and cannot match.
+    QueryDef("q160_audio_fingerprint_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val auds = Multimodal.withSyntheticAudioVariants(
+            Multimodal.assetize(t(s, dir, "documents")))
+          .filter($"media_type" === "audio")
+        val fps = Multimodal.audioFingerprint(auds).toDF().filter($"decoded")
+        Dedup.signatureHammingPairs(fps, "asset_id", "fingerprint",
+            blocks = 4, maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH a AS (SELECT doc_id, doc_id // 12 AS b, (doc_id // 3) % 4 AS v
+          FROM documents WHERE doc_id % 3 = 1),
+        p AS (SELECT doc_id, b, v,
+            CAST(400 + (b % 5) * 100 AS BIGINT) AS n FROM a),
+        e AS (SELECT doc_id, list_transform(range(0, 64), w ->
+            CAST(list_aggregate(list_transform(range(n * w // 64, n * (w + 1) // 64),
+              k -> abs((b * 31 + k * 7) % 2048 - 1024
+                + CASE WHEN k % 89 = v * 17 THEN 40 ELSE 0 END)),
+            'sum') AS BIGINT)) AS es
+          FROM p),
+        f AS (SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 63),
+            w -> CASE WHEN es[w + 2] > es[w + 1]
+              THEN CAST(1 AS BIGINT) << w ELSE CAST(0 AS BIGINT) END),
+          'sum') AS BIGINT) AS fp
+          FROM e)
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+        FROM f x JOIN f y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.fp, y.fp)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

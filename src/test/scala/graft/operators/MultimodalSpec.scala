@@ -246,6 +246,65 @@ class MultimodalSpec extends SparkSpec {
     assert(h.ahash === 0L)
   }
 
+  test("audioFingerprint: hand-derivable two-window fingerprint from a real WAV") {
+    // 4 samples, 2 windows: energies |10|+|20|=30 and |-40|+|5|=45 ->
+    // E1 > E0 -> fingerprint = 1 (bit 0 only)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Seq[Short](10, 20, -40, 5)
+    val pcm = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val in = Seq(Multimodal.Asset(7L, "audio", bos.toByteArray)).toDF()
+    val f = Multimodal.audioFingerprint(in, windows = 2).collect().head
+    assert(f.decoded)
+    assert(f.n_samples === 4L)
+    assert(f.fingerprint === 1L)
+  }
+
+  test("audioFingerprint: variant WAV matches the integer formula; corrupt flags") {
+    // fingerprint recomputed locally from variantSample arithmetic must
+    // equal what the decoder reads back out of the real WAV container
+    val ids = Seq(1L, 4L, 22L, 37L)
+    val in = ids.map(id =>
+      Multimodal.Asset(id, "audio", Multimodal.syntheticWavVariant(id))).toDF()
+    val got = Multimodal.audioFingerprint(in).collect()
+      .map(f => f.asset_id -> f).toMap
+    ids.foreach { id =>
+      val n = Multimodal.variantSampleCount(id)
+      val energy = Array.tabulate(64) { w =>
+        ((w.toLong * n / 64).toInt until ((w + 1).toLong * n / 64).toInt)
+          .map(k => math.abs(Multimodal.variantSample(id, k.toLong).toLong)).sum
+      }
+      val expect = (0 until 63).foldLeft(0L) { (acc, w) =>
+        if (energy(w + 1) > energy(w)) acc | (1L << w) else acc
+      }
+      assert(got(id).decoded && got(id).n_samples === n.toLong)
+      assert(got(id).fingerprint === expect, s"id=$id")
+    }
+    val bad = Seq(Multimodal.Asset(99L, "audio", "nope".getBytes("UTF-8"))).toDF()
+    val b = Multimodal.audioFingerprint(bad).collect().head
+    assert(!b.decoded && b.fingerprint === 0L)
+  }
+
+  test("audio variants of one base track land within hamming 3; " +
+      "different bases stay apart") {
+    // ids 1,4,7,10 are the 4 variants of base 0; 13,16 belong to base 1
+    val ids = Seq(1L, 4L, 7L, 10L, 13L, 16L)
+    val in = ids.map(id =>
+      Multimodal.Asset(id, "audio", Multimodal.syntheticWavVariant(id))).toDF()
+    val fps = Multimodal.audioFingerprint(in).collect()
+      .map(f => f.asset_id -> f.fingerprint).toMap
+    val sameBase = for (Seq(a, b) <- Seq(1L, 4L, 7L, 10L).combinations(2).toSeq)
+      yield java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(sameBase.forall(_ <= 3), s"same-base hammings: $sameBase")
+    val crossBase = for (a <- Seq(1L, 4L, 7L, 10L); b <- Seq(13L, 16L))
+      yield java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(crossBase.forall(_ > 3), s"cross-base hammings: $crossBase")
+  }
+
   test("signatureHammingPairs over aHash recovers exactly the brute-force " +
       "hamming<=2 pair set on pattern images") {
     val ids = (0L until 40L).toSeq
