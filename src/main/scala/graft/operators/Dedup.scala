@@ -1005,6 +1005,60 @@ object Dedup {
     cands
   }
 
+  /** Cross-frame variant of [[signatureHammingPairs]]: hamming-bounded
+    * (probe_id, index_id) matches between a PROBE batch and a (typically
+    * persisted) INDEX frame — the incremental-ingest shape. Both sides band
+    * at lookup time (banding is a cheap per-row bit projection; what index
+    * persistence saves is the expensive signature COMPUTATION — the
+    * decode/hash pass over the historical corpus). Work is O(probe rows x
+    * bucket occupancy), never O(index^2): only buckets a probe row touches
+    * are read. Same pigeonhole completeness bound as the self-join
+    * (hamming <= blocks - matchBlocks). Both frames must carry
+    * (idCol, sigCol). */
+  def signatureHammingJoin(
+      probe: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      sigCol: String,
+      blocks: Int = 4,
+      maxBucket: Int = 0,
+      matchBlocks: Int = 1,
+      maxHamming: Int = Int.MaxValue): DataFrame = {
+    val width = 64 / blocks
+    require(matchBlocks >= 1 && matchBlocks <= blocks,
+      s"matchBlocks must be in [1, $blocks], got $matchBlocks")
+    require(matchBlocks * width <= 64,
+      s"combined key width ${matchBlocks * width} exceeds 64 bits")
+    def banded(df: DataFrame): DataFrame = {
+      val in = df.select(col(idCol).as("id"), col(sigCol).as("sim"))
+      val blockKey = (b: Int) =>
+        shiftrightunsigned(col("sim"), b * width).bitwiseAND(lit((1L << width) - 1))
+      val tables: Seq[Column] =
+        if (matchBlocks == 1)
+          (0 until blocks).map(b => struct(lit(b).as("block"), blockKey(b).as("key")))
+        else
+          (0 until blocks).combinations(matchBlocks).toSeq.zipWithIndex.map {
+            case (combo, ci) =>
+              val packed = combo.zipWithIndex.map { case (b, pos) =>
+                shiftleft(blockKey(b), pos * width)
+              }.reduce(_.bitwiseOR(_))
+              struct(lit(ci).as("block"), packed.as("key"))
+          }
+      in.select(col("id"), col("sim"), explode(array(tables: _*)).as("t"))
+        .select(col("id"), col("sim"), col("t.block").as("block"), col("t.key").as("key"))
+    }
+    // the cap applies to the INDEX side (the corpus — the side whose
+    // degenerate buckets would blow up the join); the probe batch is small
+    val idx = capBuckets(banded(index), Seq("block", "key"), maxBucket,
+      "signatureHammingJoin")
+    banded(probe).as("p").join(idx.as("i"),
+        col("p.block") === col("i.block") && col("p.key") === col("i.key"))
+      .select(col("p.id").as("probe_id"), col("i.id").as("index_id"),
+        bit_count(col("p.sim").bitwiseXOR(col("i.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Incremental near-dup cluster maintenance: fold a new batch's pairs
     * into an existing labeling WITHOUT re-walking the old pair graph.
     *

@@ -1262,6 +1262,48 @@ object Text extends QueryModule {
         WHERE bit_count(xor(x.fp, y.fp)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // --------------------------------------------------------------- q161
+    // Incremental image-ingest dedup with a PERSISTED hash index — the
+    // O(batch) production shape for media: day-1 images decode and hash
+    // ONCE and the (id, ahash) frame is written to parquet; the day-2
+    // batch decodes only ITS OWN rasters and hamming-joins against the
+    // LOADED index through Dedup.signatureHammingJoin (banding is a cheap
+    // bit projection on both sides; day-1 pixels are never touched again).
+    // Work is O(batch x bucket occupancy) — at 100 TB the historical
+    // corpus contributes a parquet scan of 8-byte hashes, not a decode.
+    // The oracle recomputes both days' hashes from id arithmetic and runs
+    // the exhaustive batch x corpus scan; pairs must agree exactly.
+    QueryDef("q161_image_ingest_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = Multimodal.withSyntheticPatternImages(
+            Multimodal.assetize(t(s, dir, "documents")))
+          .filter($"media_type" === "image")
+        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_q161_ahash_index").getAbsolutePath
+        Multimodal.imageAHash(imgs.filter($"asset_id" % 2 === 0)).toDF()
+          .filter($"decoded").select($"asset_id", $"ahash")
+          .write.mode("overwrite").parquet(store)
+        val batch = Multimodal.imageAHash(imgs.filter($"asset_id" % 2 === 1))
+          .toDF().filter($"decoded").select($"asset_id", $"ahash")
+        Dedup.signatureHammingJoin(batch, s.read.parquet(store),
+            "asset_id", "ahash", blocks = 4, maxHamming = 2)
+          .orderBy($"probe_id", $"index_id")
+      },
+      Some("""WITH i AS (SELECT doc_id,
+            CAST(1 + doc_id % 7 AS BIGINT) AS bg,
+            CAST((doc_id * 11 + 2) % 63 AS BIGINT) AS p
+          FROM documents WHERE doc_id % 3 = 0),
+        h AS (SELECT doc_id,
+            xor(((CAST(1 AS BIGINT) << bg) - 1) * 72340172838076673,
+                CAST(1 AS BIGINT) << p) AS ahash
+          FROM i)
+        SELECT b.doc_id AS probe_id, x.doc_id AS index_id,
+          CAST(bit_count(xor(b.ahash, x.ahash)) AS INTEGER) AS hamming
+        FROM h b JOIN h x ON b.doc_id % 2 = 1 AND x.doc_id % 2 = 0
+        WHERE bit_count(xor(b.ahash, x.ahash)) <= 2
+        ORDER BY probe_id, index_id""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

@@ -531,6 +531,38 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == 3L), "0.7 must not pass the 0.8 gate")
   }
 
+  test("signatureHammingJoin: probe x index matches brute force, never probe x probe") {
+    // signatures chosen so every hamming class around the blocks=4 bound
+    // (<= 3 guaranteed) appears: exact match, 1/2/3-bit flips, far apart
+    val index = Seq(
+      (10L, 0x0F0F0F0F0F0F0F0FL),
+      (11L, 0x0F0F0F0F0F0F0F0EL), // 1 bit from 10
+      (12L, 0x00000000FFFFFFFFL),
+      (13L, -1L)                  // all ones: sign bit exercised
+    ).toDF("id", "sig")
+    val probe = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL), // 0 from 10, 1 from 11
+      (2L, 0x0F0F0F0F0F0F0F00L), // 4 from 10 (outside maxHamming)
+      (3L, 0x00000000FFFFFFFDL), // 1 from 12
+      (4L, 0x7FFFFFFFFFFFFFFFL)  // 1 from 13 (top bit)
+    ).toDF("id", "sig")
+    val got = Dedup.signatureHammingJoin(probe, index, "id", "sig",
+        blocks = 4, maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("index_id"),
+        r.getAs[Int]("hamming"))).toSet
+    val pl = probe.as[(Long, Long)].collect()
+    val il = index.as[(Long, Long)].collect()
+    val brute = (for {
+      (pid, ps) <- pl; (iid, is) <- il
+      d = java.lang.Long.bitCount(ps ^ is) if d <= 3
+    } yield (pid, iid, d)).toSet
+    assert(got === brute)
+    assert(brute.contains((1L, 10L, 0)) && brute.contains((4L, 13L, 1)))
+    // no probe-probe or index-index pairs by construction of the output ids
+    assert(got.forall { case (p, i, _) => p < 10L && i >= 10L })
+  }
+
   test("containmentPairs: matches an exhaustive reference on a planted corpus") {
     // 30 docs from a small vocab, plus planted excerpts; the prefix filter
     // must lose nothing vs brute force.
