@@ -1059,6 +1059,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Sequence near-dup pairs over per-frame 64-bit signatures (video dedup):
+    * two sequences match iff they have the SAME length and EVERY aligned
+    * frame pair sits at hamming <= maxHamming; the returned `max_hamming`
+    * is the worst aligned frame distance. Returns
+    * (id_a, id_b, n_frames, max_hamming) with id_a < id_b.
+    *
+    * Scale shape: candidates come from the banded self-join on FRAME 0
+    * only — complete, because a qualifying pair's frame-0 distance is <=
+    * maxHamming by definition, and [[signatureHammingPairs]] is
+    * pigeonhole-complete to blocks - matchBlocks >= maxHamming. The
+    * refinement then touches candidate pairs x frames rows via one
+    * (id, frame_no)-keyed join — never all-pairs, never all-frames of
+    * non-candidates. `frames` must carry (idCol, frameCol, nCol, sigCol);
+    * frame numbers are 0-based and dense. */
+  def frameSequencePairs(
+      frames: DataFrame,
+      idCol: String = "asset_id",
+      frameCol: String = "frame_no",
+      nCol: String = "n_frames",
+      sigCol: String = "ahash",
+      blocks: Int = 4,
+      maxBucket: Int = 0,
+      matchBlocks: Int = 1,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= blocks - matchBlocks,
+      s"maxHamming=$maxHamming exceeds the banding completeness bound " +
+        s"${blocks - matchBlocks}; raise blocks or lower maxHamming")
+    // The signature table is referenced THREE times (frame-0 candidates +
+    // both refinement sides); computing frame signatures usually means
+    // decoding media, so the table persists once and the (tiny) pair
+    // result materializes eagerly before the cache is released — the same
+    // persist/checkpoint/unpersist shape as minhashCandidates.
+    val cached = frames.select(col(idCol).as("fid"), col(frameCol).as("fno"),
+        col(nCol).as("nf"), col(sigCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = signatureHammingPairs(
+        cached.filter(col("fno") === 0), "fid", "sig",
+        blocks, maxBucket, matchBlocks, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val a = cached.select(col("fid").as("id_a"), col("fno"),
+      col("sig").as("sig_a"), col("nf").as("nf_a"))
+    val b = cached.select(col("fid").as("id_b"), col("fno"),
+      col("sig").as("sig_b"), col("nf").as("nf_b"))
+    val out = cand.join(a, "id_a").join(b, Seq("id_b", "fno"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))).as("max_hamming"),
+        count(lit(1)).as("aligned"),
+        max(col("nf_a")).as("nf_a"), max(col("nf_b")).as("nf_b"))
+      // equal length AND every frame aligned AND every aligned pair close
+      .filter(col("nf_a") === col("nf_b") && col("aligned") === col("nf_a") &&
+        col("max_hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("nf_a").as("n_frames"),
+        col("max_hamming"))
+      .localCheckpoint(true)
+    cached.unpersist(blocking = false)
+    out
+  }
+
   /** Incremental near-dup cluster maintenance: fold a new batch's pairs
     * into an existing labeling WITHOUT re-walking the old pair graph.
     *

@@ -303,8 +303,17 @@ object Multimodal {
     * differing by d >= 1 => hamming >= 8d - 2 >= 6. A hamming <= 2 cut
     * therefore recovers exactly the same-band groups. */
   def syntheticPatternPng(id: Long): Array[Byte] = {
-    val (w, h) = (patternWidth(id), patternHeight(id))
-    val (bg, p) = (patternBandCols(id), patternAccentPos(id))
+    val img = patternImage(patternWidth(id), patternHeight(id),
+      patternBandCols(id), patternAccentPos(id))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The band+accent raster: `bg` leftmost grid columns white, the rest
+    * black, the accent cell at row-major position `p` colour-inverted
+    * (shared by the still-image and video-frame pattern fixtures). */
+  private def patternImage(w: Int, h: Int, bg: Int, p: Int): BufferedImage = {
     val (r0, c0) = (p / 8, p % 8)
     val (cw, chh) = (w / 8, h / 8)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -320,9 +329,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   /** Swap pattern PNGs into the image-typed rows — the perceptual-hash
@@ -364,37 +371,42 @@ object Multimodal {
       it.map { a =>
         readImage(a.content) match {
           case Some(img) =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            val sums = new Array[Long](64)
-            val pix = new Array[Long](64)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              val gr = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                val cell = gr * 8 + x * 8 / w
-                sums(cell) += g; pix(cell) += 1; total += g
-                x += 1
-              }
-              y += 1
-            }
-            val totalPix = w.toLong * h
-            var hash = 0L
-            var cell = 0
-            while (cell < 64) {
-              if (pix(cell) > 0 && sums(cell) * totalPix > total * pix(cell))
-                hash |= 1L << cell
-              cell += 1
-            }
-            ImageHash(a.asset_id, a.media_type, decoded = true, hash)
+            ImageHash(a.asset_id, a.media_type, decoded = true, ahashOf(img))
           case None =>
             ImageHash(a.asset_id, a.media_type, decoded = false, 0L)
         }
       }
     }(Encoders.product[ImageHash])
+  }
+
+  /** The aHash raster pass (shared by still images and video frames). */
+  private def ahashOf(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](64)
+    val pix = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val gr = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val cell = gr * 8 + x * 8 / w
+        sums(cell) += g; pix(cell) += 1; total += g
+        x += 1
+      }
+      y += 1
+    }
+    val totalPix = w.toLong * h
+    var hash = 0L
+    var cell = 0
+    while (cell < 64) {
+      if (pix(cell) > 0 && sums(cell) * totalPix > total * pix(cell))
+        hash |= 1L << cell
+      cell += 1
+    }
+    hash
   }
 
   // ------------------------------------------------------------- audio path
@@ -692,5 +704,94 @@ object Multimodal {
         else Seq(DecodedFrame(a.asset_id, a.media_type, -1L, 0, -1, -1, "none", -1L))
       }
     }(Encoders.product[DecodedFrame])
+  }
+
+  // --------------------------------------------- video sequence fingerprint
+
+  /** Variant-video fixture, the moving-picture analogue of the audio
+    * variant tracks: every 12-id block's 4 video ids (id % 3 == 2) are
+    * VARIANTS of one base sequence — same frame count, same per-frame band
+    * structure, but each variant's accent cell sits elsewhere, so frames
+    * pair at hamming 2 within a group. Frame f of base b has band cols
+    * 1 + (b*5 + f) % 7 and accent (b*7 + f*11 + v*13) % 63. */
+  def videoVariantBase(id: Long): Long = id / 12
+  def videoVariantNo(id: Long): Int = ((id / 3) % 4).toInt
+  def videoVariantFrameCount(id: Long): Int = (2 + videoVariantBase(id) % 4).toInt
+
+  /** A real animated GIF of band+accent pattern frames (two-colour frames
+    * round-trip the palette losslessly, like the solid frames of
+    * [[syntheticGif]]). */
+  def syntheticPatternGif(id: Long): Array[Byte] = {
+    val b = videoVariantBase(id)
+    val v = videoVariantNo(id)
+    val (w, h) = (patternWidth(b), patternHeight(b))
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val nf = videoVariantFrameCount(id)
+      while (f < nf) {
+        val bg = (1 + (b * 5 + f) % 7).toInt
+        val p = ((b * 7 + f * 11 + v * 13) % 63).toInt
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(patternImage(w, h, bg, p), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Swap pattern-sequence GIFs into the video-typed rows. */
+  def withSyntheticPatternVideos(assets: DataFrame): DataFrame = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { a =>
+        if (a.media_type == "video") a.copy(content = syntheticPatternGif(a.asset_id)) else a
+      }
+    }(Encoders.product[Asset]).toDF()
+  }
+
+  final case class FrameHash(
+      asset_id: Long, frame_no: Long, n_frames: Int, decoded: Boolean, ahash: Long)
+
+  /** Per-frame perceptual hashes of a multi-frame container: every frame
+    * decodes for real and runs the same aHash raster pass as still images —
+    * the signature table [[Dedup.frameSequencePairs]] consumes. Undecodable
+    * content emits one flagged sentinel row (frame, don't drop). */
+  def videoFingerprint(assets: DataFrame): Dataset[FrameHash] = {
+    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
+      .as(Encoders.product[Asset])
+    ds.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val frames =
+          try {
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(a.content))
+            try {
+              val readers = ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Seq.empty
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  (0 until n).map { i =>
+                    FrameHash(a.asset_id, i.toLong, n, decoded = true,
+                      ahashOf(reader.read(i)))
+                  }
+                } finally reader.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (frames.nonEmpty) frames
+        else Seq(FrameHash(a.asset_id, -1L, 0, decoded = false, 0L))
+      }
+    }(Encoders.product[FrameHash])
   }
 }

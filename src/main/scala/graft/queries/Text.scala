@@ -1304,6 +1304,46 @@ object Text extends QueryModule {
         WHERE bit_count(xor(b.ahash, x.ahash)) <= 2
         ORDER BY probe_id, index_id""")),
 
+    // --------------------------------------------------------------- q162
+    // Video sequence dedup over REALLY decoded frames — the fourth and
+    // last modality of the dedup ladder. Video assets carry pattern-frame
+    // animated GIFs (4 variants per base sequence: same frame count and
+    // band structure, accent cells elsewhere — frame f of base b has bands
+    // 1 + (b*5+f) % 7 and accent (b*7 + f*11 + v*13) % 63, all lossless
+    // two-colour palette frames). videoFingerprint aHashes every decoded
+    // frame; frameSequencePairs takes banded frame-0 candidates (complete:
+    // a qualifying pair's frame 0 is within the bound by definition) and
+    // refines with the aligned per-frame max — two sequences match iff
+    // lengths agree and EVERY frame pair sits within hamming 2. The oracle
+    // recomputes each frame's hash from id arithmetic and runs the
+    // exhaustive pair scan with a per-frame list max.
+    QueryDef("q162_video_sequence_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val vids = Multimodal.withSyntheticPatternVideos(
+            Multimodal.assetize(t(s, dir, "documents")))
+          .filter($"media_type" === "video")
+        val fh = Multimodal.videoFingerprint(vids).toDF().filter($"decoded")
+        Dedup.frameSequencePairs(fh, blocks = 4, maxHamming = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH vd AS (SELECT doc_id, doc_id // 12 AS b, (doc_id // 3) % 4 AS v
+          FROM documents WHERE doc_id % 3 = 2),
+        p AS (SELECT doc_id, b, v, CAST(2 + b % 4 AS INTEGER) AS nf FROM vd),
+        fh AS (SELECT doc_id, nf, list_transform(range(0, nf), f ->
+            xor(((CAST(1 AS BIGINT) << (1 + (b * 5 + f) % 7)) - 1)
+                  * 72340172838076673,
+                CAST(1 AS BIGINT) << ((b * 7 + f * 11 + v * 13) % 63))) AS hs
+          FROM p),
+        pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+            x.nf AS n_frames,
+            CAST(list_aggregate(list_transform(range(0, x.nf), f ->
+              bit_count(xor(x.hs[f + 1], y.hs[f + 1]))), 'max') AS INTEGER)
+              AS max_hamming
+          FROM fh x JOIN fh y ON x.doc_id < y.doc_id AND x.nf = y.nf)
+        SELECT id_a, id_b, n_frames, max_hamming FROM pairs
+        WHERE max_hamming <= 2 ORDER BY id_a, id_b""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

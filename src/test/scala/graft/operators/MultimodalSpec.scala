@@ -305,6 +305,47 @@ class MultimodalSpec extends SparkSpec {
     assert(crossBase.forall(_ > 3), s"cross-base hammings: $crossBase")
   }
 
+  test("videoFingerprint: per-frame hashes of a pattern GIF match the formula; " +
+      "corrupt flags a sentinel row") {
+    val ids = Seq(2L, 5L, 14L, 26L)
+    val in = (ids.map(id =>
+        Multimodal.Asset(id, "video", Multimodal.syntheticPatternGif(id))) :+
+      Multimodal.Asset(99L, "video", "static".getBytes("UTF-8"))).toDF()
+    val got = Multimodal.videoFingerprint(in).collect()
+      .groupBy(_.asset_id)
+    ids.foreach { id =>
+      val b = Multimodal.videoVariantBase(id)
+      val v = Multimodal.videoVariantNo(id)
+      val nf = Multimodal.videoVariantFrameCount(id)
+      val fs = got(id).sortBy(_.frame_no)
+      assert(fs.length === nf && fs.forall(f => f.decoded && f.n_frames === nf))
+      fs.zipWithIndex.foreach { case (fh, f) =>
+        val band = ((1L << (1 + (b * 5 + f) % 7)) - 1) * 0x0101010101010101L
+        val expect = band ^ (1L << ((b * 7 + f * 11 + v * 13) % 63))
+        assert(fh.ahash === expect, s"id=$id frame=$f")
+      }
+    }
+    val bad = got(99L).head
+    assert(!bad.decoded && bad.n_frames === 0 && bad.frame_no === -1L)
+  }
+
+  test("frameSequencePairs: same-base variants pair at max_hamming 2; " +
+      "different length or far frames never pair") {
+    // base 0 variants: 2,5,8,11 (nf=2); base 1 variants: 14,17,20,23 (nf=3)
+    val ids = Seq(2L, 5L, 8L, 11L, 14L, 17L, 20L, 23L)
+    val in = ids.map(id =>
+      Multimodal.Asset(id, "video", Multimodal.syntheticPatternGif(id))).toDF()
+    val fh = Multimodal.videoFingerprint(in).toDF().filter($"decoded")
+    val got = Dedup.frameSequencePairs(fh, maxHamming = 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("n_frames"), r.getAs[Int]("max_hamming"))).toSet
+    val expect = (for {
+      grp <- Seq(Seq(2L, 5L, 8L, 11L), Seq(14L, 17L, 20L, 23L))
+      Seq(a, b) <- grp.combinations(2).toSeq
+    } yield (a, b, if (grp.head == 2L) 2 else 3, 2)).toSet
+    assert(got === expect)
+  }
+
   test("signatureHammingPairs over aHash recovers exactly the brute-force " +
       "hamming<=2 pair set on pattern images") {
     val ids = (0L until 40L).toSeq
