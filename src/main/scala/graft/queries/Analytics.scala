@@ -225,6 +225,71 @@ object Analytics extends QueryModule {
       },
       Some(pageRankOracle)),
 
+    // --------------------------------------------------------------- q163
+    // Triangle counting / clustering coefficient over the user
+    // co-engagement graph (users sharing >= 2 of their top-5 props.k
+    // values), via DEGREE-ORDERED orientation — the Suri-Vassilvitskii
+    // sub-quadratic shape: each node's out-degree is O(sqrt(m)) after
+    // orientation, wedges enumerate as out-neighbor pairs (a skewed hub
+    // generates ZERO wedges — its edges all point in), and one hash join
+    // closes them. The oracle builds the same graph and enumerates
+    // triangles with the naive canonical 3-way join (a < b < c), which is
+    // exactly what the distributed plan must reproduce. Top-5 selection
+    // ties break (cnt desc, k asc) identically both sides; the output is
+    // total over users (left join, zero-filled) so small SFs with sparse
+    // graphs stay well-formed.
+    QueryDef("q163_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val uk = ev.select($"user_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"user_id", $"k").agg(count(lit(1)).as("cnt"))
+        val top5 = uk.withColumn("rn", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"cnt".desc, $"k")))
+          .filter($"rn" <= 5).select($"user_id", $"k")
+        val edges = top5.as("a").join(top5.as("b"),
+            col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
+          .groupBy(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 2)
+          .select($"src", $"dst")
+        val tc = Graph.triangleCounts(edges)
+        ev.select($"user_id").distinct()
+          .join(tc.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+          .select($"user_id",
+            coalesce($"degree", lit(0L)).as("degree"),
+            coalesce($"triangles", lit(0L)).as("triangles"),
+            coalesce($"clustering", lit(0.0)).as("clustering"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+            count(*) AS cnt FROM events GROUP BY 1, 2),
+        t5 AS (SELECT user_id, k FROM (
+            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
+        e AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
+          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pern AS (SELECT n, count(*) AS triangles FROM (
+            SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) GROUP BY 1),
+        deg AS (SELECT n, count(*) AS degree FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        SELECT u.user_id,
+          CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+          CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+          round(CASE WHEN COALESCE(d.degree, 0) >= 2
+            THEN 2.0 * COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END, 6) AS clustering
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN deg d ON d.n = u.user_id
+        LEFT JOIN pern p ON p.n = u.user_id
+        ORDER BY user_id""")),
+
     // --------------------------------------------------------------- q139
     // Range join: purchases landing inside each user's daily browsing
     // window ([min, max] view ts per user-day). The operator rewrites the

@@ -110,7 +110,14 @@ object PlanDump {
         "and the pair stage is the banded signature self-join — Exchange " +
         "on (block, key), equi-join within buckets, hamming filter before " +
         "the distinct. No all-pairs stage; the exhaustive scan exists " +
-        "only in the DuckDB oracle."))
+        "only in the DuckDB oracle."),
+    "q163_triangle_count" ->
+      ("Degree-ordered triangle counting: every join is a HASH equi-join " +
+        "— orientation joins degrees by endpoint, wedges self-join the " +
+        "oriented list on the apex (out-degree O(sqrt m) caps wedge " +
+        "fan-out; a skewed hub emits zero wedges), and one more hash join " +
+        "closes them against the canonical edge set. The naive 3-way " +
+        "enumeration exists only in the DuckDB oracle."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -62,6 +62,51 @@ class GraphSpec extends SparkSpec {
     assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
   }
 
+  test("triangleCounts: K4 + pendant + star, duplicates/self-loops canonicalized") {
+    // K4 on 1-4 (4 triangles; each member in 3), a pendant 4-5, and a
+    // star hub 10 with leaves 11-13 (no triangles, clustering 0);
+    // a duplicate edge, a reversed duplicate, and a self-loop must vanish
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (2L, 1L), (1L, 2L), (7L, 7L)
+    ).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("clustering")))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 3L, 1.0)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(got(4L) === ((4L, 3L, 0.5)))   // 3 of C(4,2)=6 closed
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    assert(got(10L) === ((3L, 0L, 0.0)))  // star hub: no closed wedges
+    assert(got(11L) === ((1L, 0L, 0.0)))
+    assert(!got.contains(7L))             // self-loop-only node drops out
+    // total triangles counted once each: sum/3 == 4
+    assert(got.values.map(_._2).sum === 12L)
+  }
+
+  test("triangleCounts matches brute force on a pseudo-random graph") {
+    // deterministic pseudo-random graph on 30 nodes
+    val edges = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      if ((a * 31 + b * 17 + 7) % 5) == 0
+    } yield (a, b)).toDF("src", "dst")
+    val local = edges.as[(Long, Long)].collect().toSet
+    def adj(a: Long, b: Long) =
+      local.contains((math.min(a, b), math.max(a, b)))
+    val nodes = local.flatMap(e => Seq(e._1, e._2))
+    val bruteTri = nodes.map { n =>
+      val nb = nodes.filter(m => m != n && adj(n, m)).toSeq.sorted
+      n -> nb.combinations(2).count { case Seq(x, y) => adj(x, y) }.toLong
+    }.toMap
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles")).toMap
+    assert(got === bruteTri)
+  }
+
   test("eventTransitionEdges: consecutive-per-user edges, (ts, event_id) tie-break, weights summed") {
     import java.sql.Timestamp
     def ts(ms: Long) = new Timestamp(1700000000000L + ms)
