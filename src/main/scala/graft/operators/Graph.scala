@@ -105,6 +105,34 @@ object Graph {
     ranks
   }
 
+  /** User co-engagement graph over an event log: an undirected edge (src <
+    * dst) between users sharing at least `minShared` of their top-`topK`
+    * `props.k` feature values (ties in the per-user top-K break by count
+    * desc then k asc — deterministic). The pair stage joins on the feature
+    * value, so bucket occupancy is users-per-feature, never all-pairs;
+    * production adds the same hot-key cap as every other bucketed
+    * generator when a feature is shared by a large fraction of users. */
+  def coEngagementEdges(
+      events: DataFrame,
+      topK: Int = 5,
+      minShared: Int = 2,
+      userCol: String = "user_id",
+      propsCol: String = "props"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uk = events.select(col(userCol).as("user_id"),
+        get_json_object(col(propsCol), "$.k").cast("long").as("k"))
+      .groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("cnt"))
+    val top = uk.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("cnt").desc, col("k"))))
+      .filter(col("rn") <= topK).select(col("user_id"), col("k"))
+    top.as("a").join(top.as("b"),
+        col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("src"), col("dst"))
+  }
+
   /** Per-node triangle counts + degrees + clustering coefficient over an
     * undirected simple graph, via DEGREE-ORDERED edge orientation — the
     * classic sub-quadratic distributed triangle algorithm (Suri &

@@ -242,19 +242,7 @@ object Analytics extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val ev = t(s, dir, "events")
-        val uk = ev.select($"user_id",
-            get_json_object($"props", "$.k").cast("long").as("k"))
-          .groupBy($"user_id", $"k").agg(count(lit(1)).as("cnt"))
-        val top5 = uk.withColumn("rn", row_number().over(
-            Window.partitionBy($"user_id").orderBy($"cnt".desc, $"k")))
-          .filter($"rn" <= 5).select($"user_id", $"k")
-        val edges = top5.as("a").join(top5.as("b"),
-            col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
-          .groupBy(col("a.user_id").as("src"), col("b.user_id").as("dst"))
-          .agg(count(lit(1)).as("shared"))
-          .filter($"shared" >= 2)
-          .select($"src", $"dst")
-        val tc = Graph.triangleCounts(edges)
+        val tc = Graph.triangleCounts(Graph.coEngagementEdges(ev))
         ev.select($"user_id").distinct()
           .join(tc.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
           .select($"user_id",

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Sketches
+import graft.operators.{Graph, Sketches}
 
 /** Probabilistic-sketch queries over the documents corpus. Unlike
   * `approx_count_distinct`/t-digest (engine-private internals, only
@@ -439,7 +439,74 @@ object Sketch extends QueryModule {
         FROM (SELECT *, row_number() OVER (PARTITION BY day
                 ORDER BY spend_cents DESC, CAST(user_id AS VARCHAR)) AS rn
               FROM sp)
-        WHERE rn <= 5 ORDER BY day, rank"""))
+        WHERE rn <= 5 ORDER BY day, rank""")),
+
+    // --------------------------------------------------------------- q164
+    // HyperBall 2-hop neighborhood-size estimation (Boldi-Vigna 2013) —
+    // the sketches x graphs fusion that computes neighborhood functions at
+    // scales where exact 2-hop closures are impossible: each node carries
+    // an HLL register frame of its ball-1 members (self + neighbors); ONE
+    // propagation round merges every neighbor's frame by register max
+    // (one edge-keyed join + (node, bucket) max — the HyperBall
+    // iteration), yielding ball-2 registers WITHOUT materializing 2-hop
+    // pairs. Registers are the engine-portable md5 construction, so the
+    // oracle builds the EXACT same sketch over the exact 2-hop closure
+    // (register max over a union == registers of the set union) and the
+    // estimates must agree to the 6-dp grid. Graph: the q163 co-engagement
+    // edges.
+    QueryDef("q164_hyperball_2hop",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Graph.coEngagementEdges(t(s, dir, "events"))
+          .localCheckpoint(true) // feeds ball-1 items AND the propagation
+        val sym = edges.select($"src".as("node"), $"dst".as("nb"))
+          .union(edges.select($"dst".as("node"), $"src".as("nb")))
+        val ball1 = sym.select($"node", $"node".as("item"))
+          .union(sym.select($"node", $"nb".as("item")))
+        val r1 = Sketches.hllRegisters(ball1, Seq("node"), $"item", B)
+          .localCheckpoint(true) // self term + per-neighbor term
+        val propagated = r1.union(
+          sym.join(r1.withColumnRenamed("node", "nb"), "nb")
+            .select($"node", $"bucket", $"register"))
+          .groupBy($"node", $"bucket").agg(max($"register").as("register"))
+        Sketches.hllEstimate(propagated, Seq("node"), B)
+          .select($"node".as("user_id"),
+            round($"hll_estimate", 6).as("est_ball2"))
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+            count(*) AS cnt FROM events GROUP BY 1, 2),
+        t5 AS (SELECT user_id, k FROM (
+            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
+        eg AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
+          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (SELECT u AS node, v AS nb FROM eg
+          UNION ALL SELECT v, u FROM eg),
+        ball1 AS (SELECT node, node AS item FROM (SELECT DISTINCT node FROM sym)
+          UNION SELECT node, nb FROM sym),
+        ball2 AS (SELECT node, item FROM ball1
+          UNION SELECT s.node, b1.item FROM sym s
+            JOIN ball1 b1 ON b1.node = s.nb),
+        h AS (SELECT node, ${h60Sql("CAST(item AS VARCHAR)")} AS h FROM ball2),
+        hh AS (SELECT node, h & ${M - 1} AS bucket,
+            CASE WHEN (h >> $B) = 0 THEN ${SuffixBits + 1}
+              ELSE ${SuffixBits + 1} - length(printf('%b', h >> $B)) END AS rho
+          FROM h),
+        reg AS (SELECT node, bucket, max(rho) AS register
+          FROM hh GROUP BY 1, 2),
+        agg AS (SELECT node,
+            sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+            count(*) AS c FROM reg GROUP BY 1),
+        est AS (SELECT node,
+            CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
+        fin AS (SELECT node,
+            CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
+              THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
+              ELSE raw END AS e FROM est)
+        SELECT node AS user_id, round(e, 6) AS est_ball2
+        FROM fin ORDER BY user_id"""))
   )
 
   // Histogram shape for q95: 16-char cells, 256 buckets (4 KB of longs per
