@@ -92,6 +92,38 @@ object Sampling {
     docs.filter(hashHex(col(idCol), salt) < threshold)
   }
 
+  /** Weighted sampling WITHOUT replacement, top-k per stratum — the
+    * Efraimidis-Spirakis exponential-key scheme (A-ES, IPL 2006): each row
+    * draws a deterministic uniform u from its id hash and keys as
+    * ln(u)/w (monotone-equivalent to the paper's u^(1/w); higher weight =>
+    * key closer to 0 => more likely in the top-k), and the k largest keys
+    * per stratum ARE a weighted sample without replacement. One window per
+    * stratum, no iteration, no driver state — the distributed form of the
+    * sequential reservoir. Keys round to the shared 6-dp grid BEFORE
+    * ranking (ln ulp convention), ids break ties; rows with weight <= 0
+    * are excluded (standard A-ES domain). Returns the sampled rows with
+    * `aes_key` and per-stratum `rank` appended. */
+  def weightedReservoir(
+      docs: DataFrame,
+      weight: Column,
+      k: Int,
+      strataCols: Seq[String] = Seq.empty,
+      idCol: String = "doc_id",
+      salt: String = "graft-aes"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // u = (h60 + 1) / 2^60 in (0, 1]: 60-bit md5 of (id || "|" || salt).
+    // Every step is IEEE-identical cross-engine: both engines round the
+    // same BIGINT to the same double and divide by the same exact power of
+    // two, so u is bit-equal before the ln even runs.
+    val h = Sketches.md5Bits60(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val keyed = docs.filter(weight > 0)
+      .withColumn("aes_key", round(log(u) / weight, 6))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("aes_key").desc, col(idCol))
+    keyed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Mixture planning: the per-category keep rates that turn observed
     * category counts into a target mixture with MAXIMUM retention and no
     * upsampling. `K = min over c of n_c / share_c` is the largest total

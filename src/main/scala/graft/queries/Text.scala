@@ -495,6 +495,36 @@ object Text extends QueryModule {
                     ELSE '${Sampling.rateThresholdHex(0.8)}' END
         ORDER BY doc_id""")),
 
+    // --------------------------------------------------------------- q165
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    // top-10 per language by the exponential key ln(u)/w, u drawn
+    // deterministically from the id's md5, w = n_chars — longer documents
+    // proportionally likelier, no row ever drawn twice, one window per
+    // stratum instead of a sequential reservoir. u is bit-identical
+    // cross-engine (same BIGINT -> double rounding, same exact 2^60
+    // divisor), and keys round to the 6-dp grid before ranking so the ln
+    // ulp never flips an order. The quality-weighted corpus-subset recipe
+    // at 100 TB: one scan, one bounded shuffle.
+    QueryDef("q165_weighted_reservoir",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.weightedReservoir(t(s, dir, "documents"),
+            weight = $"n_chars", k = 10, strataCols = Seq("lang"))
+          .select($"lang", $"doc_id", $"n_chars", $"aes_key", $"rank")
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH d AS (SELECT lang, doc_id, n_chars,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|graft-aes'),
+              1, 15)) AS BIGINT) AS h
+          FROM documents WHERE n_chars > 0),
+        kye AS (SELECT lang, doc_id, n_chars,
+            round(ln((h + 1.0) / 1152921504606846976.0) / n_chars, 6) AS aes_key
+          FROM d),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY aes_key DESC, doc_id) AS INTEGER) AS rank FROM kye)
+        SELECT lang, doc_id, n_chars, aes_key, rank FROM rk
+        WHERE rank <= 10 ORDER BY lang, rank""")),
+
     // ---------------------------------------------------------------- q65
     // Corpus top-k n-grams: the global frequency ranking behind stop-list
     // construction and contamination triage. Explode -> partial agg -> one

@@ -238,4 +238,36 @@ class SamplingSpec extends SparkSpec {
     assert(a === b, "kept set must not depend on input order")
     assert(a.size === 18) // 3 strata x ceil(30/5)
   }
+
+  test("weightedReservoir: brute-force key parity, without replacement, " +
+      "heavy weights dominate") {
+    val rows = (1L to 60L).map(i =>
+      (i, s"s${i % 2}", if (i <= 4) 1000000.0 else 1.0))
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val got = Sampling.weightedReservoir(df, col("w"), k = 5,
+        strataCols = Seq("stratum")).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank")))
+    // without replacement + exactly k per stratum
+    assert(got.map(_._2).distinct.length === got.length)
+    assert(got.groupBy(_._1).values.forall(_.length === 5))
+    // brute-force A-ES locally with the same hash/key arithmetic
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|graft-aes".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      BigDecimal(math.log((h + 1.0) / 1152921504606846976.0) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.groupBy(_._2).flatMap { case (st, rs) =>
+      rs.map { case (id, _, w) => (id, key(id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (st, id, i + 1) }
+    }.toSet
+    assert(got.toSet === expect)
+    // the 4 million-weight docs (2 per stratum) must all be sampled:
+    // their keys sit ~1e6 closer to zero than any unit-weight key
+    assert(Set(1L, 2L, 3L, 4L).subsetOf(got.map(_._2).toSet))
+  }
 }
