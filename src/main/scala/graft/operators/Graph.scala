@@ -133,6 +133,53 @@ object Graph {
       .select(col("src"), col("dst"))
   }
 
+  /** The k-core of an undirected simple graph (maximal subgraph where every
+    * node keeps degree >= k), by iterative peeling: each round drops nodes
+    * whose CURRENT degree is below k and the edges touching them, until a
+    * fixed point. One degree aggregation + two semi-joins per round, edges
+    * localCheckpoint'd so round plans stay constant-depth — the identical
+    * loop discipline as [[pageRankFixedPoint]] and the CC rounds. The one
+    * driver pull per round is a single count (the CC-loop convention) used
+    * only for the early exit; peeling is MONOTONE, so exiting at the fixed
+    * point equals running all `maxRounds` rounds — which is what makes an
+    * unrolled fixed-round SQL oracle bit-comparable regardless of where
+    * convergence lands. Returns (node, core_degree) for the surviving
+    * subgraph (empty when the core is empty). */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int = 16,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = e.count()
+    var round = 0
+    while (prev > 0L && round < maxRounds) {
+      val deg = e.select(explode(array(col("x"), col("y"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
+        .select(col("x"), col("y"))
+        .localCheckpoint(true)
+      val n = e2.count()
+      val done = n == prev
+      prev = n
+      e = e2
+      round += 1
+      if (done) round = maxRounds // fixed point: further rounds are no-ops
+    }
+    e.select(explode(array(col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Per-node triangle counts + degrees + clustering coefficient over an
     * undirected simple graph, via DEGREE-ORDERED edge orientation — the
     * classic sub-quadratic distributed triangle algorithm (Suri &

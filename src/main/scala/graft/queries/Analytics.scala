@@ -66,6 +66,50 @@ object Analytics extends QueryModule {
         ORDER BY rank_micro DESC, event_type"""
   }
 
+  private val KCoreRounds = 16
+  private val KCoreK = 4
+
+  // The k-core oracle: peeling unrolls as a WITH chain e0..eN (same
+  // unrolled-loop technique as the PageRank oracle). Every round is
+  // integer degree counting + membership filters, so the chain is
+  // bit-exact against the Spark loop; post-fixpoint rounds are no-ops,
+  // which is what lets the Spark side early-exit.
+  private val kCoreOracle: String = {
+    val head = s"""WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+            count(*) AS cnt FROM events GROUP BY 1, 2),
+        t5 AS (SELECT user_id, k FROM (
+            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
+        e0 AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
+          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    // Every round references its predecessor e-CTE three times (degree
+    // count + two membership probes); without MATERIALIZED, DuckDB's CTE
+    // inlining would expand the chain EXPONENTIALLY (2^16 base scans —
+    // observed as a too-many-open-files explosion). Materializing each
+    // round keeps the oracle linear in rounds, like the Spark loop's
+    // per-round localCheckpoint.
+    val loop = (1 to KCoreRounds).map { i =>
+      s""", keep${i - 1} AS MATERIALIZED (SELECT n FROM (
+            SELECT n, count(*) AS d FROM (
+              SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+            GROUP BY 1) WHERE d >= $KCoreK),
+          e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+            WHERE u IN (SELECT n FROM keep${i - 1})
+              AND v IN (SELECT n FROM keep${i - 1}))"""
+    }.mkString
+    head + loop +
+      s"""
+        , core AS (SELECT n AS user_id, count(*) AS core_degree FROM (
+            SELECT u AS n FROM e$KCoreRounds
+            UNION ALL SELECT v FROM e$KCoreRounds) GROUP BY 1)
+        SELECT u.user_id, (c.core_degree IS NOT NULL) AS in_core,
+          CAST(COALESCE(c.core_degree, 0) AS BIGINT) AS core_degree
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN core c USING (user_id)
+        ORDER BY user_id"""
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q133
@@ -277,6 +321,33 @@ object Analytics extends QueryModule {
         LEFT JOIN deg d ON d.n = u.user_id
         LEFT JOIN pern p ON p.n = u.user_id
         ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- q166
+    // k-core decomposition (k=4) of the co-engagement graph by iterative
+    // peeling — the graph-quality gate that isolates the densely-connected
+    // cohort (spam rings, power-user cores) from tendrils. The Spark loop
+    // peels to the FIXED POINT with one degree aggregation + two
+    // semi-joins per round and a single count per round for the early
+    // exit; the oracle unrolls exactly 16 peeling rounds as a CTE chain.
+    // Peeling is monotone, so the early-exited fixed point equals the
+    // 16-round unroll whenever convergence lands within 16 (measured: 10
+    // rounds at sf0.01, 2 at sf0.1; post-fixpoint rounds are no-ops, so
+    // extra unrolled rounds never diverge). Output total over users,
+    // zero-filled.
+    QueryDef("q166_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val core = Graph.kCore(Graph.coEngagementEdges(ev), k = 4,
+          maxRounds = KCoreRounds)
+        ev.select($"user_id").distinct()
+          .join(core.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+          .select($"user_id",
+            $"core_degree".isNotNull.as("in_core"),
+            coalesce($"core_degree", lit(0L)).as("core_degree"))
+          .orderBy($"user_id")
+      },
+      Some(kCoreOracle)),
 
     // --------------------------------------------------------------- q139
     // Range join: purchases landing inside each user's daily browsing

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Retrieval, Similarity}
+import graft.operators.{Dedup, Multimodal, Retrieval, Similarity}
 import graft.sources.Tables
 
 /** Scale-ramp harness for the heavy dedup family: measures each operator on
@@ -121,6 +121,44 @@ object ScaleRamp {
         val mdl = Similarity.trainIvfPq(c)
         Similarity.encodeIvfPq(c, mdl)
       }))
+
+    // Media decode+hash: pure map work over real codec bytes (the corpus
+    // materialization pays the ENCODE; the operator pays decode + hash) —
+    // expected ~linear. Ids shift per copy like every other synth; all
+    // pattern/variant arithmetic is id-derived, so copies are distinct
+    // assets, not byte-duplicates.
+    def mediaAssets(media: String)(f: Int): DataFrame = {
+      val ids = scaledDocs(spark, sfDir, f)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === lit(Seq("image", "audio", "video").indexOf(media).toLong))
+      val assets = Multimodal.assetize(ids)
+      media match {
+        case "image" => Multimodal.withSyntheticPatternImages(assets)
+        case "audio" => Multimodal.withSyntheticAudioVariants(assets)
+        case _ => Multimodal.withSyntheticPatternVideos(assets)
+      }
+    }
+    ramp("media_image", mediaAssets("image"), Seq(
+      "image_ahash" -> (d => Multimodal.imageAHash(d).toDF())))
+    ramp("media_audio", mediaAssets("audio"), Seq(
+      "audio_fingerprint" -> (d => Multimodal.audioFingerprint(d).toDF())))
+    ramp("media_video", mediaAssets("video"), Seq(
+      "video_frame_hashes" -> (d => Multimodal.videoFingerprint(d).toDF())))
+
+    // Signature banding at CONSTANT near-dup group size: groups of 4, each
+    // variant one bit off its group's 64-bit base — pair count grows
+    // linearly with the corpus (6 per group), so the exponent reads the
+    // banded join, not fixture degeneracy. (The q159 pattern fixture has 7
+    // giant band-groups by design — right for oracle-exactness, wrong for
+    // a scaling measurement.)
+    def synthSigs(f: Int): DataFrame =
+      spark.range(5000L * f).selectExpr("id",
+        """xxhash64(id DIV 4) ^
+           shiftleft(CAST(1 AS BIGINT),
+             CAST(((id % 4) * 17 + 3) % 63 AS INT)) AS sig""")
+    ramp("signatures", synthSigs, Seq(
+      "hamming_pairs" -> (d => Dedup.signatureHammingPairs(d, "id", "sig",
+        blocks = 4, maxHamming = 2))))
     spark.stop()
   }
 }

@@ -107,6 +107,22 @@ class GraphSpec extends SparkSpec {
     assert(got === bruteTri)
   }
 
+  test("kCore: K5 survives k=4, tendrils peel; cascading removal converges") {
+    val edges = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+      Seq((5L, 6L), (6L, 7L)) // tendril off the clique
+    val core4 = Graph.kCore(edges.toDF("src", "dst"), k = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+    assert(core4 === Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    // cycle + tail: the 2-core is the cycle; the tail peels over TWO
+    // cascading rounds (6 only drops after 5 does)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L))
+    val core2 = Graph.kCore(cyc.toDF("src", "dst"), k = 2).collect()
+      .map(_.getAs[Long]("node")).toSet
+    assert(core2 === Set(1L, 2L, 3L, 4L))
+    // empty core when k exceeds every degree
+    assert(Graph.kCore(cyc.toDF("src", "dst"), k = 5).count() === 0L)
+  }
+
   test("eventTransitionEdges: consecutive-per-user edges, (ts, event_id) tie-break, weights summed") {
     import java.sql.Timestamp
     def ts(ms: Long) = new Timestamp(1700000000000L + ms)
