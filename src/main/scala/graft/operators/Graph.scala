@@ -133,6 +133,51 @@ object Graph {
       .select(col("src"), col("dst"))
   }
 
+  /** Adamic-Adar link prediction: for every ORDERED non-adjacent pair
+    * (src, cand) with at least one common neighbor, the score
+    * Σ_z 1/ln(deg z) over common neighbors z — the classic
+    * common-neighbors recommender, hub-discounted by the log. Wedges
+    * enumerate per apex (one self-join of the adjacency list keyed by the
+    * apex), so work is Σ C(deg z, 2); apexes above `maxHubDegree` are
+    * EXCLUDED — the standard cap, principled here because a hub's
+    * per-wedge contribution 1/ln(deg) is already near-worthless while its
+    * wedge count is quadratic (the same degenerate-bucket lever as LSH
+    * caps; the cap is part of the operator's contract, not a silent drop).
+    * Per-wedge weights round to the 6-dp grid BEFORE the exact DECIMAL
+    * sum, so scores are order-independent and engine-identical. */
+  def adamicAdar(
+      edges: DataFrame,
+      maxHubDegree: Int = 128,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+    val sym = und.select(col("x").as("node"), col("y").as("nb"))
+      .union(und.select(col("y").as("node"), col("x").as("nb")))
+      .localCheckpoint(true) // adjacency: wedge sides + anti-join + degrees
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
+    // d >= 2: a degree-1 node can never be a wedge apex, and ln(1) = 0
+    // would make the weight projection divide by zero under ANSI mode
+    val capped = sym.join(
+        deg.filter(col("d") >= 2 && col("d") <= maxHubDegree), "node")
+      .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 6))
+    val wedges = capped.as("a").join(capped.as("b"),
+        col("a.node") === col("b.node") && col("a.nb") =!= col("b.nb"))
+      .select(col("a.nb").as("src"), col("b.nb").as("cand"), col("a.w").as("w"))
+    // aggregate FIRST (map-side combinable — the wedge stream never hits
+    // the shuffle at full fan-out), THEN anti-join the far smaller
+    // distinct-pair frame against the adjacency to drop existing links
+    wedges
+      .groupBy(col("src"), col("cand"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        expr("CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE)").as("aa_score"))
+      .join(sym.select(col("node").as("src"), col("nb").as("cand")),
+        Seq("src", "cand"), "left_anti") // existing links are not predictions
+  }
+
   /** The k-core of an undirected simple graph (maximal subgraph where every
     * node keeps degree >= k), by iterative peeling: each round drops nodes
     * whose CURRENT degree is below k and the edges touching them, until a

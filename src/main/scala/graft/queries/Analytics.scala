@@ -349,6 +349,69 @@ object Analytics extends QueryModule {
       },
       Some(kCoreOracle)),
 
+    // --------------------------------------------------------------- q167
+    // Adamic-Adar link prediction: per user, the best NEW connection by
+    // hub-discounted common-neighbor score (Σ 1/ln(deg z) over shared
+    // neighbors z). Wedges enumerate per apex with the >128-degree hub cap
+    // (contractual, both sides — a hub's wedge count is quadratic while
+    // its per-wedge weight is near-zero); per-wedge weights round to 6 dp
+    // BEFORE the exact DECIMAL sum, so scores are order-free and
+    // engine-identical; existing links anti-join away. Output total over
+    // users: (-1, 0, 0.0) sentinels for users with no prediction, so
+    // sparse small-SF graphs stay well-formed.
+    QueryDef("q167_link_prediction",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val aa = Graph.adamicAdar(Graph.coEngagementEdges(ev))
+        val best = aa.withColumn("rn", row_number().over(
+            Window.partitionBy($"src").orderBy($"aa_score".desc, $"cand")))
+          .filter($"rn" === 1)
+        ev.select($"user_id".cast("long").as("user_id")).distinct()
+          .join(best.select($"src".cast("long").as("user_id"),
+              $"cand".cast("long").as("suggested_id"),
+              $"common_neighbors", $"aa_score"),
+            Seq("user_id"), "left")
+          .select($"user_id",
+            coalesce($"suggested_id", lit(-1L)).as("suggested_id"),
+            coalesce($"common_neighbors", lit(0L)).as("common_neighbors"),
+            coalesce($"aa_score", lit(0.0)).as("aa_score"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+            count(*) AS cnt FROM events GROUP BY 1, 2),
+        t5 AS (SELECT user_id, k FROM (
+            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
+        e AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
+          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+        capped AS (SELECT s.node, s.nb,
+            round(1.0 / ln(CAST(d.d AS DOUBLE)), 6) AS w
+          FROM sym s JOIN deg d
+          ON d.node = s.node AND d.d >= 2 AND d.d <= 128),
+        wedge AS (SELECT a.nb AS src, b.nb AS cand, a.w
+          FROM capped a JOIN capped b
+          ON a.node = b.node AND a.nb <> b.nb),
+        cands AS (SELECT w.src, w.cand, count(*) AS common_neighbors,
+            CAST(sum(CAST(w.w AS DECIMAL(28,6))) AS DOUBLE) AS aa_score
+          FROM wedge w
+          WHERE NOT EXISTS (SELECT 1 FROM sym s
+            WHERE s.node = w.src AND s.nb = w.cand)
+          GROUP BY 1, 2),
+        best AS (SELECT src, cand, common_neighbors, aa_score,
+            row_number() OVER (PARTITION BY src
+              ORDER BY aa_score DESC, cand) AS rn FROM cands)
+        SELECT CAST(u.user_id AS BIGINT) AS user_id,
+          CAST(COALESCE(b.cand, -1) AS BIGINT) AS suggested_id,
+          CAST(COALESCE(b.common_neighbors, 0) AS BIGINT) AS common_neighbors,
+          COALESCE(b.aa_score, 0.0) AS aa_score
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.src = u.user_id
+        ORDER BY user_id""")),
+
     // --------------------------------------------------------------- q139
     // Range join: purchases landing inside each user's daily browsing
     // window ([min, max] view ts per user-day). The operator rewrites the

@@ -107,6 +107,31 @@ class GraphSpec extends SparkSpec {
     assert(got === bruteTri)
   }
 
+  test("adamicAdar matches brute force; existing links excluded; leaves safe") {
+    // path 1-2-3 plus triangle 3-4-5 plus leaf 5-6 (degree-1 leaf must
+    // not blow up the ln weight projection)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L), (5L, 6L))
+    val got = Graph.adamicAdar(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("cand")) ->
+        ((r.getAs[Long]("common_neighbors"), r.getAs[Double]("aa_score")))).toMap
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def w(z: Long) = BigDecimal(1.0 / math.log(adj(z).size.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val nodes = adj.keySet
+    val brute = (for {
+      s <- nodes; c <- nodes
+      if s != c && !adj(s).contains(c)
+      common = adj(s).intersect(adj(c)).filter(z => adj(z).size >= 2)
+      if common.nonEmpty
+    } yield (s, c) ->
+      ((common.size.toLong, common.toSeq.map(w).sum.toDouble))).toMap
+    assert(got === brute)
+    // spot check: 1 and 3 share only node 2 (degree 2) -> 1/ln 2
+    assert(got((1L, 3L))._2 === BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("kCore: K5 survives k=4, tendrils peel; cascading removal converges") {
     val edges = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
       Seq((5L, 6L), (6L, 7L)) // tendril off the clique
