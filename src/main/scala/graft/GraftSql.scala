@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions.udaf
 
-import graft.operators.{Dedup, Retrieval, Sketches, StreamingTopK}
+import graft.operators.{Dedup, Graph, Retrieval, Sketches, StreamingTopK}
 import graft.sources.Tables
 
 /** The engine's SQL-ONLY surface: one registration call makes the fixture
@@ -53,6 +53,24 @@ object GraftSql {
     Dedup.exact(docs).createOrReplaceTempView("graft_dedup_groups")
     Retrieval.bm25TopK(docs, nQueryTerms = 10, topK = 10)
       .createOrReplaceTempView("graft_bm25_topk")
+  }
+
+  /** Graph-analytics views over the user co-engagement graph. NOT part of
+    * [[registerAll]]: `triangleCounts` materializes its edge frame eagerly
+    * (localCheckpoint — the loop discipline), so this registration runs
+    * Spark jobs at call time; clients opt in when they want the graph
+    * surface rather than paying it on every registerAll. */
+  def registerGraphViews(spark: SparkSession, dir: String): Unit = {
+    val ev = Tables(spark, dir, "events")
+    val tc = Graph.triangleCounts(Graph.coEngagementEdges(ev))
+    import org.apache.spark.sql.functions._
+    ev.select(col("user_id")).distinct()
+      .join(tc.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        coalesce(col("clustering"), lit(0.0)).as("clustering"))
+      .createOrReplaceTempView("graft_user_triangles")
   }
 
   /** Everything a SQL-only client needs, in one call. */

@@ -69,6 +69,37 @@ object Analytics extends QueryModule {
   private val KCoreRounds = 16
   private val KCoreK = 4
 
+  // Shared by q163 (Scala-authored) and q168 (SQL-authored via the
+  // graft_user_triangles view): the naive canonical 3-way triangle
+  // enumeration over the co-engagement graph, total over users.
+  private val triangleOracle: String =
+    """WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+            count(*) AS cnt FROM events GROUP BY 1, 2),
+        t5 AS (SELECT user_id, k FROM (
+            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
+        e AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
+          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pern AS (SELECT n, count(*) AS triangles FROM (
+            SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) GROUP BY 1),
+        deg AS (SELECT n, count(*) AS degree FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        SELECT u.user_id,
+          CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+          CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+          round(CASE WHEN COALESCE(d.degree, 0) >= 2
+            THEN 2.0 * COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END, 6) AS clustering
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN deg d ON d.n = u.user_id
+        LEFT JOIN pern p ON p.n = u.user_id
+        ORDER BY user_id"""
+
   // The k-core oracle: peeling unrolls as a WITH chain e0..eN (same
   // unrolled-loop technique as the PageRank oracle). Every round is
   // integer degree counting + membership filters, so the chain is
@@ -295,32 +326,20 @@ object Analytics extends QueryModule {
             coalesce($"clustering", lit(0.0)).as("clustering"))
           .orderBy($"user_id")
       },
-      Some("""WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
-            count(*) AS cnt FROM events GROUP BY 1, 2),
-        t5 AS (SELECT user_id, k FROM (
-            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
-              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
-        e AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
-          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
-          GROUP BY 1, 2 HAVING count(*) >= 2),
-        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-          FROM e e1 JOIN e e2 ON e2.u = e1.v
-          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        pern AS (SELECT n, count(*) AS triangles FROM (
-            SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
-            UNION ALL SELECT c FROM tri) GROUP BY 1),
-        deg AS (SELECT n, count(*) AS degree FROM (
-            SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
-        SELECT u.user_id,
-          CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
-          CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
-          round(CASE WHEN COALESCE(d.degree, 0) >= 2
-            THEN 2.0 * COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1))
-            ELSE 0.0 END, 6) AS clustering
-        FROM (SELECT DISTINCT user_id FROM events) u
-        LEFT JOIN deg d ON d.n = u.user_id
-        LEFT JOIN pern p ON p.n = u.user_id
-        ORDER BY user_id""")),
+      Some(triangleOracle)),
+
+    // --------------------------------------------------------------- q168
+    // The graph surface from PLAIN SQL: one registration call exposes the
+    // per-user triangle/clustering frame as a view, and the query text is
+    // a SELECT any JDBC/notebook client could type — same oracle as q163,
+    // proving the SQL path returns exactly what the Scala API returns.
+    QueryDef("q168_sql_triangles",
+      (s, dir) => {
+        graft.GraftSql.registerGraphViews(s, dir)
+        s.sql("""SELECT user_id, degree, triangles, clustering
+          FROM graft_user_triangles ORDER BY user_id""")
+      },
+      Some(triangleOracle)),
 
     // --------------------------------------------------------------- q166
     // k-core decomposition (k=4) of the co-engagement graph by iterative
