@@ -73,10 +73,19 @@ object GraftSql {
       .createOrReplaceTempView("graft_user_triangles")
   }
 
+  /** Register the mergeable HLL estimate as a SQL-callable aggregate:
+    * `SELECT g, round(<name>(item), 6) FROM ... GROUP BY g` — approximate
+    * distinct with the engine-portable md5 construction, so an external
+    * SQL engine can rebuild the identical sketch. */
+  def registerHll(spark: SparkSession, name: String, b: Int): Unit =
+    spark.udf.register(name,
+      udaf(new Sketches.HllAgg(b), Encoders.STRING))
+
   /** Everything a SQL-only client needs, in one call. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     registerTables(spark, dir)
     registerSpaceSaving(spark, "ss_summary_64", 64)
+    registerHll(spark, "hll_distinct_12", 12)
     registerOperatorViews(spark, dir)
   }
 }

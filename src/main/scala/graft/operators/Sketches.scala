@@ -191,6 +191,78 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[StreamingTopK.Counter]]()
   }
 
+  /** Mergeable HLL as a typed Aggregator — the SAME engine-portable md5
+    * construction as [[hllRegisters]]/[[hllEstimate]], packaged so plain
+    * `GROUP BY` SQL (via `udaf` registration) and STREAMING windowed
+    * aggregations can build distinct-count sketches the way they call
+    * `sum`. The buffer is a fixed m-byte register array; reduce folds one
+    * item's rho into its bucket, merge is elementwise max — associative
+    * and commutative, so any partial-aggregation or state-store merge tree
+    * yields the identical registers, and the finish estimate equals the
+    * frame-based [[hllEstimate]] on the same data (registers identical by
+    * construction; the finish sums buckets in ascending index order, and
+    * callers round the estimate to the shared 6-dp grid exactly as the
+    * frame path's consumers do). */
+  final class HllAgg(b: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Array[Byte], Double] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    require(b >= 4 && b <= 16, s"b in [4,16], got $b")
+    private val m = 1 << b
+    private val suffixBits = 60 - b
+
+    override def zero: Array[Byte] = new Array[Byte](m)
+
+    // one digest per thread, reset per item — reduce() runs per ROW, so a
+    // fresh MessageDigest + hex-string round-trip there would dominate
+    @transient private lazy val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    override def reduce(buf: Array[Byte], item: String): Array[Byte] = {
+      if (item != null) {
+        val md = mdLocal.get()
+        md.reset()
+        val d = md.digest(item.getBytes("UTF-8"))
+        // first 15 hex chars of the digest == top 60 bits of the first 8
+        // bytes read big-endian (same value md5Bits60's conv() parses)
+        var be = 0L
+        var i = 0
+        while (i < 8) { be = (be << 8) | (d(i) & 0xffL); i += 1 }
+        val h = be >>> 4 // 60 bits, nonnegative
+        val bucket = (h & (m - 1)).toInt
+        val w = h >>> b
+        val rho =
+          if (w == 0L) suffixBits + 1
+          else suffixBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > buf(bucket)) buf(bucket) = rho.toByte
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b2(i) > a(i)) a(i) = b2(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Byte]): Double = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      var s = 0.0
+      var c = 0L
+      var i = 0
+      while (i < m) {
+        if (r(i) > 0) { s += math.pow(2.0, -r(i).toDouble); c += 1 }
+        i += 1
+      }
+      val raw = alpha * m * m / (s + (m - c))
+      if (raw <= 2.5 * m && c < m) m.toDouble * math.log(m.toDouble / (m - c))
+      else raw
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Per-group heavy hitters via [[SpaceSavingAgg]]: one aggregation, the
     * summary explodes to (group, rank, item, cnt, err) rows, top `k` per
     * group. With `capacity` ≥ the group's distinct items the output is the

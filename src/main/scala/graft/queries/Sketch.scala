@@ -506,7 +506,46 @@ object Sketch extends QueryModule {
               THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
               ELSE raw END AS e FROM est)
         SELECT node AS user_id, round(e, 6) AS est_ball2
-        FROM fin ORDER BY user_id"""))
+        FROM fin ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- q169
+    // Approximate distinct from PLAIN SQL: the mergeable HLL registered as
+    // a named aggregate (Sketches.HllAgg via udaf), so `GROUP BY source`
+    // SQL builds the sketch the way it calls sum — and because the
+    // construction is the same engine-portable md5 as q86's frame path,
+    // the DuckDB oracle rebuilds the IDENTICAL registers and must land on
+    // the same 6-dp estimate. The aggregator's buffer is a fixed m-byte
+    // register array with elementwise-max merge, so Spark's partial
+    // aggregation tree cannot perturb the result at any parallelism.
+    QueryDef("q169_sql_hll_distinct",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""WITH tok AS (SELECT source, tok FROM documents_v
+              LATERAL VIEW explode(split(trim(text), '\\s+')) t AS tok
+              WHERE length(tok) > 0)
+          SELECT source, round(hll_distinct_12(tok), 6) AS hll_estimate
+          FROM tok GROUP BY source ORDER BY source""")
+      },
+      Some(s"""WITH tk AS (SELECT source, token FROM ($tokSql)
+            WHERE len(token) > 0),
+          h AS (SELECT source, ${h60Sql("token")} AS h FROM tk),
+          hh AS (SELECT source, h & ${M - 1} AS bucket,
+              CASE WHEN (h >> $B) = 0 THEN ${SuffixBits + 1}
+                ELSE ${SuffixBits + 1} - length(printf('%b', h >> $B)) END AS rho
+            FROM h),
+          reg AS (SELECT source, bucket, max(rho) AS register
+            FROM hh GROUP BY 1, 2),
+          agg AS (SELECT source,
+              sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              count(*) AS c FROM reg GROUP BY 1),
+          est AS (SELECT source,
+              CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
+          fin AS (SELECT source,
+              CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
+                THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
+                ELSE raw END AS e FROM est)
+        SELECT source, round(e, 6) AS hll_estimate
+        FROM fin ORDER BY source"""))
   )
 
   // Histogram shape for q95: 16-char cells, 256 buckets (4 KB of longs per

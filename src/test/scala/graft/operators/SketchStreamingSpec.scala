@@ -52,6 +52,49 @@ class SketchStreamingSpec extends SparkSpec {
     assert(se === be)
   }
 
+  test("HllAgg: streaming windowed aggregate across triggers == batch; " +
+      "finish lands on hllEstimate's 6-dp grid point") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.udaf
+    val agg = udaf(new Sketches.HllAgg(B), Encoders.STRING)
+    val part1 = (1 to 400).map(i => s"it-${i % 311}")
+    val part2 = (150 to 600).map(i => s"it-${i % 311}") // heavy overlap
+    val all = part1 ++ part2
+
+    // batch: the aggregator's registers are identical to the frame path's,
+    // so estimates agree on the shared 6-dp grid (summation order inside
+    // finish vs the frame aggregate may differ in the last ulp)
+    val batchEst = all.toDF("x").agg(agg(col("x")).as("e"))
+      .head.getAs[Double]("e")
+    val frameEst = Sketches.hllEstimate(
+        Sketches.hllRegisters(all.toDF("x").withColumn("g", lit(1)),
+          Seq("g"), col("x"), B), Seq("g"), B)
+      .head.getAs[Double]("hll_estimate")
+    assert(BigDecimal(batchEst).setScale(6, BigDecimal.RoundingMode.HALF_UP) ===
+      BigDecimal(frameEst).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+
+    // streaming: same aggregate, two overlapping triggers, complete mode —
+    // buffer merge is elementwise max, so the final estimate is EXACTLY
+    // the batch aggregator's value
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = stream.toDF().withColumnRenamed("value", "x")
+      .withColumn("g", lit(1))
+      .groupBy(col("g")).agg(agg(col("x")).as("e"))
+      .writeStream.format("memory").queryName("hll_agg_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(part1: _*)
+      q.processAllAvailable()
+      stream.addData(part2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedEst = spark.table("hll_agg_stream")
+      .head.getAs[Double]("e")
+    assert(streamedEst === batchEst)
+  }
+
   test("streaming CMS cells across batches == batch cells over the union") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[String]
