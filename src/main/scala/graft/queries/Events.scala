@@ -728,6 +728,57 @@ object Events extends QueryModule {
     // broken by event_id so the order is total), one partial-aggregable
     // (from, to) groupBy, and the per-from normalizer joins back from a
     // types-sized aggregate — nothing scales past the event count.
+    QueryDef("q170_cusum_changepoints",
+      (s, dir) => {
+        import s.implicits._
+        // CUSUM drift detection per event type over daily counts, in exact
+        // integer micro-units. The recursive form S_t = max(0, S_{t-1} +
+        // x_t - k) is not window-expressible, but its closed form IS:
+        // S_t = P_t - min(0, min_{j<=t} P_j) with P = prefix-sum(x - k)
+        // (the running minimum plays the role of every reset). k is the
+        // type's mean daily count (floor micro-units), the no-drift
+        // baseline; alarm when S exceeds 2k — i.e. two mean-days of
+        // accumulated excess. Every quantity is a BIGINT, so Spark and
+        // DuckDB agree bit-for-bit; at 100 TB the windowed frame is
+        // days x types after one partial-aggregated count.
+        val daily = t(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wPre = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("k_micro",
+            expr("(1000000L * sum(n) OVER (PARTITION BY event_type)) DIV " +
+              "count(n) OVER (PARTITION BY event_type)"))
+          .withColumn("p_micro",
+            sum($"n" * lit(1000000L) - $"k_micro").over(wPre))
+          .withColumn("s_micro",
+            $"p_micro" - least(lit(0L), min($"p_micro").over(wPre)))
+          .select($"event_type", $"day", $"n", $"k_micro", $"s_micro",
+            ($"s_micro" > lit(2L) * $"k_micro").as("alarm"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+        base AS (SELECT event_type, day, n,
+            (1000000 * sum(n) OVER (PARTITION BY event_type)) //
+              count(n) OVER (PARTITION BY event_type) AS k_micro
+          FROM daily),
+        pre AS (SELECT event_type, day, n, k_micro,
+            sum(n * 1000000 - k_micro) OVER (PARTITION BY event_type
+              ORDER BY day ROWS UNBOUNDED PRECEDING) AS p_micro
+          FROM base),
+        cu AS (SELECT event_type, day, n, k_micro, p_micro,
+            p_micro - least(CAST(0 AS BIGINT), min(p_micro)
+              OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) AS s_micro
+          FROM pre)
+        SELECT event_type, day, CAST(n AS BIGINT) AS n,
+          CAST(k_micro AS BIGINT) AS k_micro,
+          CAST(s_micro AS BIGINT) AS s_micro,
+          (s_micro > 2 * k_micro) AS alarm
+        FROM cu ORDER BY event_type, day""")),
+
     QueryDef("q122_event_transitions",
       (s, dir) => {
         import s.implicits._
