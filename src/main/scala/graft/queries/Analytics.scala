@@ -495,6 +495,50 @@ object Analytics extends QueryModule {
         FROM p WHERE overlap * 5 >= sz_small * 4
         ORDER BY id_small, id_large""")),
 
+    // --------------------------------------------------------------- q171
+    // Text-reuse CHAINS: containment pairs (q140's asymmetric inclusion
+    // relation) closed under connectivity — A quoting B quoting C must
+    // land in ONE chain even though A and C share nothing directly. The
+    // dedup ladder's cluster step applied to the inclusion graph: Spark
+    // runs the pointer-jumping min-label CC over the prefix-filtered pair
+    // generator; the oracle runs the O(n^2) pair scan plus a recursive-CTE
+    // transitive closure. Chain id = component-minimum doc_id; singletons
+    // keep their own id.
+    QueryDef("q171_reuse_chains",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.containmentPairs(docs, tauNum = 4, tauDen = 5)
+          .select($"id_small".as("id_a"), $"id_large".as("id_b"))
+        docs.select($"doc_id")
+          .join(Dedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"cluster_id", $"doc_id").as("chain_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $shingles3Sql AS sh,
+            len($shingles3Sql) AS sz FROM documents),
+          p AS (SELECT a.doc_id AS id_small, b.doc_id AS id_large,
+            len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS overlap,
+            a.sz AS sz_small
+          FROM t a JOIN t b
+            ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+            AND a.sz >= 5),
+          pr AS (SELECT id_small AS id_a, id_large AS id_b FROM p
+            WHERE overlap * 5 >= sz_small * 4),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM pr),
+          reach AS (
+            SELECT src AS node, dst AS r FROM edges
+            UNION
+            SELECT e.src AS node, t2.r FROM edges e
+              JOIN reach t2 ON e.dst = t2.node),
+          mins AS (SELECT node, MIN(r) AS mn FROM reach GROUP BY node)
+        SELECT d.doc_id,
+          COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS chain_id
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
+        ORDER BY d.doc_id""")),
+
     // --------------------------------------------------------------- q141
     // The SQL front end as a first-class surface: this query is authored
     // entirely in spark.sql over a registered view — LATERAL VIEW
