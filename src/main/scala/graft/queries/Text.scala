@@ -1374,6 +1374,119 @@ object Text extends QueryModule {
         SELECT id_a, id_b, n_frames, max_hamming FROM pairs
         WHERE max_hamming <= 2 ORDER BY id_a, id_b""")),
 
+    // --------------------------------------------------------------- q172
+    // The cross-modality dedup REPORT — one query, four modalities: text
+    // by exact fingerprint groups, images by aHash hamming <= 2, audio by
+    // energy-fingerprint hamming <= 3, video by aligned frame-sequence
+    // match, each through the operators pinned individually by
+    // q34/q159/q160/q162, summarized as (modality, n_assets, dup_pairs,
+    // assets_in_dups). This is the corpus-curation dashboard row a
+    // multimodal training pipeline publishes per snapshot; the oracle
+    // reassembles every modality's exhaustive pair set and must land on
+    // identical counts.
+    QueryDef("q172_multimodal_dedup_report",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val assets = Multimodal.assetize(docs)
+        def stats(modality: String, n: org.apache.spark.sql.DataFrame,
+            pairs: org.apache.spark.sql.DataFrame, a: String, b: String) =
+          n.agg(count(lit(1)).as("n_assets"))
+            .crossJoin(pairs.agg(count(lit(1)).as("dup_pairs")))
+            .crossJoin(pairs.select(col(a).as("x"))
+              .union(pairs.select(col(b).as("x"))).distinct()
+              .agg(count(lit(1)).as("assets_in_dups")))
+            .select(lit(modality).as("modality"), $"n_assets",
+              $"dup_pairs", $"assets_in_dups")
+        val text = Dedup.exact(docs).agg(
+            sum($"dup_count").as("n_assets"),
+            expr("sum(dup_count * (dup_count - 1) DIV 2)").as("dup_pairs"),
+            sum(when($"dup_count" >= 2, $"dup_count").otherwise(0L))
+              .as("assets_in_dups"))
+          .select(lit("text").as("modality"), $"n_assets", $"dup_pairs",
+            $"assets_in_dups")
+        val imgs = Multimodal.withSyntheticPatternImages(assets)
+          .filter($"media_type" === "image")
+        val image = stats("image", imgs,
+          Dedup.signatureHammingPairs(
+            Multimodal.imageAHash(imgs).toDF().filter($"decoded"),
+            "asset_id", "ahash", blocks = 4, maxHamming = 2),
+          "id_a", "id_b")
+        val auds = Multimodal.withSyntheticAudioVariants(assets)
+          .filter($"media_type" === "audio")
+        val audio = stats("audio", auds,
+          Dedup.signatureHammingPairs(
+            Multimodal.audioFingerprint(auds).toDF().filter($"decoded"),
+            "asset_id", "fingerprint", blocks = 4, maxHamming = 3),
+          "id_a", "id_b")
+        val vids = Multimodal.withSyntheticPatternVideos(assets)
+          .filter($"media_type" === "video")
+        val video = stats("video", vids,
+          Dedup.frameSequencePairs(
+            Multimodal.videoFingerprint(vids).toDF().filter($"decoded"),
+            maxHamming = 2),
+          "id_a", "id_b")
+        text.union(image).union(audio).union(video).orderBy($"modality")
+      },
+      Some("""WITH tg AS (SELECT count(*) AS dup_count FROM documents
+            GROUP BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))),
+        ih AS (SELECT doc_id,
+            xor(((CAST(1 AS BIGINT) << (1 + doc_id % 7)) - 1) * 72340172838076673,
+                CAST(1 AS BIGINT) << ((doc_id * 11 + 2) % 63)) AS ahash
+          FROM documents WHERE doc_id % 3 = 0),
+        ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ih a
+          JOIN ih b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 2),
+        aa AS (SELECT doc_id, doc_id // 12 AS b, (doc_id // 3) % 4 AS v,
+            CAST(400 + ((doc_id // 12) % 5) * 100 AS BIGINT) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        ae AS (SELECT doc_id, list_transform(range(0, 64), w ->
+            CAST(list_aggregate(list_transform(range(n * w // 64, n * (w + 1) // 64),
+              k -> abs((b * 31 + k * 7) % 2048 - 1024
+                + CASE WHEN k % 89 = v * 17 THEN 40 ELSE 0 END)),
+            'sum') AS BIGINT)) AS es FROM aa),
+        af AS (SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 63),
+            w -> CASE WHEN es[w + 2] > es[w + 1]
+              THEN CAST(1 AS BIGINT) << w ELSE CAST(0 AS BIGINT) END),
+          'sum') AS BIGINT) AS fp FROM ae),
+        ap AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM af x
+          JOIN af y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.fp, y.fp)) <= 3),
+        vv AS (SELECT doc_id, doc_id // 12 AS b, (doc_id // 3) % 4 AS v,
+            CAST(2 + (doc_id // 12) % 4 AS INTEGER) AS nf
+          FROM documents WHERE doc_id % 3 = 2),
+        vh AS (SELECT doc_id, nf, list_transform(range(0, nf), f ->
+            xor(((CAST(1 AS BIGINT) << (1 + (b * 5 + f) % 7)) - 1)
+                  * 72340172838076673,
+                CAST(1 AS BIGINT) << ((b * 7 + f * 11 + v * 13) % 63))) AS hs
+          FROM vv),
+        vp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM vh x JOIN vh y ON x.doc_id < y.doc_id AND x.nf = y.nf
+          WHERE CAST(list_aggregate(list_transform(range(0, x.nf), f ->
+            bit_count(xor(x.hs[f + 1], y.hs[f + 1]))), 'max') AS INTEGER) <= 2)
+        SELECT 'text' AS modality,
+          CAST(sum(dup_count) AS BIGINT) AS n_assets,
+          CAST(sum(dup_count * (dup_count - 1) // 2) AS BIGINT) AS dup_pairs,
+          CAST(sum(CASE WHEN dup_count >= 2 THEN dup_count ELSE 0 END)
+            AS BIGINT) AS assets_in_dups
+        FROM tg
+        UNION ALL SELECT 'image',
+          (SELECT count(*) FROM documents WHERE doc_id % 3 = 0),
+          (SELECT count(*) FROM ip),
+          (SELECT count(DISTINCT x) FROM
+            (SELECT id_a AS x FROM ip UNION ALL SELECT id_b FROM ip))
+        UNION ALL SELECT 'audio',
+          (SELECT count(*) FROM documents WHERE doc_id % 3 = 1),
+          (SELECT count(*) FROM ap),
+          (SELECT count(DISTINCT x) FROM
+            (SELECT id_a AS x FROM ap UNION ALL SELECT id_b FROM ap))
+        UNION ALL SELECT 'video',
+          (SELECT count(*) FROM documents WHERE doc_id % 3 = 2),
+          (SELECT count(*) FROM vp),
+          (SELECT count(DISTINCT x) FROM
+            (SELECT id_a AS x FROM vp UNION ALL SELECT id_b FROM vp))
+        ORDER BY modality""")),
+
     // ---------------------------------------------------------------- q39
     // Multimodal plumbing: opaque binary content column + typed metadata,
     // byte-level feature extraction (magic bytes, content hash, sampled

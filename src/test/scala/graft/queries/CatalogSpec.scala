@@ -44,7 +44,10 @@ class CatalogSpec extends SparkSpec {
     // q158 cross-joins the ONE-ROW annContract aggregate with the ONE-ROW
     // append-mismatch counter (shape (a)), and runs ivfPqSearch's bounded
     // <= 5-query broadcast side (q41's justification)
-    "q158_ivfpq_incremental")
+    "q158_ivfpq_incremental",
+    // q172 assembles per-modality summary rows from ONE-ROW count
+    // aggregates cross-joined pairwise (shape (a))
+    "q172_multimodal_dedup_report")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
