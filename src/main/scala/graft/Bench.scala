@@ -47,8 +47,11 @@ object Bench {
     // scheduling floor (min/p50 of a trivial two-stage job — see
     // PROFILING.md round 11 and tools/JobFloor). Loop-family numbers are
     // only comparable across rounds at similar floors; a p50 far above
-    // ~200 ms marks the run as contention-inflated.
-    val (floorMinMs, floorP50Ms) = {
+    // ~200 ms marks the run as contention-inflated. Probed BEFORE and
+    // AFTER the query loop: a floor that rose mid-run explains late-
+    // catalog outliers (r11's q115 34 s) that a single up-front probe
+    // can't — external load is not constant over a 20-minute suite.
+    def probeFloor(): (Long, Long) = {
       val times = (1 to 7).map { _ =>
         val t0 = System.nanoTime()
         try spark.range(0, 1000000, 1, cpus.toInt).repartition(cpus.toInt)
@@ -58,7 +61,7 @@ object Bench {
       }.sorted
       (times.head.round, times(times.size / 2).round)
     }
-    val floorJson = s""","job_floor_ms_min":$floorMinMs,"job_floor_ms_p50":$floorP50Ms"""
+    val (floorMinMs, floorP50Ms) = probeFloor()
 
     // Optional comma-separated name filter for iterating on one query
     // locally; the driver never sets it, so official runs time everything.
@@ -91,8 +94,29 @@ object Bench {
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
       (name, median, raw)
     }
+    // Floor AFTER the loop (same 7-sample probe): the pair (before, after)
+    // bounds the contention band the whole run saw.
+    val (floorAfterMinMs, floorAfterP50Ms) = probeFloor()
+    val floorJson =
+      s""","job_floor_ms_min":$floorMinMs,"job_floor_ms_p50":$floorP50Ms""" +
+        s""","job_floor_after_ms_min":$floorAfterMinMs""" +
+        s""","job_floor_after_ms_p50":$floorAfterP50Ms"""
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-query stddev across the reps: medians hide variance; publishing
+    // the spread lets a judge separate contention noise from regression
+    // without re-deriving it from the raw reps array.
+    val stddevJson = results.map { case (k, _, raw) =>
+      val ok = raw.filter(_ >= 0.0)
+      val sd =
+        if (ok.size < 2) 0.0
+        else {
+          val mean = ok.sum / ok.size
+          math.sqrt(ok.map(t => (t - mean) * (t - mean)).sum / (ok.size - 1))
+        }
+      "\"" + k + "\":" + f"$sd%.3f"
+    }.mkString("{", ",", "}")
     // Per-rep times as a structured field: medians hide variance, and a
     // contended driver machine shows up as heavy-tailed reps — publishing
     // them lets round-over-round comparison separate contention from real
@@ -245,7 +269,7 @@ object Bench {
     //    count, stream/ann telemetry, and a *headline* subset of per-query
     //    medians, staying well under 1.5 KB at any catalog size.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""mins":$minsJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$filtered,"sf":"$sfDir"}"""
+      s""""mins":$minsJson,"queries_stddev":$stddevJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$filtered,"sf":"$sfDir"}"""
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
       "q44_lsh_knn", "q53_ivf_knn", "q72_full_pipeline", "q87_cms_heavy_hitters",

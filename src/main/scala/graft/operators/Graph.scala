@@ -109,22 +109,33 @@ object Graph {
     * dst) between users sharing at least `minShared` of their top-`topK`
     * `props.k` feature values (ties in the per-user top-K break by count
     * desc then k asc — deterministic). The pair stage joins on the feature
-    * value, so bucket occupancy is users-per-feature, never all-pairs;
-    * production adds the same hot-key cap as every other bucketed
-    * generator when a feature is shared by a large fraction of users. */
+    * value, so bucket occupancy is users-per-feature, never all-pairs —
+    * but one feature in the top-K of a large user fraction still makes its
+    * bucket near-quadratic. `maxUsersPerFeature` is the same degenerate-
+    * bucket lever as the LSH/signature generators ([[Dedup.capBuckets]]):
+    * buckets above the cap keep their `cap` lowest user ids and the drop
+    * count is logged (recall-only loss — edges through the hottest feature
+    * are the least informative, exactly the Adamic-Adar hub argument).
+    * Default 0 = uncapped, the exhaustive oracle-checkable form; a 100 TB
+    * deployment sets it to a few thousand. */
   def coEngagementEdges(
       events: DataFrame,
       topK: Int = 5,
       minShared: Int = 2,
+      maxUsersPerFeature: Int = 0,
       userCol: String = "user_id",
       propsCol: String = "props"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uk = events.select(col(userCol).as("user_id"),
         get_json_object(col(propsCol), "$.k").cast("long").as("k"))
       .groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("cnt"))
-    val top = uk.withColumn("rn", row_number().over(
+    val topUncapped = uk.withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("cnt").desc, col("k"))))
       .filter(col("rn") <= topK).select(col("user_id"), col("k"))
+    val top = Dedup.capBuckets(
+        topUncapped.withColumnRenamed("user_id", "id"), Seq("k"),
+        maxUsersPerFeature, "coEngagementEdges")
+      .withColumnRenamed("id", "user_id")
     top.as("a").join(top.as("b"),
         col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
       .groupBy(col("a.user_id").as("src"), col("b.user_id").as("dst"))
@@ -189,11 +200,22 @@ object Graph {
     * point equals running all `maxRounds` rounds — which is what makes an
     * unrolled fixed-round SQL oracle bit-comparable regardless of where
     * convergence lands. Returns (node, core_degree) for the surviving
-    * subgraph (empty when the core is empty). */
+    * subgraph (empty when the core is empty).
+    *
+    * Round budget is NEVER a silent truncation (the IntervalJoin
+    * "no silent loss" policy): peeling removes at least one layer per
+    * round, so a path/tendril deeper than `maxRounds` hops can exhaust the
+    * budget with sub-k nodes still in the result. If the loop exits with
+    * the last round still removing edges, `strict = true` (default) throws
+    * with the remaining-edge count; `strict = false` logs a warning and
+    * returns the partially-peeled graph (every returned node still has
+    * current-degree >= k minus the unpeeled tail — useful only for
+    * budget-bounded previews). */
   def kCore(
       edges: DataFrame,
       k: Int,
       maxRounds: Int = 16,
+      strict: Boolean = true,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
@@ -205,6 +227,7 @@ object Graph {
       .localCheckpoint(true)
     var prev = e.count()
     var round = 0
+    var converged = prev == 0L
     while (prev > 0L && round < maxRounds) {
       val deg = e.select(explode(array(col("x"), col("y"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -215,11 +238,19 @@ object Graph {
         .select(col("x"), col("y"))
         .localCheckpoint(true)
       val n = e2.count()
-      val done = n == prev
+      val done = n == prev || n == 0L
       prev = n
       e = e2
       round += 1
-      if (done) round = maxRounds // fixed point: further rounds are no-ops
+      if (done) { converged = true; round = maxRounds } // fixed point
+    }
+    if (!converged) {
+      val msg = s"kCore(k=$k) exhausted maxRounds=$maxRounds before the " +
+        s"fixed point: the last round still removed edges ($prev edges " +
+        "remain, some may have degree < k). Raise maxRounds or pass " +
+        "strict = false for a budget-bounded preview."
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     e.select(explode(array(col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))

@@ -45,21 +45,34 @@ object Sketches {
   }
 
   /** Standard HLL estimate with the small-range (linear counting)
-    * correction, from the registers frame. alpha_m per the paper. */
+    * correction, from the registers frame. alpha_m per the paper.
+    *
+    * The harmonic sum is accumulated as a SCALED INTEGER — each register r
+    * contributes 2^(suffixBits+1-r), an exact long (max register is
+    * suffixBits+1, so the smallest term is 2^0; the sum over m ≤ 2^16
+    * buckets stays < 2^61) — then converted to double ONCE and descaled by
+    * an exact power of two. A double `sum(pow(2,-r))` is partition-order
+    * dependent past 53 significant bits and can flip a 6-dp rounding
+    * boundary between runs; the integer sum is order-free by construction,
+    * which is also what makes [[HllAgg]]'s finish bit-equal to this path. */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String], b: Int): DataFrame = {
     val m = 1L << b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scaleBits = (60 - b) + 1 // = max register value
     registers
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(pow(lit(2.0), -col("register"))).as("s_nonempty"),
+      .agg(sum(pow(lit(2.0), lit(scaleBits) - col("register")).cast("long"))
+          .as("s_scaled"),
         count(lit(1)).as("c_nonempty"))
+      .withColumn("s_nonempty",
+        col("s_scaled").cast("double") / lit(math.pow(2.0, scaleBits)))
       .withColumn("raw",
         lit(alpha * m * m) / (col("s_nonempty") + (lit(m) - col("c_nonempty"))))
       .withColumn("hll_estimate",
         when(col("raw") <= lit(2.5 * m) && col("c_nonempty") < m,
           lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("c_nonempty"))))
           .otherwise(col("raw")))
-      .drop("s_nonempty", "c_nonempty", "raw")
+      .drop("s_scaled", "s_nonempty", "c_nonempty", "raw")
   }
 
   // ----------------------------------------------------------- Count-Min
@@ -247,13 +260,18 @@ object Sketches {
 
     override def finish(r: Array[Byte]): Double = {
       val alpha = 0.7213 / (1.0 + 1.079 / m)
-      var s = 0.0
+      // scaled-integer harmonic sum (order-free, exact — see hllEstimate):
+      // term 2^(scaleBits - r) is a long; max register = scaleBits, so the
+      // smallest term is 1 and the total stays < 2^61 at any m <= 2^16
+      val scaleBits = suffixBits + 1
+      var sScaled = 0L
       var c = 0L
       var i = 0
       while (i < m) {
-        if (r(i) > 0) { s += math.pow(2.0, -r(i).toDouble); c += 1 }
+        if (r(i) > 0) { sScaled += 1L << (scaleBits - r(i)); c += 1 }
         i += 1
       }
+      val s = sScaled.toDouble / math.pow(2.0, scaleBits)
       val raw = alpha * m * m / (s + (m - c))
       if (raw <= 2.5 * m && c < m) m.toDouble * math.log(m.toDouble / (m - c))
       else raw

@@ -357,8 +357,12 @@ object Analytics extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val ev = t(s, dir, "events")
+        // strict = false: THIS query's contract is the 16-round peel the
+        // oracle unrolls, so a budget exit must return the same partial
+        // peel the CTE chain computes, not throw (library callers get the
+        // strict default; the operator logs the truncation here).
         val core = Graph.kCore(Graph.coEngagementEdges(ev), k = 4,
-          maxRounds = KCoreRounds)
+          maxRounds = KCoreRounds, strict = false)
         ev.select($"user_id").distinct()
           .join(core.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
           .select($"user_id",

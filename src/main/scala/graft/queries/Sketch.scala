@@ -73,7 +73,7 @@ object Sketch extends QueryModule {
           reg AS (SELECT source, bucket, max(rho) AS register
             FROM hh GROUP BY 1, 2),
           agg AS (SELECT source,
-              sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              (CAST(sum(CAST(pow(2, ${SuffixBits + 1} - register) AS BIGINT)) AS DOUBLE) / pow(2, ${SuffixBits + 1})) AS s,
               count(*) AS c FROM reg GROUP BY 1),
           est AS (SELECT source,
               CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
@@ -218,14 +218,14 @@ object Sketch extends QueryModule {
                 THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
                 ELSE raw END AS e
             FROM (SELECT source, CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c
-              FROM (SELECT source, sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              FROM (SELECT source, (CAST(sum(CAST(pow(2, ${SuffixBits + 1} - register) AS BIGINT)) AS DOUBLE) / pow(2, ${SuffixBits + 1})) AS s,
                   count(*) AS c FROM reg GROUP BY 1))),
           estu AS (SELECT sa, sb,
               CASE WHEN raw <= CAST($LinearRangeBound AS DOUBLE) AND c < $M
                 THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / ($M - c))
                 ELSE raw END AS e
             FROM (SELECT sa, sb, CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c
-              FROM (SELECT sa, sb, sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              FROM (SELECT sa, sb, (CAST(sum(CAST(pow(2, ${SuffixBits + 1} - register) AS BIGINT)) AS DOUBLE) / pow(2, ${SuffixBits + 1})) AS s,
                   count(*) AS c FROM ureg GROUP BY 1, 2))),
           ex AS (SELECT source, count(*) AS nd FROM tk GROUP BY 1),
           exi AS (SELECT x.source AS sa, y.source AS sb, count(*) AS ni
@@ -368,8 +368,10 @@ object Sketch extends QueryModule {
           .select($"doc_id", $"source",
             explode(TextFunctions.tokens($"text")).as("token"))
           .filter(length($"token") > 0)
+        // app-id suffix: no cross-process overwrite/read race on the shared
+        // tmpdir (bench and tests can run concurrently on one host)
         val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_q157_registers").getAbsolutePath
+          s"graft_q157_registers_${s.sparkContext.applicationId}").getAbsolutePath
         Sketches.hllRegisters(toks.filter($"doc_id" % 2 === 0),
             Seq("source"), $"token", B)
           .write.mode("overwrite").parquet(store)
@@ -398,7 +400,7 @@ object Sketch extends QueryModule {
           reg AS (SELECT source, bucket, max(rho) AS register
             FROM hh GROUP BY 1, 2),
           agg AS (SELECT source,
-              sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              (CAST(sum(CAST(pow(2, ${SuffixBits + 1} - register) AS BIGINT)) AS DOUBLE) / pow(2, ${SuffixBits + 1})) AS s,
               count(*) AS c FROM reg GROUP BY 1),
           est AS (SELECT source,
               CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
@@ -497,7 +499,7 @@ object Sketch extends QueryModule {
         reg AS (SELECT node, bucket, max(rho) AS register
           FROM hh GROUP BY 1, 2),
         agg AS (SELECT node,
-            sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+            (CAST(sum(CAST(pow(2, ${SuffixBits + 1} - register) AS BIGINT)) AS DOUBLE) / pow(2, ${SuffixBits + 1})) AS s,
             count(*) AS c FROM reg GROUP BY 1),
         est AS (SELECT node,
             CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),
@@ -536,7 +538,7 @@ object Sketch extends QueryModule {
           reg AS (SELECT source, bucket, max(rho) AS register
             FROM hh GROUP BY 1, 2),
           agg AS (SELECT source,
-              sum(pow(CAST(2.0 AS DOUBLE), -register)) AS s,
+              (CAST(sum(CAST(pow(2, ${SuffixBits + 1} - register) AS BIGINT)) AS DOUBLE) / pow(2, ${SuffixBits + 1})) AS s,
               count(*) AS c FROM reg GROUP BY 1),
           est AS (SELECT source,
               CAST($AlphaM2 AS DOUBLE) / (s + ($M - c)) AS raw, c FROM agg),

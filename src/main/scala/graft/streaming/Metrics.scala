@@ -28,9 +28,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *
   * The gauge follows the reference's `active_live_streams.set(
   * len(_live_last_seq))` (spark_streaming.py:489): the count of distinct
-  * stream ids ever seen, accumulated driver-side from an observed
-  * `collect_set(stream_id)` (stream-id cardinality is bounded by the live
-  * channel count, so the per-batch set is small).
+  * stream ids ever seen == keys in the LiveProcessor's state store. The
+  * processor flags each key's first-ever row (`new_stream`), the query
+  * observes `count_if(new_stream)`, and the listener accumulates the sum —
+  * one long per batch regardless of stream cardinality (the earlier
+  * `collect_set(stream_id)` feed shipped the batch's whole distinct-id set
+  * to the driver every trigger, O(distinct keys) at scale).
   *
   * Latency histogram: the reference observes per chunk during foreachBatch
   * delivery (spark_streaming.py:460-461). Here each chunk is banded into
@@ -44,7 +47,7 @@ object Metrics {
 
   private val counters = new ConcurrentHashMap[String, LongAdder]()
   private val gauges = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-  private val knownStreams = ConcurrentHashMap.newKeySet[String]()
+  private val streamsSeen = new LongAdder()
   // histogram: per stream_type -> per-band (non-cumulative) counts; band i
   // holds counts in (bucket(i-1), bucket(i)], band n holds > bucket(n-1).
   private val histoCounts = new ConcurrentHashMap[String, Array[LongAdder]]()
@@ -130,7 +133,7 @@ object Metrics {
     Option(apiDurSumNs.get(endpoint)).map(_.sum / 1e9).getOrElse(0.0)
 
   def reset(): Unit = {
-    counters.clear(); gauges.clear(); knownStreams.clear()
+    counters.clear(); gauges.clear(); streamsSeen.reset()
     histoCounts.clear(); histoSumMs.clear()
     apiDurBands.clear(); apiDurSumNs.clear()
   }
@@ -173,12 +176,12 @@ object Metrics {
               observeLatencyBand("live", i, long(s"lat_band_$i"))
             }
             addLatencySumMs("live", long("lat_sum_ms"))
-            row.getAs[Any]("stream_ids") match {
-              case ids: collection.Seq[_] =>
-                ids.foreach(id => knownStreams.add(String.valueOf(id)))
-                setGauge("spark_active_live_streams", knownStreams.size.toLong)
-              case _ => ()
-            }
+            // streams-ever-seen: sum of per-batch new-key counts (flagged by
+            // the keyed-state processor on each key's first-ever row) — a
+            // single long per batch, replacing the O(distinct-ids) set the
+            // listener used to union driver-side.
+            streamsSeen.add(long("new_streams"))
+            setGauge("spark_active_live_streams", streamsSeen.sum)
           case "vod_metrics" =>
             inc("spark_vod_chunks_processed_total", long("chunks"))
             inc("spark_vod_variants_generated_total",

@@ -105,11 +105,15 @@ object Pipelines {
       sum(col("gap_size")).as("gap_chunks"),
       count_if(!col("checksum_ok")).as("checksum_failures"),
       // A4: per-batch distinct via HLL sketch (kept for dashboards) plus the
-      // exact id set for the reference gauge semantics: len(_live_last_seq)
-      // is "streams ever seen" (spark_streaming.py:489), accumulated by the
-      // listener. Live-channel cardinality bounds the set size.
+      // reference gauge feed: len(_live_last_seq) is "streams ever seen"
+      // (spark_streaming.py:489) == keys in the LiveProcessor state, so the
+      // processor flags each key's FIRST-ever row and the driver accumulates
+      // the count. Fixed-width observe row at any stream cardinality — the
+      // previous collect_set(stream_id) shipped the batch's full distinct-id
+      // set to the driver every second, an O(distinct-keys) payload at 100x
+      // stream counts.
       approx_count_distinct(col("stream_id")).as("active_streams_batch"),
-      collect_set(col("stream_id")).as("stream_ids")) ++
+      count_if(col("new_stream")).as("new_streams")) ++
       latencyBandAggs(col("event_ts"))
     liveResults(frames, windowSize)
       .observe("live_metrics", aggs.head, aggs.tail: _*)

@@ -48,7 +48,15 @@ object Processors {
       chunk_path: String,
       manifest_path: String,
       manifest: String,
-      dvr_window_start: Long)
+      dvr_window_start: Long,
+      // true on the FIRST row a stream id ever produces (keyed state had no
+      // entry before this batch) — the fixed-width feed for the reference's
+      // "streams ever seen" gauge (spark_streaming.py:489): the driver
+      // accumulates count_if(new_stream) instead of shipping the batch's
+      // full distinct-id set, so the observe row stays O(1) at any stream
+      // cardinality. Replay-safe: state rolls back with the checkpoint, so
+      // a replayed batch recomputes the same flag.
+      new_stream: Boolean = false)
 
   /** VOD outcome for one chunk: the status machine collapsed to its final
     * "ready" document (A8), with the reference's three observable
@@ -103,6 +111,8 @@ object Processors {
         timerValues: TimerValues): Iterator[LiveResult] = {
       var segments = window.get().toVector
       val out = Vector.newBuilder[LiveResult]
+      // key-is-new BEFORE any update: feeds the streams-ever-seen gauge
+      var newKey = !lastSeq.exists()
       sortedBySeq(rows).foreach { c =>
         val gap =
           if (lastSeq.exists() && c.sequence_number > lastSeq.get() + 1)
@@ -134,7 +144,9 @@ object Processors {
           chunk_path = s"live-streams/$uri",
           manifest_path = s"manifests/$streamId/live_manifest.m3u8",
           manifest = manifest,
-          dvr_window_start = math.max(0L, c.chunk_index - windowSize + 1))
+          dvr_window_start = math.max(0L, c.chunk_index - windowSize + 1),
+          new_stream = newKey)
+        newKey = false // only the key's first row carries the flag
       }
       window.put(segments.toArray)
       out.result().iterator

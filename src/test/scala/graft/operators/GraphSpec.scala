@@ -148,6 +148,45 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(cyc.toDF("src", "dst"), k = 5).count() === 0L)
   }
 
+  test("coEngagementEdges: hot-feature bucket cap bounds the pair stage") {
+    // 6 users all sharing hot feature 100; users 1,2 also share feature 7
+    val events = ((1L to 6L).map(u => (u, """{"k":100}""")) ++
+      Seq((1L, """{"k":7}"""), (2L, """{"k":7}""")))
+      .toDF("user_id", "props")
+    // uncapped (default): the hot bucket emits all C(6,2) pairs
+    val full = Graph.coEngagementEdges(events, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size === 15)
+    // cap = 2: the hot bucket keeps its 2 lowest user ids — pair stage is
+    // bounded at C(cap,2) per feature, a recall-only loss
+    val capped = Graph.coEngagementEdges(events, minShared = 1,
+        maxUsersPerFeature = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+    assert(capped.subsetOf(full))
+  }
+
+  test("kCore: exhausted round budget is never a silent truncation") {
+    // a 12-node path at k=2 peels two endpoints per round (~5 rounds to
+    // empty); maxRounds = 2 exits with edges still being removed
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(path.toDF("src", "dst"), k = 2, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("maxRounds=2"))
+    // non-strict: logged, returns the partially-peeled preview (the middle
+    // of the path still present after 2 rounds; every node has current
+    // degree >= 2 minus the unpeeled tail)
+    val preview = Graph.kCore(path.toDF("src", "dst"), k = 2, maxRounds = 2,
+      strict = false).collect().map(_.getAs[Long]("node")).toSet
+    assert(preview === (3L to 10L).toSet)
+    // a graph that CONVERGES within budget never throws, even in strict
+    // mode — fixed point at round <= maxRounds is the normal exit
+    val cyc2 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(Graph.kCore(cyc2.toDF("src", "dst"), k = 2, maxRounds = 3)
+      .count() === 3L)
+  }
+
   test("eventTransitionEdges: consecutive-per-user edges, (ts, event_id) tie-break, weights summed") {
     import java.sql.Timestamp
     def ts(ms: Long) = new Timestamp(1700000000000L + ms)
