@@ -73,6 +73,24 @@ object GraftSql {
       .createOrReplaceTempView("graft_user_triangles")
   }
 
+  /** Media-hash view over the fixture corpus: `graft_image_ahash` exposes
+    * (asset_id, ahash) for every decodable image asset — the real
+    * javax.imageio decode + 8x8 average-hash pipeline behind a name, so a
+    * SQL author can band/join/dedup media without touching the codec path.
+    * Lazy like every operator view (mapPartitions plans with the selecting
+    * query; no jobs run at registration). */
+  def registerMediaViews(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    Multimodal.imageAHash(
+        Multimodal.withSyntheticPatternImages(
+          Multimodal.assetize(Tables(spark, dir, "documents")))
+          .filter(col("media_type") === "image"))
+      .toDF().filter(col("decoded"))
+      .select(col("asset_id"), col("ahash"))
+      .createOrReplaceTempView("graft_image_ahash")
+  }
+
   /** Register the mergeable HLL estimate as a SQL-callable aggregate:
     * `SELECT g, round(<name>(item), 6) FROM ... GROUP BY g` — approximate
     * distinct with the engine-portable md5 construction, so an external

@@ -256,6 +256,56 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — the standard
+    * community-detection pass over a curation graph: every node starts in
+    * its own community, and each round every node adopts the MOST FREQUENT
+    * label among its neighbors' previous-round labels (ties break to the
+    * smallest label). Runs exactly `rounds` synchronous rounds: LPA is not
+    * monotone (labels can oscillate on bipartite structures), so a fixed
+    * round count IS the deterministic contract — unlike kCore's monotone
+    * fixed point there is no convergence early-exit to take. With integer
+    * counts and the min tie-break every round is a pure function of the
+    * previous labels, independent of partitioning and engine — what lets
+    * an unrolled SQL CTE chain recompute it bit-for-bit.
+    *
+    * Round shape: one hash join (adjacency ⋈ labels, keyed by neighbor) +
+    * one map-side-combinable (node, label) count + one per-node top-1
+    * window (partitioned by node — bounded by max degree, never global),
+    * labels localCheckpoint'd per round so plans stay constant-depth: the
+    * identical loop discipline as [[pageRankFixedPoint]]. No driver pulls
+    * at all — the loop is fixed-length. Returns (node, community). */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+    val sym = und.select(col("x").as("node"), col("y").as("nb"))
+      .union(und.select(col("y").as("node"), col("x").as("nb")))
+      .localCheckpoint(true) // joined every round
+    var labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("nb"), col("label")), "nb")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Per-node triangle counts + degrees + clustering coefficient over an
     * undirected simple graph, via DEGREE-ORDERED edge orientation — the
     * classic sub-quadratic distributed triangle algorithm (Suri &

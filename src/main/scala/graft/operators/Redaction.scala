@@ -52,4 +52,11 @@ object Redaction {
   def residual(redactedCol: Column, rules: Seq[Rule] = defaultRules): Column =
     rules.map(r => regexp_count(redactedCol, lit(r.pattern)))
       .reduce(_ + _)
+
+  /** The replacement chain alone as one Column (rules in order, no count
+    * columns) — the scalar kernel the SQL surface registers as
+    * `redact_pii`, and exactly the `<textCol>_redacted` column [[redact]]
+    * produces. */
+  def redactedText(textCol: Column, rules: Seq[Rule] = defaultRules): Column =
+    rules.foldLeft(textCol)((t, r) => regexp_replace(t, r.pattern, r.replacement))
 }

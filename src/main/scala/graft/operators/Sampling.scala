@@ -23,8 +23,15 @@ object Sampling {
     * fixed-width lowercase hex, so LEXICOGRAPHIC comparison equals numeric
     * comparison and any engine with md5 can reproduce the decision without
     * float arithmetic. */
+  /** The split/sample coin: first 8 hex chars of md5(salt || id). Public
+    * (and Column-salted) so the SQL surface can register it verbatim
+    * (GraftExtensions `split_hash`) and external engines can spell the
+    * identical coin — built-in md5/substr end to end, fully codegen'd. */
+  def hashHexCol(id: Column, salt: Column): Column =
+    substring(md5(concat(salt, id.cast("string"))), 1, 8)
+
   private def hashHex(id: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+    hashHexCol(id, lit(salt))
 
   /** The comparison threshold for `fraction`: floor(fraction * 2^32) as
     * 8-digit hex. Exposed so callers can embed the same literal in

@@ -69,6 +69,47 @@ object Analytics extends QueryModule {
   private val KCoreRounds = 16
   private val KCoreK = 4
 
+  /** q177's synchronous round count — shared with the unrolled oracle. */
+  private val LpaRounds = 4
+
+  // The label-propagation oracle: the same co-engagement edge derivation
+  // as the triangle/k-core oracles, then LpaRounds synchronous rounds
+  // unrolled as a CTE chain (each round: per-(node, neighbor-label) count,
+  // top-1 by (count desc, label asc)). `sym` is referenced once per round
+  // -> MATERIALIZED, or DuckDB's inlining re-derives the edge list every
+  // round; the l_i are materialized too so the chain stays linear.
+  private val labelPropagationOracle: String = {
+    val head = s"""WITH uk AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS k,
+            count(*) AS cnt FROM events GROUP BY 1, 2),
+        t5 AS (SELECT user_id, k FROM (
+            SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, k) AS rn FROM uk) WHERE rn <= 5),
+        e AS (SELECT a.user_id AS u, b.user_id AS v FROM t5 a
+          JOIN t5 b ON a.k = b.k AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS MATERIALIZED (SELECT u AS node, v AS nb FROM e
+          UNION ALL SELECT v AS node, u AS nb FROM e),
+        l0 AS (SELECT DISTINCT node, node AS label FROM sym)"""
+    val loop = (1 to LpaRounds).map { i =>
+      s""", l$i AS MATERIALIZED (SELECT node, label FROM (
+            SELECT s.node, l.label, count(*) AS c,
+              row_number() OVER (PARTITION BY s.node
+                ORDER BY count(*) DESC, l.label) AS rn
+            FROM sym s JOIN l${i - 1} l ON l.node = s.nb
+            GROUP BY s.node, l.label)
+          WHERE rn = 1)"""
+    }.mkString
+    head + loop +
+      s""",
+        lab AS (SELECT d.user_id, COALESCE(l.label, d.user_id) AS community
+          FROM (SELECT DISTINCT user_id FROM events) d
+          LEFT JOIN l$LpaRounds l ON l.node = d.user_id),
+        sz AS (SELECT community, count(*) AS community_size FROM lab GROUP BY 1)
+        SELECT user_id, community,
+          CAST(community_size AS BIGINT) AS community_size
+        FROM lab JOIN sz USING (community) ORDER BY user_id"""
+  }
+
   // Shared by q163 (Scala-authored) and q168 (SQL-authored via the
   // graft_user_triangles view): the naive canonical 3-way triangle
   // enumeration over the co-engagement graph, total over users.
@@ -842,5 +883,182 @@ object Analytics extends QueryModule {
           CAST(tf AS BIGINT) AS tf, score
         FROM (SELECT *, row_number() OVER (PARTITION BY term
                 ORDER BY score DESC, doc_id) AS rn FROM scored)
-        WHERE rn <= 10 ORDER BY term, rank""")))
+        WHERE rn <= 10 ORDER BY term, rank""")),
+
+    // --------------------------------------------------------------- q173
+    // SQL-only sampling surface: the deterministic split AND an independent
+    // stratum-free sample membership in ONE map-only SQL pass, via the
+    // registered `split_hash` kernel (Sampling.hashHexCol — built-in
+    // md5/substr, codegen'd). The thresholds interpolate from the same
+    // Sampling.fractionThresholdHex the Scala API uses, so a SQL client
+    // reproduces q60's exact split without re-deriving the coin.
+    QueryDef("q173_sql_hash_split",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql(s"""SELECT doc_id,
+            CASE WHEN split_hash(doc_id, 'graft-split')
+                      < '${Sampling.fractionThresholdHex(0.1)}'
+                 THEN 'val' ELSE 'train' END AS split,
+            split_hash(doc_id, 'graft-sample')
+                < '${Sampling.fractionThresholdHex(0.25)}' AS sampled
+          FROM documents_v ORDER BY doc_id""")
+      },
+      Some(s"""SELECT doc_id,
+          CASE WHEN substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '${Sampling.fractionThresholdHex(0.1)}'
+               THEN 'val' ELSE 'train' END AS split,
+          substr(md5('graft-sample' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '${Sampling.fractionThresholdHex(0.25)}' AS sampled
+        FROM documents ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q174
+    // SQL-only weighted reservoir (Efraimidis-Spirakis A-ES): q165's
+    // pipeline authored entirely in Spark SQL — the 60-bit md5 draw via
+    // built-in conv/substring/md5, the exponential key via ln, the
+    // per-stratum top-k via one window. Every arithmetic step is the same
+    // IEEE op sequence as the Scala operator (and the DuckDB oracle), so
+    // the 6-dp-rounded keys are bit-equal across all three. Same oracle as
+    // q165.
+    QueryDef("q174_sql_weighted_reservoir",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""WITH d AS (SELECT lang, doc_id, n_chars,
+              CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+                '|graft-aes')), 1, 15), 16, 10) AS BIGINT) AS h
+            FROM documents_v WHERE n_chars > 0),
+          kye AS (SELECT lang, doc_id, n_chars,
+              round(ln((CAST(h AS DOUBLE) + 1.0D) / 1152921504606846976.0D)
+                / n_chars, 6) AS aes_key
+            FROM d),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY aes_key DESC, doc_id) AS rank FROM kye)
+          SELECT lang, doc_id, n_chars, aes_key, rank FROM rk
+          WHERE rank <= 10 ORDER BY lang, rank""")
+      },
+      Some("""WITH d AS (SELECT lang, doc_id, n_chars,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|graft-aes'),
+              1, 15)) AS BIGINT) AS h
+          FROM documents WHERE n_chars > 0),
+        kye AS (SELECT lang, doc_id, n_chars,
+            round(ln((h + 1.0) / 1152921504606846976.0) / n_chars, 6) AS aes_key
+          FROM d),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY aes_key DESC, doc_id) AS INTEGER) AS rank FROM kye)
+        SELECT lang, doc_id, n_chars, aes_key, rank FROM rk
+        WHERE rank <= 10 ORDER BY lang, rank""")),
+
+    // --------------------------------------------------------------- q175
+    // SQL-only redaction audit: the registered `redact_pii` kernel
+    // (Redaction.redactedText — the default rule pack's regexp_replace
+    // chain, codegen'd) over q89's deterministic dirty fixture, with the
+    // residual invariant (no rule re-matches the scrubbed text) and the
+    // removed-character tally recomputed per source in plain SQL via the
+    // built-in regexp_count. The oracle replays the identical chain in
+    // DuckDB — rule ORDER is part of the pinned contract.
+    QueryDef("q175_sql_redaction",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""WITH dirty AS (SELECT doc_id, source,
+              concat(text, ' contact u', CAST(doc_id AS STRING),
+                '@mail.example.com from 10.', CAST(doc_id % 200 AS STRING),
+                '.', CAST((doc_id * 7) % 250 AS STRING),
+                '.', CAST(doc_id % 97 AS STRING),
+                ' ref ', CAST(100000000 + doc_id * 31 AS STRING)) AS text
+            FROM documents_v),
+          red AS (SELECT source, text, redact_pii(text) AS rt FROM dirty)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(length(text) - length(rt)) AS BIGINT) AS chars_removed,
+            CAST(sum(regexp_count(rt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')
+              + regexp_count(rt, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')
+              + regexp_count(rt, '\\b\\d{8,}\\b')) AS BIGINT) AS residual
+          FROM red GROUP BY source ORDER BY source""")
+      },
+      Some("""WITH dirty AS (SELECT doc_id, source,
+            text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+            '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+            '.' || CAST((doc_id * 7) % 250 AS VARCHAR) ||
+            '.' || CAST(doc_id % 97 AS VARCHAR) ||
+            ' ref ' || CAST(100000000 + doc_id * 31 AS VARCHAR) AS text
+          FROM documents),
+        red AS (SELECT source, text,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\b\d{8,}\b', '<ID>', 'g') AS rt
+          FROM dirty)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(text) - len(rt)) AS BIGINT) AS chars_removed,
+          CAST(sum(len(regexp_extract_all(rt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+            + len(regexp_extract_all(rt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+            + len(regexp_extract_all(rt, '\b\d{8,}\b'))) AS BIGINT) AS residual
+        FROM red GROUP BY source ORDER BY source""")),
+
+    // --------------------------------------------------------------- q176
+    // SQL-only media dedup: the decoded image hashes behind a named view
+    // (graft_image_ahash — the real javax.imageio decode + 8x8 aHash), the
+    // BANDING authored in SQL (4 x 16-bit blocks via shiftright/mask, one
+    // equi-join on (block, key), pigeonhole-complete for hamming <= 3), and
+    // the exact bit_count re-check — a SQL client runs the whole q159
+    // near-dup pipeline without touching the codec path. Same oracle as
+    // q159 (closed-form fixture hashes + exhaustive O(n^2) scan).
+    QueryDef("q176_sql_image_dedup",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        graft.GraftSql.registerMediaViews(s, dir)
+        s.sql("""WITH h AS (SELECT asset_id, ahash FROM graft_image_ahash),
+          b AS (SELECT asset_id, blk,
+              shiftright(ahash, blk * 16) & 65535 AS bandkey
+            FROM h LATERAL VIEW explode(array(0, 1, 2, 3)) t AS blk),
+          cand AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b
+            FROM b x JOIN b y ON x.blk = y.blk AND x.bandkey = y.bandkey
+              AND x.asset_id < y.asset_id
+            GROUP BY 1, 2),
+          pairs AS (SELECT c.id_a, c.id_b,
+              CAST(bit_count(ha.ahash ^ hb.ahash) AS INT) AS hamming
+            FROM cand c
+            JOIN h ha ON ha.asset_id = c.id_a
+            JOIN h hb ON hb.asset_id = c.id_b)
+          SELECT id_a, id_b, hamming FROM pairs
+          WHERE hamming <= 2 ORDER BY id_a, id_b""")
+      },
+      Some("""WITH i AS (SELECT doc_id,
+            CAST(1 + doc_id % 7 AS BIGINT) AS bg,
+            CAST((doc_id * 11 + 2) % 63 AS BIGINT) AS p
+          FROM documents WHERE doc_id % 3 = 0),
+        h AS (SELECT doc_id,
+            xor(((CAST(1 AS BIGINT) << bg) - 1) * 72340172838076673,
+                CAST(1 AS BIGINT) << p) AS ahash
+          FROM i)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+        ORDER BY id_a, id_b""")),
+
+    // --------------------------------------------------------------- q177
+    // Community detection by synchronous label propagation over the user
+    // co-engagement graph — the standard curation pass grouping users (or
+    // documents) into behavior communities, composing with the dedup
+    // cluster machinery. Exactly LpaRounds synchronous rounds (LPA is not
+    // monotone, so the fixed round count IS the contract); integer counts
+    // + min-label tie-breaks make every round engine-portable, so the
+    // oracle unrolls the identical rounds as a CTE chain. Output: every
+    // event user with its community label (own id when isolated) and the
+    // community's size.
+    QueryDef("q177_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val lp = Graph.labelPropagation(Graph.coEngagementEdges(ev),
+          rounds = LpaRounds)
+        val labeled = ev.select($"user_id").distinct()
+          .join(lp.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+          .select($"user_id", coalesce($"community", $"user_id").as("community"))
+        val sizes = labeled.groupBy($"community")
+          .agg(count(lit(1)).as("community_size"))
+        labeled.join(sizes, "community")
+          .select($"user_id", $"community", $"community_size")
+          .orderBy($"user_id")
+      },
+      Some(labelPropagationOracle)))
 }

@@ -117,7 +117,23 @@ object PlanDump {
         "oriented list on the apex (out-degree O(sqrt m) caps wedge " +
         "fan-out; a skewed hub emits zero wedges), and one more hash join " +
         "closes them against the canonical edge set. The naive 3-way " +
-        "enumeration exists only in the DuckDB oracle."))
+        "enumeration exists only in the DuckDB oracle."),
+    "q176_sql_image_dedup" ->
+      ("SQL-authored media dedup over the graft_image_ahash view: the " +
+        "decode is a map-only mapPartitions under the view, the SQL " +
+        "banding lowers to one Exchange on (blk, bandkey) + hash " +
+        "equi-join + aggregate (never all-pairs), and the exact " +
+        "bit_count re-check is a codegen'd projection — proof the SQL " +
+        "surface plans the same scale shape as the Scala operator " +
+        "(q159)."),
+    "q177_label_propagation" ->
+      ("Label propagation: each round is one hash join (adjacency x " +
+        "labels, keyed by neighbor) + one partial-aggregated " +
+        "(node, label) count + one window partitioned BY NODE (bounded " +
+        "by max degree, never a global sort), with the round output " +
+        "localCheckpoint'd so plan depth stays constant across rounds — " +
+        "the same fixed-length loop discipline as PageRank, no driver " +
+        "pulls at all."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -149,7 +149,13 @@ object GraftExtensions {
     composed1("lang_id", graft.functions.TextFunctions.langId),
     composed1("doc_fingerprint", graft.functions.TextFunctions.fingerprint),
     composedStrInt("distinct_shingles", graft.functions.TextFunctions.distinctShingles),
-    composed2("jaccard_sim", graft.functions.TextFunctions.jaccard))
+    composed2("jaccard_sim", graft.functions.TextFunctions.jaccard),
+    // the deterministic split/sample coin (Sampling.hashHexCol): compare
+    // against Sampling.fractionThresholdHex(f) in SQL for hash splits
+    composed2("split_hash", (id, salt) =>
+      graft.operators.Sampling.hashHexCol(id, salt)),
+    // the default PII rule pack's replacement chain (Redaction.redactedText)
+    composed1("redact_pii", c => graft.operators.Redaction.redactedText(c)))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks) — extensions
     * configured on the builder only apply to sessions created after. */

@@ -187,6 +187,32 @@ class GraphSpec extends SparkSpec {
       .count() === 3L)
   }
 
+  test("labelPropagation: two triangles + bridge settle into two communities") {
+    // triangle {1,2,3} - bridge 3-4 - triangle {4,5,6}; duplicates and a
+    // self-loop must canonicalize away
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (2L, 1L), (1L, 1L))
+    // hand-unrolled synchronous rounds (neighbor majority, ties -> min):
+    // r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    // r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    // r3: 1->1 2->1 3->1 4->3 5->3 6->3
+    // r4: fixed point — each triangle keeps its minimum member's id
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // the intermediate (non-converged) round is also pinned — the fixed
+    // round count is the contract, not convergence
+    val r1 = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // rounds = 0: every node in its own community
+    val r0 = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 === (1L to 6L).map(n => n -> n).toMap)
+  }
+
   test("eventTransitionEdges: consecutive-per-user edges, (ts, event_id) tie-break, weights summed") {
     import java.sql.Timestamp
     def ts(ms: Long) = new Timestamp(1700000000000L + ms)
