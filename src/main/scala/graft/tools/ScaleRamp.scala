@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Retrieval, Similarity}
+import graft.operators.{Dedup, Graph, Multimodal, Retrieval, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Scale-ramp harness for the heavy dedup family: measures each operator on
@@ -73,8 +73,14 @@ object ScaleRamp {
 
     val factors = Seq(1, 3, 10)
 
+    // SPARK_GRAFT_RAMP_ONLY=graph,graph_gen runs a comma-separated family
+    // subset (iterating on one family without re-paying the whole harness)
+    val only = sys.env.get("SPARK_GRAFT_RAMP_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
     def ramp(family: String, synth: Int => DataFrame,
         ops: Seq[(String, DataFrame => DataFrame)]): Unit = {
+      if (!only.forall(_.contains(family))) return
       val mins = scala.collection.mutable.Map[(String, Int), Double]()
       factors.foreach { f =>
         // materialize the scaled corpus once so synthesis cost is not
@@ -159,6 +165,51 @@ object ScaleRamp {
     ramp("signatures", synthSigs, Seq(
       "hamming_pairs" -> (d => Dedup.signatureHammingPairs(d, "id", "sig",
         blocks = 4, maxHamming = 2))))
+
+    // Graph analytics (round-12, VERDICT #5): events copies shift BOTH the
+    // user id AND the feature value, so the co-engagement graph is f
+    // DISJOINT copies of the base graph — node/edge counts grow linearly
+    // with no cross-copy edges, and the exponents read the algorithms, not
+    // fixture coupling (an unshifted feature would bucket copy users with
+    // original users and grow the pair stage quadratically in f).
+    def scaledEvents(f: Int): DataFrame = {
+      val ev = Tables(spark, sfDir, "events")
+      (0 until f).map { i =>
+        if (i == 0) ev.select(col("user_id"), col("props"))
+        else ev.select(
+          (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+          concat(lit("{\"k\":"),
+            (get_json_object(col("props"), "$.k").cast("long")
+              + lit(i.toLong * 1000000L)).cast("string"),
+            lit("}")).as("props"))
+      }.reduce(_ unionByName _)
+    }
+    // the edge GENERATOR ramps on the events corpus...
+    ramp("graph_gen", scaledEvents, Seq(
+      "co_engagement" -> (ev => Graph.coEngagementEdges(ev))))
+    // ...and the algorithms ramp on a pre-materialized edge list, so their
+    // exponents don't re-bill generation
+    ramp("graph", f => Graph.coEngagementEdges(scaledEvents(f)), Seq(
+      "triangles" -> (e => Graph.triangleCounts(e)),
+      "kcore" -> (e => Graph.kCore(e, k = 4, strict = false)),
+      "adamic_adar" -> (e => Graph.adamicAdar(e)),
+      "label_prop" -> (e => Graph.labelPropagation(e, rounds = 4)),
+      "hyperball_2hop" -> { e =>
+        // q164's composition: ball-1 registers, one neighbor propagation,
+        // register max, estimate (see queries.Sketch q164)
+        val sym = e.select(col("src").as("node"), col("dst").as("nb"))
+          .union(e.select(col("dst").as("node"), col("src").as("nb")))
+        val ball1 = sym.select(col("node"), col("node").as("item"))
+          .union(sym.select(col("node"), col("nb").as("item")))
+        val r1 = Sketches.hllRegisters(ball1, Seq("node"), col("item"), 12)
+          .localCheckpoint(true)
+        val prop = r1.union(
+          sym.join(r1.withColumnRenamed("node", "nb"), "nb")
+            .select(col("node"), col("bucket"), col("register")))
+          .groupBy(col("node"), col("bucket"))
+          .agg(max(col("register")).as("register"))
+        Sketches.hllEstimate(prop, Seq("node"), 12)
+      }))
     spark.stop()
   }
 }
