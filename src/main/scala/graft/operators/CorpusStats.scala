@@ -204,28 +204,75 @@ object CorpusStats {
     * (doc, w1, w2) partial-agg shuffle for the scoring side, two
     * vocabulary-keyed model aggregations, LEFT joins on (w1, w2) then (w2),
     * scalar total broadcast — every join is keyed, nothing quadratic. */
+  /** Adjacent token pairs (w1, w2) over the EMPTY-FILTERED token sequence
+    * (same token universe as [[unigramNll]]'s post-explode filter), keeping
+    * `keep` columns alongside — shared by the bigram LM and the PMI
+    * collocation miner. */
+  private def adjacentPairs(textCol: String)(
+      d: DataFrame, keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val wsf = filter(TextFunctions.tokens(col(textCol)),
+      x => length(x) > 0)
+    // greatest(..., 0): slice() rejects negative lengths, and a 0- or
+    // 1-token doc must yield an empty pair list, not an error
+    val nPairs = greatest(size(col("__wsf")) - 1, lit(0))
+    val z = zip_with(
+      slice(col("__wsf"), lit(1), nPairs),
+      slice(col("__wsf"), lit(2), nPairs),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    d.withColumn("__wsf", wsf)
+      .select(keep :+ explode(z).as("bg"): _*)
+      .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+  }
+
+  /** Top-k collocations (adjacent token pairs) ranked by pointwise mutual
+    * information with a minimum pair count — the phrase-detection pass a
+    * tokenizer/vocab pipeline runs to promote multi-word units (the
+    * word2vec-phrases / NLTK-collocations shape). PMI = ln(P(w1 w2) /
+    * (P(w1) P(w2))) with P(w1 w2) = c_ab / B over adjacent-pair
+    * occurrences and P(w) = c_w / U over unigram occurrences; `minCount`
+    * prunes the rare-pair noise raw PMI is notorious for. The score
+    * rounds to the shared 6-dp grid BEFORE ranking, and the ln argument
+    * is spelled as the identical IEEE op sequence in the SQL oracle, so
+    * the rounded grid point is engine-equal. Plan shape: one pair-count
+    * shuffle (map-side combined), two vocabulary-keyed joins, two
+    * broadcast scalar totals, TakeOrdered top-k — nothing quadratic, no
+    * global sort beyond the k-row result. */
+  def pmiCollocations(
+      docs: DataFrame,
+      minCount: Int = 5,
+      k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val pairsDf = adjacentPairs(textCol)(docs, Seq.empty)
+    val cab = pairsDf.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val uni = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(pairsDf.agg(count(lit(1)).as("nb")))
+    cab
+      .join(uni.select(col("term").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("cab").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("nu"))
+            * (col("cb").cast("double") / col("nu")))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        col("pmi"))
+  }
+
   def bigramNll(
       docs: DataFrame,
       modelDocs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // adjacent pairs over the EMPTY-FILTERED token sequence (same token
-    // universe as unigramNll's post-explode filter)
-    def pairs(d: DataFrame,
-        keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val wsf = filter(TextFunctions.tokens(col(textCol)),
-        x => length(x) > 0)
-      // greatest(..., 0): slice() rejects negative lengths, and a 0- or
-      // 1-token doc must yield an empty pair list, not an error
-      val nPairs = greatest(size(col("__wsf")) - 1, lit(0))
-      val z = zip_with(
-        slice(col("__wsf"), lit(1), nPairs),
-        slice(col("__wsf"), lit(2), nPairs),
-        (a, b) => struct(a.as("w1"), b.as("w2")))
-      d.withColumn("__wsf", wsf)
-        .select(keep :+ explode(z).as("bg"): _*)
-        .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
-    }
+    val pairs = adjacentPairs(textCol) _
     val tf = pairs(docs, Seq(col(idCol)))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))

@@ -2275,6 +2275,42 @@ object Text extends QueryModule {
             CAST(0.0 AS DOUBLE)) AS nll
         FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""")),
 
+    // --------------------------------------------------------------- q178
+    // PMI collocation mining — the phrase-detection pass a tokenizer/vocab
+    // pipeline runs before BPE training to promote multi-word units
+    // (word2vec-phrases shape). Adjacent-pair counts with min-support
+    // pruning, unigram marginals, ln-ratio score on the 6-dp grid; the
+    // oracle spells the IDENTICAL IEEE op sequence for the ln argument so
+    // both engines land on the same grid point. One pair-count shuffle +
+    // two vocabulary joins + broadcast totals; top-k by TakeOrdered.
+    QueryDef("q178_pmi_collocations",
+      (s, dir) => {
+        import s.implicits._
+        CorpusStats.pmiCollocations(t(s, dir, "documents"),
+            minCount = 5, k = 50)
+          .orderBy($"pmi".desc, $"w1", $"w2")
+      },
+      Some(s"""WITH base AS (SELECT list_filter($wsSql, x -> len(x) > 0) AS wsf
+            FROM documents),
+        bg AS (SELECT unnest(list_slice(wsf, 1, len(wsf) - 1)) AS w1,
+            unnest(list_slice(wsf, 2, len(wsf))) AS w2
+          FROM base WHERE len(wsf) >= 2),
+        cab AS (SELECT w1, w2, count(*) AS cab FROM bg
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        uni AS (SELECT term, count(*) AS c FROM (
+            SELECT unnest(wsf) AS term FROM base) GROUP BY 1),
+        tot AS (SELECT (SELECT sum(c) FROM uni) AS nu,
+            (SELECT count(*) FROM bg) AS nb),
+        scored AS (SELECT p.w1, p.w2, p.cab, a.c AS ca, b.c AS cb,
+            round(ln((CAST(p.cab AS DOUBLE) / nb)
+              / ((CAST(a.c AS DOUBLE) / nu)
+                * (CAST(b.c AS DOUBLE) / nu))), 6) AS pmi
+          FROM cab p JOIN uni a ON a.term = p.w1
+          JOIN uni b ON b.term = p.w2 CROSS JOIN tot)
+        SELECT w1, w2, CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
+          CAST(cb AS BIGINT) AS cb, pmi
+        FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50""")),
+
     // --------------------------------------------------------------- q115
     // Near-dup-aware eval split: q107 audits EXACT-dup leakage; this closes
     // the remaining hole — near-duplicates straddling train/val. The split

@@ -91,6 +91,30 @@ class CorpusStatsSpec extends SparkSpec {
       4L -> "unchanged", 5L -> "added"))
   }
 
+  test("pmiCollocations: exact PMI, min-count pruning, tie order") {
+    // doc1 pairs: (a,b) (b,a) (a,b); doc2 pairs: (a,b) (b,c)
+    // unigrams: a=3 b=3 c=1 (U=7); pair total B=5
+    // cab: (a,b)=3 (b,a)=1 (b,c)=1
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats.pmiCollocations(d, minCount = 1, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log((cab.toDouble / 5) /
+          ((ca.toDouble / 7) * (cb.toDouble / 7))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq === Seq(("a", "b"), ("b", "c"), ("b", "a")),
+      "PMI desc; the (a,b)/(b,c) score TIE breaks by w1")
+    assert(got.toMap === Map(
+      ("a", "b") -> ((3L, 3L, 3L, pmi(3, 3, 3))),
+      ("b", "a") -> ((1L, 3L, 3L, pmi(1, 3, 3))),
+      ("b", "c") -> ((1L, 3L, 1L, pmi(1, 3, 1)))))
+    // min-count pruning: only the 3-occurrence pair survives
+    val pruned = graft.operators.CorpusStats.pmiCollocations(d, minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pruned.toSeq === Seq(("a", "b")))
+  }
+
   test("bigramNll: seen / backoff / OOV-floor branches all score correctly") {
     import spark.implicits._
     // model unigrams: a:2 b:2 c:1 d:1, T = 6; model bigrams: (a,b):2 (b,c):1 (b,d):1
