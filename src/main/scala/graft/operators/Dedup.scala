@@ -538,7 +538,10 @@ object Dedup {
     val sessionInit = pairs.sparkSession
     def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd
-      rdd.localCheckpoint()
+      // reliable when the session asks (graft.loops.reliableCheckpoint):
+      // a lost localCheckpoint block is unrecoverable mid-loop at cluster
+      // scale — see Loops
+      Loops.markCheckpoint(sessionInit, rdd)
       rdd.count() // materialize now; lineage to the plan above is truncated
       (sessionInit.createDataFrame(rdd, df.schema), rdd)
     }
@@ -593,7 +596,7 @@ object Dedup {
         org.apache.spark.sql.Row(r.get(0), r.get(1),
           r.isNullAt(2) || r.get(1) != r.get(2))
       }
-      roundRdd.localCheckpoint()
+      Loops.markCheckpoint(session, roundRdd)
       // the round's ONE action: materializes the checkpoint AND counts
       // changes, with per-partition exactly-once aggregation semantics
       val changed = roundRdd.aggregate(0L)(

@@ -85,9 +85,9 @@ object Graph {
     // lineage re-derives them from the raw input, turning a k-round loop
     // into k full source scans. Same eager-materialization discipline as
     // the connected-components loop in [[Dedup]].
-    val eo = e.join(outDeg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val eo = Loops.roundCheckpoint(e.join(outDeg, "src"))
+    val nodes = Loops.roundCheckpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val base = (100L - dampPct) * scale / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
@@ -97,10 +97,9 @@ object Graph {
         .groupBy("node").agg(sum("c").as("c"))
       // per-round checkpoint: constant-depth plans, and the next round's
       // join reads materialized rows instead of replaying the history
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = Loops.roundCheckpoint(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+          (lit(base) + expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("rank")))
     }
     ranks
   }
@@ -219,12 +218,11 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
-    var e = edges
+    var e = Loops.roundCheckpoint(edges
       .select(least(col(srcCol), col(dstCol)).as("x"),
         greatest(col(srcCol), col(dstCol)).as("y"))
       .filter(col("x") =!= col("y"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var prev = e.count()
     var round = 0
     var converged = prev == 0L
@@ -232,11 +230,10 @@ object Graph {
       val deg = e.select(explode(array(col("x"), col("y"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("node"))
-      val e2 = e
+      val e2 = Loops.roundCheckpoint(e
         .join(keep.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
         .join(keep.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
-        .select(col("x"), col("y"))
-        .localCheckpoint(true)
+        .select(col("x"), col("y")))
       val n = e2.count()
       val done = n == prev || n == 0L
       prev = n
@@ -286,22 +283,20 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("y"))
       .filter(col("x") =!= col("y"))
       .distinct()
-    val sym = und.select(col("x").as("node"), col("y").as("nb"))
-      .union(und.select(col("y").as("node"), col("x").as("nb")))
-      .localCheckpoint(true) // joined every round
-    var labels = sym.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val sym = Loops.roundCheckpoint(
+      und.select(col("x").as("node"), col("y").as("nb"))
+        .union(und.select(col("y").as("node"), col("x").as("nb"))))
+    var labels = Loops.roundCheckpoint(sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {
-      labels = sym
+      labels = Loops.roundCheckpoint(sym
         .join(labels.select(col("node").as("nb"), col("label")), "nb")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
-        .localCheckpoint(true)
+        .select(col("node"), col("label")))
     }
     labels.select(col("node"), col("label").as("community"))
   }
