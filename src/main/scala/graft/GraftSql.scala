@@ -71,6 +71,15 @@ object GraftSql {
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         coalesce(col("clustering"), lit(0.0)).as("clustering"))
       .createOrReplaceTempView("graft_user_triangles")
+    // community labels (synchronous LPA, the q177 contract: 4 rounds,
+    // isolated users keep their own id) — a SQL client groups/joins on
+    // `community` without re-deriving the propagation
+    val lp = Graph.labelPropagation(Graph.coEngagementEdges(ev), rounds = 4)
+    ev.select(col("user_id")).distinct()
+      .join(lp.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("community"), col("user_id")).as("community"))
+      .createOrReplaceTempView("graft_user_communities")
   }
 
   /** Media-hash view over the fixture corpus: `graft_image_ahash` exposes

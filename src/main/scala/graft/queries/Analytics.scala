@@ -1060,5 +1060,23 @@ object Analytics extends QueryModule {
           .select($"user_id", $"community", $"community_size")
           .orderBy($"user_id")
       },
+      Some(labelPropagationOracle)),
+
+    // --------------------------------------------------------------- q179
+    // SQL-only community surface: q177's label-propagation output behind a
+    // named view (graft_user_communities) — a SQL author joins or groups
+    // on `community` without re-deriving the propagation; the size
+    // aggregation here is plain SQL over the view. Same unrolled-round
+    // oracle as q177.
+    QueryDef("q179_sql_communities",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        graft.GraftSql.registerGraphViews(s, dir)
+        s.sql("""WITH sz AS (SELECT community, count(*) AS community_size
+              FROM graft_user_communities GROUP BY community)
+          SELECT c.user_id, c.community, sz.community_size
+          FROM graft_user_communities c JOIN sz USING (community)
+          ORDER BY c.user_id""")
+      },
       Some(labelPropagationOracle)))
 }
