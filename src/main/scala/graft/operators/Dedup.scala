@@ -1191,7 +1191,11 @@ object Dedup {
     * [[crossCandidates]] (corpus×incoming only), refined with exact
     * shingle-Jaccard. (id_a = corpus doc, id_b = incoming doc.) The
     * pair-level companion to [[incrementalVerdicts]], for callers that
-    * need the edges (e.g. [[mergeClusters]]), not just verdicts. */
+    * need the edges (e.g. [[mergeClusters]]), not just verdicts. Also the
+    * FUZZY-decontamination primitive (q180): with `incoming` = a held-out
+    * benchmark, every hit is a training document that near-duplicates an
+    * eval item — overlap q62's exact n-gram gate cannot see once the text
+    * is paraphrased or re-wrapped. */
   def crossNearDups(
       corpus: DataFrame,
       incoming: DataFrame,

@@ -2311,6 +2311,54 @@ object Text extends QueryModule {
           CAST(cb AS BIGINT) AS cb, pmi
         FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50""")),
 
+    // --------------------------------------------------------------- q180
+    // FUZZY decontamination: q62's exact 13-gram gate cannot see a
+    // benchmark item that was paraphrased or re-wrapped into the training
+    // corpus; this closes that hole with cross-corpus MinHash banding
+    // (corpus x eval through band buckets, never corpus x corpus) refined
+    // by exact shingle-Jaccard. Per eval doc: contaminated flag, match
+    // count, best Jaccard, lowest matching corpus id. The oracle runs the
+    // exhaustive corpus x eval Jaccard scan — a banding recall miss or a
+    // threshold drift on either side fails the compare loudly.
+    QueryDef("q180_fuzzy_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val eval = docs.filter($"doc_id" % 10 === 7)
+        val corpus = docs.filter($"doc_id" % 10 =!= 7)
+        val hits = Dedup.crossNearDups(corpus, eval, threshold = 0.5)
+        eval.select($"doc_id")
+          .join(hits.groupBy($"id_b".as("doc_id"))
+            .agg(count(lit(1)).as("n_matches"),
+              max($"jaccard").as("max_jaccard"),
+              min($"id_a").as("first_match_id")), Seq("doc_id"), "left")
+          .select($"doc_id",
+            $"n_matches".isNotNull.as("contaminated"),
+            coalesce($"n_matches", lit(0L)).as("n_matches"),
+            coalesce($"max_jaccard", lit(0.0)).as("max_jaccard"),
+            coalesce($"first_match_id", lit(-1L)).as("first_match_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        ev AS (SELECT doc_id, sh FROM s WHERE doc_id % 10 = 7),
+        co AS (SELECT doc_id, sh FROM s WHERE doc_id % 10 <> 7),
+        jp AS (SELECT co.doc_id AS id_a, ev.doc_id AS id_b,
+            len(list_filter(co.sh, x -> list_contains(ev.sh, x))) AS i,
+            len(co.sh) AS la, len(ev.sh) AS lb
+          FROM co CROSS JOIN ev),
+        hits AS (SELECT id_a, id_b,
+            round(CASE WHEN la + lb - i > 0
+              THEN i * 1.0 / (la + lb - i) ELSE 0.0 END, 6) AS jac
+          FROM jp),
+        hh AS (SELECT id_b, count(*) AS n, max(jac) AS mx,
+            min(id_a) AS fst FROM hits WHERE jac >= 0.5 GROUP BY 1)
+        SELECT e.doc_id, hh.id_b IS NOT NULL AS contaminated,
+          CAST(COALESCE(n, 0) AS BIGINT) AS n_matches,
+          COALESCE(mx, 0.0) AS max_jaccard,
+          CAST(COALESCE(fst, -1) AS BIGINT) AS first_match_id
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) e
+        LEFT JOIN hh ON hh.id_b = e.doc_id ORDER BY e.doc_id""")),
+
     // --------------------------------------------------------------- q115
     // Near-dup-aware eval split: q107 audits EXACT-dup leakage; this closes
     // the remaining hole — near-duplicates straddling train/val. The split
