@@ -163,4 +163,56 @@ object Decontamination {
       .withColumn("flagged", col("n_shared") >= minShared)
       .drop("__eval_grams")
   }
+
+  /** FUZZY contamination hits, STREAMING-SAFE: (doc id, eval id, jaccard)
+    * for every document near-duplicating a held-out eval item at
+    * `threshold` — the paraphrase-robust companion to [[gate]]'s exact
+    * n-gram overlap, runnable inside an ingestion stream.
+    *
+    * Construction: the doc side computes its MinHash signature with the
+    * PER-ROW kernel (`Dedup.minhashSignature` — bit-identical to the
+    * banded table form, but a pure projection: no aggregation, so it is
+    * legal on a streaming frame) and band-explodes; the eval side is the
+    * standard banded signature table joined back to its shingle sets. One
+    * stream-static hash EQUI-join on (band, bucket) — the eval side is
+    * benchmark-sized, so Spark broadcasts it — followed by the exact
+    * shingle-Jaccard refine in the same projection. Completely STATELESS:
+    * no watermark, no state store, per-batch cost O(batch × collision
+    * rate), which is what lets a 100 TB ingestion stream gate against its
+    * benchmarks on every micro-batch.
+    *
+    * A pair sharing multiple band buckets emits one row per shared bucket
+    * (at-least-once evidence). Batch callers wanting exact pair sets add
+    * `.distinct()`; streaming callers dedup at the sink or downstream —
+    * an idempotent (doc, eval) upsert absorbs them. */
+  def fuzzyHits(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      threshold: Double = 0.5,
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val d = docs
+      .select(col(idCol).as("__did"),
+        TextFunctions.distinctShingles(col(textCol), shingle).as("__dsh"),
+        Dedup.minhashSignature(col(textCol), k, shingle).as("__sig"))
+      .select(col("__did"), col("__dsh"), posexplode(
+        array((0 until bands).map { b =>
+          xxhash64((lit(b) +: (0 until rows).map(r =>
+            element_at(col("__sig"), b * rows + r + 1))): _*)
+        }: _*)).as(Seq("band", "bucket")))
+    val e = Dedup.bandedSignatures(evalDocs, textCol, idCol, k, bands, shingle)
+      .join(evalDocs.select(col(idCol).as("id"),
+        TextFunctions.distinctShingles(col(textCol), shingle).as("__esh")), "id")
+      .select(col("id").as("eval_id"), col("band"), col("bucket"), col("__esh"))
+    d.join(e, Seq("band", "bucket"))
+      .withColumn("jaccard",
+        round(TextFunctions.jaccard(col("__dsh"), col("__esh")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__did").as(idCol), col("eval_id"), col("jaccard"))
+  }
 }

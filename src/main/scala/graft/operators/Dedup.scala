@@ -1152,6 +1152,23 @@ object Dedup {
 
   // -------------------------------------------------- incremental ingest
 
+  /** One (id, band, bucket) row per MinHash band of each document — the
+    * LSH bucketing shared by [[crossCandidates]] and the streaming fuzzy
+    * gate ([[Decontamination.fuzzyHits]]). Pure per-row expressions
+    * (signature kernel + per-band xxhash64 + posexplode), so it is legal
+    * on STREAMING frames too. */
+  private[operators] def bandedSignatures(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, bands: Int, shingle: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
+    sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1))): _*)
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Cross-corpus LSH candidates: (corpus id, incoming id) pairs that share
     * a MinHash band bucket. Unlike [[minhashCandidates]]' self-join, each
     * side is banded separately and joined corpus-against-incoming only —
@@ -1167,20 +1184,11 @@ object Dedup {
       bands: Int = 16,
       shingle: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val rows = k / bands
-    def banded(docs: DataFrame) = {
-      val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
-      sig.select(col("id"), posexplode(
-        array((0 until bands).map { b =>
-          xxhash64((lit(b) +: (0 until rows).map(r =>
-            element_at(col("sig"), b * rows + r + 1))): _*)
-        }: _*)).as(Seq("band", "bucket")))
-    }
     // cap only the corpus side: it is the one that grows without bound
-    val l = capBuckets(banded(corpus), Seq("band", "bucket"), maxBucket,
-      "crossCandidates").as("l")
-    val r = banded(incoming).as("r")
+    val l = capBuckets(
+      bandedSignatures(corpus, textCol, idCol, k, bands, shingle),
+      Seq("band", "bucket"), maxBucket, "crossCandidates").as("l")
+    val r = bandedSignatures(incoming, textCol, idCol, k, bands, shingle).as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()

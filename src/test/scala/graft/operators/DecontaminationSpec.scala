@@ -133,4 +133,50 @@ class DecontaminationSpec extends SparkSpec {
         "streamed verdicts == batch verdicts, across micro-batches, no state")
     } finally q.stop()
   }
+
+  // fuzzy fixture: an exact copy (jaccard 1.0), a one-word paraphrase
+  // (6 shared of 8 distinct shingles -> 0.75), and a clean doc
+  private val fuzzyEval =
+    Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+  private val fuzzyCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely unrelated words about other things entirely")
+  ).toDF("doc_id", "text")
+
+  test("fuzzyHits: batch pairs == crossNearDups; jaccard values exact") {
+    val got = Decontamination.fuzzyHits(fuzzyCorpus, fuzzyEval).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 100L, 1.0), (2L, 100L, 0.75)))
+    val cross = Dedup.crossNearDups(fuzzyCorpus, fuzzyEval, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === cross,
+      "streaming-safe form must find exactly the batch operator's pairs")
+  }
+
+  test("fuzzyHits runs STATELESS on a stream against a static eval set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val hits = Decontamination.fuzzyHits(
+      stream.toDF().toDF("doc_id", "text"), fuzzyEval)
+    val q = hits.writeStream.format("memory").queryName("fuzzy_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely unrelated words about other things entirely"))
+      q.processAllAvailable()
+      stream.addData((2L, "the quick brown fox jumps over the lazy cat"))
+      q.processAllAvailable()
+      // multi-band matches emit at-least-once evidence rows -> set-compare
+      val got = spark.table("fuzzy_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 100L, 1.0), (2L, 100L, 0.75)),
+        "hits across micro-batches; no watermark, no state store")
+      // and the plan is genuinely stateless: no stateful operator ran
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "fuzzyHits must not create streaming state")
+    } finally q.stop()
+  }
 }
