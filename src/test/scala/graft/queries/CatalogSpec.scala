@@ -47,7 +47,10 @@ class CatalogSpec extends SparkSpec {
     "q158_ivfpq_incremental",
     // q172 assembles per-modality summary rows from ONE-ROW count
     // aggregates cross-joined pairwise (shape (a))
-    "q172_multimodal_dedup_report")
+    "q172_multimodal_dedup_report",
+    // q178 cross-joins the ONE-ROW (unigram total, pair total) corpus
+    // constants onto the collocation frame (shape (a))
+    "q178_pmi_collocations")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
