@@ -286,6 +286,128 @@ object Sketches {
     * group. With `capacity` ≥ the group's distinct items the output is the
     * EXACT top-k (the oracle-checkable mode); undersized capacity degrades
     * to the bounded-error sketch. */
+  // ------------------------------------------------- quantile summary
+
+  /** Compactor-buffer state for [[QuantileAgg]]: `levels(l)` holds items of
+    * weight 2^l; total weight always equals the number of inserted rows. */
+  final case class QsBuf(levels: Seq[Seq[Double]])
+
+  /** Mergeable quantile summary as a typed Aggregator — the rank-query
+    * companion to the HLL / CMS / SpaceSaving / histogram family, width-free
+    * (no a-priori bucket grid like [[histogramQuantile]] needs).
+    *
+    * Structure: the classic deterministic compactor ladder (Munro &
+    * Paterson 1980; the deterministic skeleton of KLL without its random
+    * coin — randomness would break this engine's reproducibility contract).
+    * Level l holds items of weight 2^l; when a level exceeds `m` items it
+    * sorts and keeps the odd-indexed half at doubled weight. Insert is
+    * amortized O(1) appends; merge concatenates level-wise then compacts —
+    * associative-safe, any partial-aggregation tree yields a VALID summary.
+    *
+    * Exactness contract (the SpaceSaving convention): while a group's total
+    * count stays ≤ m, NO compaction ever fires, the summary is the exact
+    * multiset at level 0, and `finish` returns exact rank quantiles — the
+    * oracle-checkable mode (q181 pins it against explicit SQL rank
+    * selection). Past m, compactions introduce rank error ≤ 2^(l-1) each;
+    * summed over the ladder the estimate's TRUE rank stays within
+    * ~n·ceil(log2(2n/m))/m of the target for ANY merge tree (property-
+    * tested with adversarial trees in SketchesSpec). Compression is
+    * merge-tree-DEPENDENT (like SpaceSaving's), so only the exact mode is
+    * hash-pinned cross-engine; the compressed mode pins the bound.
+    *
+    * `finish` returns one value per requested quantile p: the smallest
+    * item whose cumulative weight reaches ceil(p · n) — the inverse
+    * empirical CDF, spelled with the same double arithmetic the SQL oracle
+    * uses. */
+  final class QuantileAgg(m: Int, ps: Seq[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[Double, QsBuf, Seq[Double]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    require(m >= 2 && m % 2 == 0, s"capacity must be even and >= 2, got $m")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must be in (0, 1], got $ps")
+
+    override def zero: QsBuf = QsBuf(Seq(Vector.empty))
+
+    /** Sort + keep odd indices at double weight; deterministic (no coin).
+      * An odd leftover stays at its level so total weight is preserved. */
+    private def compact(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      val out = scala.collection.mutable.ArrayBuffer(levels.map(_.toVector): _*)
+      var l = 0
+      while (l < out.size) {
+        if (out(l).size > m) {
+          val sorted = out(l).sorted
+          val even = sorted.size - (sorted.size % 2)
+          val promoted = (1 until even by 2).map(sorted)
+          out(l) = if (sorted.size % 2 == 1) Vector(sorted.last) else Vector.empty
+          if (l + 1 >= out.size) out += Vector.empty
+          out(l + 1) = out(l + 1) ++ promoted
+        }
+        l += 1
+      }
+      out.toSeq
+    }
+
+    override def reduce(b: QsBuf, v: Double): QsBuf = {
+      val levels = b.levels.updated(0, b.levels.head :+ v)
+      QsBuf(if (levels.head.size > m) compact(levels) else levels)
+    }
+
+    override def merge(a: QsBuf, b: QsBuf): QsBuf = {
+      val depth = math.max(a.levels.size, b.levels.size)
+      val joined = (0 until depth).map { l =>
+        (if (l < a.levels.size) a.levels(l) else Seq.empty) ++
+          (if (l < b.levels.size) b.levels(l) else Seq.empty)
+      }
+      QsBuf(compact(joined))
+    }
+
+    override def finish(r: QsBuf): Seq[Double] = {
+      val weighted = r.levels.zipWithIndex.flatMap { case (items, l) =>
+        items.map(v => (v, 1L << l))
+      }.sortBy(_._1)
+      val n = weighted.map(_._2).sum
+      if (n == 0L) return ps.map(_ => Double.NaN)
+      ps.map { p =>
+        val target = math.ceil(p * n).toLong.max(1L)
+        var cum = 0L
+        var i = 0
+        var ans = weighted.last._1
+        var found = false
+        while (i < weighted.size && !found) {
+          cum += weighted(i)._2
+          if (cum >= target) { ans = weighted(i)._1; found = true }
+          i += 1
+        }
+        ans
+      }
+    }
+
+    override def bufferEncoder: Encoder[QsBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[QsBuf]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Per-group quantiles via [[QuantileAgg]]: one aggregation, the
+    * quantile vector exploded to (group, p, q_value) rows. With `capacity`
+    * ≥ the group's row count the output is EXACT rank selection (the
+    * oracle-checkable mode); undersized capacity degrades to the bounded-
+    * rank-error sketch. */
+  def quantileSummary(df: DataFrame, groupCols: Seq[String], value: Column,
+      capacity: Int, ps: Seq[Double]): DataFrame = {
+    val agg = udaf(new QuantileAgg(capacity, ps),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    df.select((groupCols.map(col) :+ value.cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__v")).as("qs"))
+      .select((groupCols.map(col) :+
+        posexplode(col("qs")).as(Seq("__i", "q_value"))): _*)
+      .withColumn("p", element_at(
+        array(ps.map(lit): _*), col("__i").cast("int") + 1))
+      .select((groupCols.map(col) :+ col("p") :+ col("q_value")): _*)
+  }
+
   def spaceSavingTopK(df: DataFrame, groupCols: Seq[String], item: Column,
       weight: Column, capacity: Int, k: Int): DataFrame = {
     val agg = udaf(new SpaceSavingAgg(capacity),

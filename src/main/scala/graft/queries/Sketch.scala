@@ -317,6 +317,37 @@ object Sketch extends QueryModule {
         ORDER BY source"""
       }),
 
+    // --------------------------------------------------------------- q181
+    // Mergeable quantile summary (Sketches.QuantileAgg): per-source rank
+    // quantiles of document length from ONE typed-Aggregator aggregation —
+    // the WIDTH-FREE quantile member of the mergeable-sketch family (q95's
+    // histogram needs an a-priori bucket grid; this compactor ladder does
+    // not). Capacity 1024 exceeds every fixture group, so the summary is
+    // the EXACT multiset and finish() is exact rank selection, which the
+    // oracle recomputes as explicit row_number rank picks (NOT
+    // quantile_disc — its rank convention differs; rank = ceil(p*n) is
+    // spelled with the same double arithmetic on both sides). The
+    // compressed mode's rank-error bound is pinned by SketchesSpec on
+    // adversarial merge trees.
+    QueryDef("q181_quantile_summary",
+      (s, dir) => {
+        import s.implicits._
+        Sketches.quantileSummary(t(s, dir, "documents"), Seq("source"),
+            $"n_chars", capacity = 1024, ps = Seq(0.25, 0.5, 0.75, 0.95))
+          .orderBy($"source", $"p")
+      },
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+            FROM documents WHERE n_chars IS NOT NULL),
+          r AS (SELECT source, v,
+              row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY source) AS n FROM v),
+          ps AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p),
+          sel AS (SELECT r.source, ps.p, min(r.v) AS q_value
+            FROM r CROSS JOIN ps
+            WHERE r.rn >= CAST(ceil(ps.p * r.n) AS BIGINT)
+            GROUP BY 1, 2)
+        SELECT source, p, q_value FROM sel ORDER BY source, p""")),
+
     // --------------------------------------------------------------- q147
     // Mergeable batch SpaceSaving heavy hitters (Sketches.SpaceSavingAgg):
     // per-source top-5 tokens from ONE typed-Aggregator aggregation whose

@@ -171,6 +171,71 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("QuantileAgg: exact rank selection while n <= capacity, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = (1 to 200).map(_ => rnd.nextInt(1000).toDouble)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val sorted = vals.sorted
+    def exactQ(p: Double): Double =
+      sorted(math.ceil(p * vals.size).toLong.max(1L).toInt - 1)
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.quantileSummary(
+          vals.map(("g", _)).toDF("g", "v").repartition(parts),
+          Seq("g"), $"v", capacity = 256, ps = ps)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      assert(got === ps.map(p => p -> exactQ(p)).toMap,
+        s"exact mode must be partitioning-independent (parts=$parts)")
+    }
+  }
+
+  test("QuantileAgg: compressed-mode rank error within the documented bound, adversarial merge trees") {
+    val n = 4096
+    val m = 64
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val agg = new Sketches.QuantileAgg(m, ps)
+    // documented bound: rank error <= n * ceil(log2(2n/m)) / m
+    val bound = n.toLong * math.ceil(
+      math.log(2.0 * n / m) / math.log(2.0)).toLong / m
+    def rankErr(data: Seq[Double], est: Double, p: Double): Long = {
+      val s = data.sorted
+      val target = math.ceil(p * data.size).toLong.max(1L)
+      val lo = s.count(_ < est) + 1L // v occupies rank interval [lo, hi]
+      val hi = s.count(_ <= est).toLong
+      if (target < lo) lo - target else if (target > hi) target - hi else 0L
+    }
+    def check(data: Seq[Double], how: String, finBuf: Sketches.QsBuf): Unit = {
+      val est = agg.finish(finBuf)
+      ps.zip(est).foreach { case (p, v) =>
+        val err = rankErr(data, v, p)
+        assert(err <= bound,
+          s"$how: p=$p est=$v rank error $err > bound $bound (n=$n m=$m)")
+      }
+    }
+    def bufOf(data: Seq[Double]): Sketches.QsBuf =
+      data.foldLeft(agg.zero)(agg.reduce)
+    // sequential inserts on sorted ascending / descending (the adversarial
+    // orders for deterministic compactors) and shuffled
+    val asc = (1 to n).map(_.toDouble)
+    check(asc, "ascending", bufOf(asc))
+    check(asc, "descending", bufOf(asc.reverse))
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(asc)
+    check(asc, "shuffled", bufOf(shuffled))
+    // random partitioning, random pairwise merge order (SpaceSaving's
+    // adversarial-tree harness)
+    var bufs = rnd.shuffle(asc).grouped(300).map(bufOf).toVector
+    while (bufs.size > 1) {
+      val i = rnd.nextInt(bufs.size - 1)
+      bufs = bufs.patch(i, Seq(agg.merge(bufs(i), bufs(i + 1))), 2)
+    }
+    check(asc, "random merge tree", bufs.head)
+    // total weight is ALWAYS exact (compactions preserve it)
+    val w = bufs.head.levels.zipWithIndex
+      .map { case (items, l) => items.size.toLong << l }.sum
+    assert(w === n.toLong, "compaction must preserve total weight")
+  }
+
   test("spaceSavingTopK: exact with distinct items == capacity, any partitioning") {
     import spark.implicits._
     // every group sees exactly 12 distinct items and capacity is 12: the
