@@ -108,11 +108,23 @@ object GraftSql {
     spark.udf.register(name,
       udaf(new Sketches.HllAgg(b), Encoders.STRING))
 
+  /** Register the mergeable quantile summary as a SQL-callable aggregate:
+    * `SELECT g, <name>(CAST(x AS DOUBLE)) FROM ... GROUP BY g` returns the
+    * array<double> of quantile values at `ps` (exact rank selection while
+    * the group count stays within `capacity` — see
+    * [[Sketches.QuantileAgg]]). Capacity and the quantile list bind at
+    * registration, like the Scala API's constructor parameters. */
+  def registerQuantile(spark: SparkSession, name: String, capacity: Int,
+      ps: Seq[Double]): Unit =
+    spark.udf.register(name,
+      udaf(new Sketches.QuantileAgg(capacity, ps), Encoders.scalaDouble))
+
   /** Everything a SQL-only client needs, in one call. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     registerTables(spark, dir)
     registerSpaceSaving(spark, "ss_summary_64", 64)
     registerHll(spark, "hll_distinct_12", 12)
+    registerQuantile(spark, "qsummary_1024", 1024, Seq(0.25, 0.5, 0.75, 0.95))
     registerOperatorViews(spark, dir)
   }
 }

@@ -21,6 +21,23 @@ object Sketch extends QueryModule {
   // HLL shape: m = 2^b registers over a 60-bit md5 hash
   private val B = 12
   private val M = 1L << B
+
+  // Shared by q181 (Scala-authored) and q182 (SQL-authored via the
+  // registered qsummary_1024 aggregate): explicit row_number rank picks —
+  // NOT quantile_disc, whose rank convention differs; rank = ceil(p*n) is
+  // spelled with the same double arithmetic as QuantileAgg.finish.
+  private val quantileOracle: String =
+    """WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        r AS (SELECT source, v,
+            row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY source) AS n FROM v),
+        ps AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p),
+        sel AS (SELECT r.source, ps.p, min(r.v) AS q_value
+          FROM r CROSS JOIN ps
+          WHERE r.rn >= CAST(ceil(ps.p * r.n) AS BIGINT)
+          GROUP BY 1, 2)
+      SELECT source, p, q_value FROM sel ORDER BY source, p"""
   private val SuffixBits = 60 - B
   // alpha_m * m^2, computed ONCE in Scala and embedded as the same double
   // literal on both sides (a formula re-evaluated under DuckDB DECIMAL
@@ -336,17 +353,27 @@ object Sketch extends QueryModule {
             $"n_chars", capacity = 1024, ps = Seq(0.25, 0.5, 0.75, 0.95))
           .orderBy($"source", $"p")
       },
-      Some("""WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
-            FROM documents WHERE n_chars IS NOT NULL),
-          r AS (SELECT source, v,
-              row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
-              count(*) OVER (PARTITION BY source) AS n FROM v),
-          ps AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p),
-          sel AS (SELECT r.source, ps.p, min(r.v) AS q_value
-            FROM r CROSS JOIN ps
-            WHERE r.rn >= CAST(ceil(ps.p * r.n) AS BIGINT)
-            GROUP BY 1, 2)
-        SELECT source, p, q_value FROM sel ORDER BY source, p""")),
+      Some(quantileOracle)),
+
+    // --------------------------------------------------------------- q182
+    // SQL-only quantile summary: the q181 aggregator as a registered SQL
+    // aggregate (GraftSql.registerQuantile) — `GROUP BY source` builds the
+    // compactor summary the way it calls sum; the quantile vector explodes
+    // and maps back to its p in plain SQL. Same explicit-rank oracle as
+    // q181.
+    QueryDef("q182_sql_quantiles",
+      (s, dir) => {
+        graft.GraftSql.registerAll(s, dir)
+        s.sql("""WITH qs AS (SELECT source,
+              qsummary_1024(CAST(n_chars AS DOUBLE)) AS v
+            FROM documents_v WHERE n_chars IS NOT NULL GROUP BY source)
+          SELECT source,
+            element_at(array(0.25D, 0.5D, 0.75D, 0.95D), pos + 1) AS p,
+            q AS q_value
+          FROM qs LATERAL VIEW posexplode(v) t AS pos, q
+          ORDER BY source, p""")
+      },
+      Some(quantileOracle)),
 
     // --------------------------------------------------------------- q147
     // Mergeable batch SpaceSaving heavy hitters (Sketches.SpaceSavingAgg):

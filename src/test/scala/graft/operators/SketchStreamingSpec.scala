@@ -95,6 +95,33 @@ class SketchStreamingSpec extends SparkSpec {
     assert(streamedEst === batchEst)
   }
 
+  test("QuantileAgg: streaming groupBy across triggers == exact batch ranks (exact mode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ps = Seq(0.25, 0.5, 0.9)
+    val stream = MemoryStream[Double]
+    val agg = udaf(new Sketches.QuantileAgg(512, ps),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val q = stream.toDF().withColumn("g", lit(1))
+      .groupBy("g").agg(agg(col("value")).as("qs"))
+      .writeStream.format("memory").queryName("qs_stream")
+      .outputMode("complete").start()
+    try {
+      val rnd = new scala.util.Random(3)
+      val all = rnd.shuffle((1 to 350).map(_.toDouble))
+      stream.addData(all.take(200): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qs_stream")
+      .collect().head.getSeq[Double](1)
+    // capacity 512 >= 350: the cross-trigger state-store merges never
+    // compact, so the result is EXACT rank selection over the union
+    val expected = ps.map(p => math.ceil(p * 350).toDouble)
+    assert(streamed === expected,
+      "streaming quantile summary must equal exact batch ranks in exact mode")
+  }
+
   test("streaming CMS cells across batches == batch cells over the union") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[String]
