@@ -113,6 +113,49 @@ object Text extends QueryModule {
         CAST(length(text) AS INTEGER) AS n_chars_calc
         FROM documents ORDER BY doc_id""")),
 
+    // --------------------------------------------------------------- q183
+    // Tokenizer fertility by language — the compression telemetry a
+    // tokenizer evaluation reports (chars per token, subword tokens per
+    // whitespace word; Rust/SentencePiece eval convention). Integer sums
+    // per language (exact, order-free), ONE double division per ratio at
+    // the edge, rounded to the shared grid. Map-side-combined single
+    // aggregation; nothing joins.
+    QueryDef("q183_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang",
+            length($"text").cast("long").as("chars"),
+            TextFunctions.tokenCount($"text").as("words"),
+            TextFunctions.bpeishTokenCount($"text").as("bpe"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"chars").as("total_chars"),
+            sum($"words").as("total_words"),
+            sum($"bpe").as("total_bpe"))
+          .select($"lang", $"n_docs", $"total_chars", $"total_words",
+            $"total_bpe",
+            round($"total_chars".cast("double") / $"total_bpe", 6)
+              .as("chars_per_bpe_token"),
+            round($"total_bpe".cast("double") / $"total_words", 6)
+              .as("bpe_per_word"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH d AS (SELECT lang,
+            CAST(length(text) AS BIGINT) AS chars,
+            CAST(len($wsSql) AS BIGINT) AS words,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(chars) AS BIGINT) AS total_chars,
+          CAST(sum(words) AS BIGINT) AS total_words,
+          CAST(sum(bpe) AS BIGINT) AS total_bpe,
+          round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6)
+            AS chars_per_bpe_token,
+          round(CAST(sum(bpe) AS DOUBLE) / sum(words), 6) AS bpe_per_word
+        FROM d GROUP BY lang ORDER BY lang""")),
+
     // ---------------------------------------------------------------- q31
     QueryDef("q31_quality_score",
       (s, dir) => {
