@@ -55,15 +55,16 @@ object GraftSql {
       .createOrReplaceTempView("graft_bm25_topk")
   }
 
-  /** Graph-analytics views over the user co-engagement graph. NOT part of
-    * [[registerAll]]: `triangleCounts` materializes its edge frame eagerly
-    * (localCheckpoint — the loop discipline), so this registration runs
-    * Spark jobs at call time; clients opt in when they want the graph
-    * surface rather than paying it on every registerAll. */
-  def registerGraphViews(spark: SparkSession, dir: String): Unit = {
+  /** Per-user triangle/clustering view (`graft_user_triangles`). NOT part
+    * of [[registerAll]]: `triangleCounts` materializes its edge frame
+    * eagerly (localCheckpoint — the loop discipline), so this registration
+    * runs Spark jobs at call time; clients opt in per view — a client that
+    * only selects triangles must not pay the community propagation (and
+    * vice versa), which is why the two graph views register separately. */
+  def registerTriangleView(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
     val ev = Tables(spark, dir, "events")
     val tc = Graph.triangleCounts(Graph.coEngagementEdges(ev))
-    import org.apache.spark.sql.functions._
     ev.select(col("user_id")).distinct()
       .join(tc.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
       .select(col("user_id"),
@@ -71,15 +72,30 @@ object GraftSql {
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         coalesce(col("clustering"), lit(0.0)).as("clustering"))
       .createOrReplaceTempView("graft_user_triangles")
-    // community labels (synchronous LPA, the q177 contract: 4 rounds,
-    // isolated users keep their own id) — a SQL client groups/joins on
-    // `community` without re-deriving the propagation
+  }
+
+  /** Community-label view (`graft_user_communities`): synchronous LPA, the
+    * q177 contract (4 rounds, isolated users keep their own id) — a SQL
+    * client groups/joins on `community` without re-deriving the
+    * propagation. Eager at registration (the LPA loop localCheckpoints per
+    * round), so clients opt in per view, same as [[registerTriangleView]]. */
+  def registerCommunityView(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, dir, "events")
     val lp = Graph.labelPropagation(Graph.coEngagementEdges(ev), rounds = 4)
     ev.select(col("user_id")).distinct()
       .join(lp.withColumnRenamed("node", "user_id"), Seq("user_id"), "left")
       .select(col("user_id"),
         coalesce(col("community"), col("user_id")).as("community"))
       .createOrReplaceTempView("graft_user_communities")
+  }
+
+  /** Both graph views. Convenience for clients that want the whole graph
+    * surface; pays BOTH eager materializations — select-one clients should
+    * call the per-view registration instead. */
+  def registerGraphViews(spark: SparkSession, dir: String): Unit = {
+    registerTriangleView(spark, dir)
+    registerCommunityView(spark, dir)
   }
 
   /** Media-hash view over the fixture corpus: `graft_image_ahash` exposes

@@ -86,14 +86,23 @@ object Dedup {
     * downstream, so the cap never affects precision. The sample is
     * seed-pinned, so a given input always takes the same path. Caps under 64
     * keep the r6 behavior (exact stats pass first — the probe would need
-    * most of the frame anyway, and spec-sized caps stay deterministic). */
+    * most of the frame anyway, and spec-sized caps stay deterministic).
+    *
+    * `exactGuard = true` skips the sampled probe and always runs the exact
+    * occupancy pass: the probe makes the cap a with-overwhelming-probability
+    * bound, not a hard one (a bucket only modestly over a large cap could in
+    * principle slip the occ>=8 filter) — callers whose CONTRACT promises
+    * "at most cap members per bucket" (coEngagementEdges) opt into the
+    * exact pass; the LSH/signature generators keep the probe (their cap is
+    * a performance guard, and their healthy-path cost matters). */
   private[operators] def capBuckets(
       banded: DataFrame,
       keys: Seq[String],
       cap: Int,
-      opName: String): DataFrame = {
+      opName: String,
+      exactGuard: Boolean = false): DataFrame = {
     if (cap <= 0) return banded
-    if (cap >= 64) {
+    if (cap >= 64 && !exactGuard) {
       val f = 32.0 / cap
       val suspicious = !banded.sample(withReplacement = false, f, seed = 42)
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("occ"))

@@ -115,6 +115,9 @@ object Graph {
     * buckets above the cap keep their `cap` lowest user ids and the drop
     * count is logged (recall-only loss — edges through the hottest feature
     * are the least informative, exactly the Adamic-Adar hub argument).
+    * The cap here is a HARD bound (exactGuard — the guard runs the exact
+    * occupancy pass, not capBuckets' sampled fast-path, so the promise
+    * above holds for every bucket, not with-overwhelming-probability).
     * Default 0 = uncapped, the exhaustive oracle-checkable form; a 100 TB
     * deployment sets it to a few thousand. */
   def coEngagementEdges(
@@ -133,7 +136,7 @@ object Graph {
       .filter(col("rn") <= topK).select(col("user_id"), col("k"))
     val top = Dedup.capBuckets(
         topUncapped.withColumnRenamed("user_id", "id"), Seq("k"),
-        maxUsersPerFeature, "coEngagementEdges")
+        maxUsersPerFeature, "coEngagementEdges", exactGuard = true)
       .withColumnRenamed("id", "user_id")
     top.as("a").join(top.as("b"),
         col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))

@@ -47,7 +47,19 @@ object Loops {
 
   /** RDD form for loops that round-trip through RDDs for fresh attribute
     * ids (the CC label loop). Marks only; the caller materializes with its
-    * own action (checkpointing completes on that action either way). */
+    * own action (checkpointing completes on that action either way).
+    *
+    * Reliable mode persists BEFORE marking: `RDD.checkpoint()` on an
+    * unpersisted RDD makes the separate checkpoint-writing job RECOMPUTE
+    * the whole round lineage (doubling per-round cost), and the
+    * checkpointed copy would then be a recomputation rather than the exact
+    * data the caller's convergence action observed. With the persist, the
+    * caller's action fills the cache and the checkpoint job copies cached
+    * blocks. The loop's own per-round unpersist releases the cache
+    * (localCheckpoint needs no extra persist — it IS a persist). */
   def markCheckpoint(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit =
-    if (reliable(spark)) rdd.checkpoint() else rdd.localCheckpoint()
+    if (reliable(spark)) {
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else rdd.localCheckpoint()
 }

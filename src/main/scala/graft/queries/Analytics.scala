@@ -376,7 +376,7 @@ object Analytics extends QueryModule {
     // proving the SQL path returns exactly what the Scala API returns.
     QueryDef("q168_sql_triangles",
       (s, dir) => {
-        graft.GraftSql.registerGraphViews(s, dir)
+        graft.GraftSql.registerTriangleView(s, dir)
         s.sql("""SELECT user_id, degree, triangles, clustering
           FROM graft_user_triangles ORDER BY user_id""")
       },
@@ -1071,7 +1071,7 @@ object Analytics extends QueryModule {
     QueryDef("q179_sql_communities",
       (s, dir) => {
         graft.GraftSql.registerAll(s, dir)
-        graft.GraftSql.registerGraphViews(s, dir)
+        graft.GraftSql.registerCommunityView(s, dir)
         s.sql("""WITH sz AS (SELECT community, count(*) AS community_size
               FROM graft_user_communities GROUP BY community)
           SELECT c.user_id, c.community, sz.community_size

@@ -426,10 +426,9 @@ object Sketch extends QueryModule {
           .select($"doc_id", $"source",
             explode(TextFunctions.tokens($"text")).as("token"))
           .filter(length($"token") > 0)
-        // app-id suffix: no cross-process overwrite/read race on the shared
-        // tmpdir (bench and tests can run concurrently on one host)
-        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_q157_registers_${s.sparkContext.applicationId}").getAbsolutePath
+        // app-id-suffixed scratch dir (no cross-process race; deleted at
+        // JVM exit so runs don't leak parquet into tmpdir — see TempStores)
+        val store = graft.sources.TempStores.scratch(s, "graft_q157_registers")
         Sketches.hllRegisters(toks.filter($"doc_id" % 2 === 0),
             Seq("source"), $"token", B)
           .write.mode("overwrite").parquet(store)

@@ -1352,10 +1352,9 @@ object Text extends QueryModule {
         val imgs = Multimodal.withSyntheticPatternImages(
             Multimodal.assetize(t(s, dir, "documents")))
           .filter($"media_type" === "image")
-        // app-id suffix: two processes on one host (bench + tests) must not
-        // race an overwrite against a mid-query read of the same directory
-        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_q161_ahash_index_${s.sparkContext.applicationId}").getAbsolutePath
+        // app-id-suffixed scratch dir (no cross-process race; deleted at
+        // JVM exit so runs don't leak parquet into tmpdir — see TempStores)
+        val store = graft.sources.TempStores.scratch(s, "graft_q161_ahash_index")
         Multimodal.imageAHash(imgs.filter($"asset_id" % 2 === 0)).toDF()
           .filter($"decoded").select($"asset_id", $"ahash")
           .write.mode("overwrite").parquet(store)

@@ -166,10 +166,9 @@ object Vectors extends QueryModule {
         val day1 = emb.filter($"vec_id" % 2 === 0)
         val day2 = emb.filter($"vec_id" % 2 === 1)
         val mdl = Similarity.trainIvfPq(day1)
-        // app-id suffix: no cross-process overwrite/read race on the shared
-        // tmpdir (bench and tests can run concurrently on one host)
-        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_q158_ivfpq_${s.sparkContext.applicationId}").getAbsolutePath
+        // app-id-suffixed scratch dir (no cross-process race; deleted at
+        // JVM exit so runs don't leak parquet into tmpdir — see TempStores)
+        val store = graft.sources.TempStores.scratch(s, "graft_q158_ivfpq")
         Similarity.saveIvfPqIndex(mdl, Similarity.encodeIvfPq(day1, mdl), store)
         val (loaded, day1Codes) = Similarity.loadIvfPqIndex(s, store)
         val merged = day1Codes.unionByName(Similarity.encodeIvfPq(day2, loaded))

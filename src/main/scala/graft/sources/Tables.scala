@@ -51,3 +51,35 @@ object Tables {
     case n => spark.read.parquet(s"$dir/$n.parquet")
   }
 }
+
+/** Per-application scratch directories for queries that exercise a
+  * persist-then-load seam (q157 sketch rollup, q158 IVF-PQ index, q161
+  * aHash index). The applicationId suffix keeps concurrent processes on one
+  * host (bench + tests) from racing an overwrite against a mid-query read
+  * of the same path; the registered shutdown hook deletes every directory
+  * this JVM created, so repeated runs don't accumulate leaked parquet under
+  * java.io.tmpdir (one directory per app run otherwise lives forever). */
+object TempStores {
+  private val created = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    created.keySet().forEach { p =>
+      try deleteRecursively(new java.io.File(p)) catch { case _: Throwable => () }
+    }))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Absolute path `tmpdir/<prefix>_<applicationId>`, registered for
+    * deletion at JVM exit. The directory itself is created by the writer
+    * (parquet `save`), not here. */
+  def scratch(spark: SparkSession, prefix: String): String = {
+    hook
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${spark.sparkContext.applicationId}").getAbsolutePath
+    created.put(path, true)
+    path
+  }
+}

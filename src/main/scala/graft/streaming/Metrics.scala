@@ -48,6 +48,16 @@ object Metrics {
   private val counters = new ConcurrentHashMap[String, LongAdder]()
   private val gauges = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val streamsSeen = new LongAdder()
+  // Replay guard for the streams-ever-seen accumulation: highest batchId
+  // whose new_streams count has been added, per query id. Query `id` (not
+  // `runId`) persists across checkpoint restarts, and batch ids are
+  // monotone per query, so "batchId <= watermark" identifies a re-executed
+  // batch: after a restart the last uncommitted batch replays with the SAME
+  // batchId, its state rolls back, the same new_stream flags recompute, and
+  // without this guard the listener would add them twice (counters may
+  // legitimately re-increment on replay — the reference does the same — but
+  // a streams-EVER-seen gauge must not). One long per live query.
+  private val newStreamsSeenBatch = new ConcurrentHashMap[java.util.UUID, Long]()
   // histogram: per stream_type -> per-band (non-cumulative) counts; band i
   // holds counts in (bucket(i-1), bucket(i)], band n holds > bucket(n-1).
   private val histoCounts = new ConcurrentHashMap[String, Array[LongAdder]]()
@@ -134,6 +144,7 @@ object Metrics {
 
   def reset(): Unit = {
     counters.clear(); gauges.clear(); streamsSeen.reset()
+    newStreamsSeenBatch.clear()
     histoCounts.clear(); histoSumMs.clear()
     apiDurBands.clear(); apiDurSumNs.clear()
   }
@@ -179,8 +190,17 @@ object Metrics {
             // streams-ever-seen: sum of per-batch new-key counts (flagged by
             // the keyed-state processor on each key's first-ever row) — a
             // single long per batch, replacing the O(distinct-ids) set the
-            // listener used to union driver-side.
-            streamsSeen.add(long("new_streams"))
+            // listener used to union driver-side. Guarded by the per-query
+            // batchId watermark so a checkpoint-replayed batch (same flags
+            // recomputed after state rollback) adds exactly once.
+            // (listener events are delivered single-threaded per listener,
+            // so get-compare-put needs no atomicity beyond the map's)
+            val qid = e.progress.id
+            val last = newStreamsSeenBatch.getOrDefault(qid, -1L)
+            if (e.progress.batchId > last) {
+              newStreamsSeenBatch.put(qid, e.progress.batchId)
+              streamsSeen.add(long("new_streams"))
+            }
             setGauge("spark_active_live_streams", streamsSeen.sum)
           case "vod_metrics" =>
             inc("spark_vod_chunks_processed_total", long("chunks"))
