@@ -138,8 +138,28 @@ object Bench {
       // debt (measured q47 5.6 s isolated vs 13 s at catalog position 47
       // of a 70-query run). An explicit collection here makes each query's
       // reps measure ITS steady state, not its predecessors' garbage.
+      //
+      // Explicit rep hygiene (r12 verdict #6, the q59 smear): the iterative
+      // operators return frames backed by a persisted final-round RDD that
+      // no caller can unpersist, so every reliable rep of a CC-loop query
+      // stacked one more round frontier into storage — reps 2..N of q59 ran
+      // against a heap the earlier reps had already mortgaged (r11 reps
+      // 4.7/17.0/4.3 s, r12 4.4/12.4/15.6 s, min stable ~4.4 s). Dropping
+      // every persistent RDD between evaluations is safe — each evaluation
+      // rebuilds its plan from scratch — and makes each rep measure the
+      // same cold-storage state the min always measured.
+      // blocking: removal completes HERE, not inside the next rep's window
+      def dropPersisted(): Unit =
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        catch { case _: Throwable => () }
+      dropPersisted()
       System.gc()
-      val raw = (1 to reps).map(_ => evalFully(name))
+      val raw = (1 to reps).map { _ =>
+        val t = evalFully(name)
+        dropPersisted()
+        t
+      }
       // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr, for spotting
       // session-age drift (a growing sequence means accumulated state —
       // storage blocks, codegen caches — not query cost)

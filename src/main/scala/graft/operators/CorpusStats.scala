@@ -208,7 +208,7 @@ object CorpusStats {
     * (same token universe as [[unigramNll]]'s post-explode filter), keeping
     * `keep` columns alongside — shared by the bigram LM and the PMI
     * collocation miner. */
-  private def adjacentPairs(textCol: String)(
+  private[operators] def adjacentPairs(textCol: String)(
       d: DataFrame, keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val wsf = filter(TextFunctions.tokens(col(textCol)),
       x => length(x) > 0)

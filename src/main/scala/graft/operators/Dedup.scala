@@ -774,6 +774,87 @@ object Dedup {
     pairs
   }
 
+  /** EXACT cross-document substring dedup (the Lee-et-al ExactSubstr
+    * contract, distributed): every maximal verbatim span of length >=
+    * `minLen` characters shared by two documents, with both start offsets
+    * and the exact span length — no fingerprint sampling, no winnowing
+    * density argument. [[sharedFingerprintPairs]] approximates this family
+    * (it guarantees detection but reports fingerprint counts, not exact
+    * extents); this operator IS the exact form.
+    *
+    * Algorithm — sorted-anchor + diagonal runs (the distributed equivalent
+    * of a suffix-array scan): a shared span of length S >= L contributes
+    * exactly S-L+1 matching L-gram anchors at consecutive positions on one
+    * (doc_a, doc_b, pos_a - pos_b) diagonal, and conversely any maximal
+    * consecutive anchor run of length m on a diagonal IS a maximal shared
+    * span of length m+L-1. So: hash every L-char gram with its position
+    * (codegen substring+xxhash64, O(n·L) char work — the winnowing
+    * precedent: a rolling O(n) hash would be an interpreted per-char fold,
+    * strictly worse here), keep only gram hashes seen in >= 2 distinct
+    * docs (one map-side-combined aggregate; duplicated grams are a tiny
+    * fraction of any real corpus, so the pair join's inputs collapse from
+    * every position to just the shared ones), equi-join on the hash,
+    * then detect consecutive runs per diagonal with the classic
+    * pos - row_number() grouping — one window pass, keyed by the pair.
+    *
+    * Scale shape: one shuffle of (hash, id, pos) tuples (24 bytes per text
+    * character) for the shared-hash aggregate + join — heavy but linear,
+    * and the post-filter pair join touches only duplicated grams. The
+    * output itself is the quadratic risk (m docs sharing one span emit
+    * C(m,2) rows — intrinsic to exact pair reporting); `maxBucket > 0`
+    * bounds a degenerate gram's bucket with logged, never silent, drops
+    * (recall-only; default 0 = the exact contract). 64-bit hashing can in
+    * principle alias two distinct grams (~1e-19 per pair); the DuckDB
+    * oracle joins on the gram STRING, so any collision would surface as a
+    * correctness mismatch rather than hide.
+    *
+    * Returns (doc_a, doc_b, start_a, start_b, span_len), doc_a < doc_b,
+    * offsets 1-based, one row per MAXIMAL shared span (spans at different
+    * alignments report separately, as a suffix array would). */
+  def exactSubstrSpans(
+      docs: DataFrame,
+      minLen: Int = 40,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Int = 0): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    // sequence(1, stop) DESCENDS when stop < 1 — docs shorter than L must
+    // not reach the explode
+    val grams = docs.filter(length(col(textCol)) >= L)
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
+        col(textCol).as("t"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(expr(s"substring(t, pos, $L)")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram hashes present in >= 2 distinct docs: min != max avoids a
+    // count(distinct) expansion; partial aggregation collapses each
+    // partition's repeats before the shuffle
+    val shared = grams.groupBy(col("gh"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val cand = capBuckets(grams.join(shared, Seq("gh")), Seq("gh"),
+      maxBucket, "exactSubstrSpans")
+    val m = cand.as("a").join(cand.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val spans = m
+      .withColumn("run_id", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run_id"))
+      .agg(min(col("pos_a")).as("start_a"), count(lit(1)).as("n_anchor"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"),
+        (col("n_anchor") + (L - 1)).as("span_len"))
+      .localCheckpoint(true) // eager: lets grams be unpersisted before return
+    grams.unpersist(blocking = false)
+    spans
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
     * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)).
     * Per-row column form; corpus scans should use [[simhashTable]]

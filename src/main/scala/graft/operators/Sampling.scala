@@ -311,4 +311,128 @@ object Sampling {
         (conv(substring(col("order_key"), 1, 4), 16, 10).cast("long")
           % shards).cast("long"))
   }
+
+  // ------------------------------------------------------------------ DSIR
+
+  /** DSIR hashed n-gram features (Xie et al. 2023, Data Selection for
+    * Language Models via Importance Resampling): per-document counts of
+    * unigrams AND adjacent bigrams hashed into `buckets` buckets — the
+    * fixed-dimension bag-of-hashed-ngrams representation both the target
+    * and raw bag-of-words models are fit over. The hash is the
+    * engine-portable md5 construction ([[Sketches.md5Bits60]] mod B), so
+    * an external engine reproduces every bucket assignment.
+    *
+    * Plan shape: one tokenize feeds both gram orders (the bigram side
+    * slices the same split array); the only shuffle is the (id, bucket)
+    * partial-aggregated count. Returns (id, bucket, cnt); docs with no
+    * tokens are absent (callers left-join, DSIR's empty product = 0). */
+  def dsirFeatures(
+      docs: DataFrame,
+      buckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val uni = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("f"))
+      .filter(length(col("f")) > 0)
+    // keep must stay re-selectable across adjacentPairs' two projections,
+    // so the rename happens here, after the pairing
+    val bi = CorpusStats.adjacentPairs(textCol)(docs, Seq(col(idCol)))
+      .select(col(idCol).as("id"), concat(col("w1"), lit(" "), col("w2")).as("f"))
+    uni.unionByName(bi)
+      .select(col("id"), pmod(Sketches.md5Bits60(col("f")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-bucket log importance ratios ln p_target(b) - ln p_raw(b), add-one
+    * smoothed: lr_b = ln((ct_b+1)/(T_t+B)) - ln((cr_b+1)/(T_r+B)) rounded
+    * to 6 dp (one round over the DIFFERENCE absorbs per-ln libm ulps, the
+    * q66/q133 convention). Buckets are the union of both sides' observed
+    * buckets with zero-coalesced counts — a raw-side bucket the target
+    * never emits still gets its smoothed (strongly negative) ratio.
+    * Totals join as one-row broadcast scalars. */
+  def dsirBucketLogRatios(
+      target: DataFrame,
+      raw: DataFrame,
+      buckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tb = dsirFeatures(target, buckets, idCol, textCol)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
+    val rb = dsirFeatures(raw, buckets, idCol, textCol)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
+    val joined = tb.join(rb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tt = tb.agg(sum(col("ct")).as("tt"))
+    val tr = rb.agg(sum(col("cr")).as("tr"))
+    joined.crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + 1L).cast("double") / (col("tt") + buckets.toLong)) -
+          log((col("cr") + 1L).cast("double") / (col("tr") + buckets.toLong)),
+          6).as("lr"))
+  }
+
+  /** Per-raw-document DSIR log importance weight: logw_d = Σ_b c_{d,b} ·
+    * lr_b — the log-likelihood ratio of the document under the target vs
+    * raw hashed-ngram models. Accumulated as DECIMAL of 6-dp-rounded
+    * ratios times integer counts (exact, order-independent — the
+    * [[CorpusStats.unigramNll]] contract), one double cast at the edge.
+    * Every raw document returns a row (featureless docs get the empty
+    * product, logw = 0). */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lr = dsirBucketLogRatios(target, raw, buckets, idCol, textCol)
+    val perDoc = dsirFeatures(raw, buckets, idCol, textCol)
+      .join(lr, Seq("bucket"))
+      .withColumn("contrib", col("lr").cast("decimal(28,6)") * col("cnt"))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).cast("decimal(38,6)").as("logw"))
+    raw.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("logw"), lit(0).cast("decimal(38,6)")).as("logw"))
+  }
+
+  /** DSIR selection: Gumbel-top-k importance resampling — k docs from
+    * `raw` maximizing logw_d + g_d, where g_d is deterministic Gumbel
+    * noise from the md5 coin (g = -ln(-ln u), u uniform from
+    * md5Bits60(salt:id) — sampling WITHOUT replacement ∝ exp(logw), the
+    * standard Gumbel-top-k identity, reproducible by any engine with md5).
+    * The score sums in DECIMAL (both terms 6-dp-rounded) so ranking
+    * compares exact values; ties break by id. Returns (rank, id, logw,
+    * score) — logw/score cast to double only at the output edge.
+    *
+    * Scale: weights are two vocabulary-keyed aggregates + one
+    * bucket-keyed join; selection is a single top-k over n rows (k rows
+    * per partition partial, never a full sort at the sink — Spark lowers
+    * orderBy.limit to TakeOrderedAndProject). */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "graft-dsir"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val u = ((pmod(Sketches.md5Bits60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+        lit(1000000L)) + 1L).cast("double")) / lit(1000001.0)
+    val g = round(-log(-log(u)), 6)
+    val scored = dsirWeights(raw, target, buckets, idCol, textCol)
+      .withColumn("score",
+        (col("logw") + g.cast("decimal(28,6)")).cast("decimal(38,6)"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col("rank").cast("long").as("rank"), col(idCol),
+        col("logw").cast("double").as("logw"),
+        col("score").cast("double").as("score"))
+  }
 }

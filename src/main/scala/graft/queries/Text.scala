@@ -2856,7 +2856,108 @@ object Text extends QueryModule {
           SELECT source, doc_id, n_chars, row_number() OVER (
             PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
           FROM documents) WHERE rn <= 3
-        ORDER BY source, n_chars DESC, doc_id""")))
+        ORDER BY source, n_chars DESC, doc_id""")),
+
+    // --------------------------------------------------------------- q184
+    // TRUE exact-substring dedup (Lee-et-al ExactSubstr, distributed):
+    // every maximal verbatim >=40-char span shared by two documents, with
+    // exact offsets and length — the operator q69's winnowing fingerprints
+    // only approximate. Anchor+extend: consecutive matching 40-gram
+    // hashes on one (pair, alignment) diagonal ARE the span (run length m
+    // <=> span length m+39); gram hashes seen in only one doc never reach
+    // the pair join. Spark joins on xxhash64 of the gram (8-byte shuffle
+    // keys — the 100 TB form); the oracle joins on the gram STRING, so a
+    // hash collision (~1e-19/pair) would surface as a mismatch, not hide.
+    // 25 maximal spans at sf0.01, 259 at sf0.1 — real template overlap in
+    // the fixture, found exactly.
+    QueryDef("q184_exact_substr_spans",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactSubstrSpans(t(s, dir, "documents"), minLen = 40)
+          .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 40) AS gram
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(pos)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            a.pos - b.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag, pos_a,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+          FROM m)
+        SELECT doc_a, doc_b, min(pos_a) AS start_a,
+          CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+          CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
+        FROM r GROUP BY doc_a, doc_b, diag, run_id
+        ORDER BY doc_a, doc_b, start_a, start_b""")),
+
+    // --------------------------------------------------------------- q185
+    // DSIR importance resampling (Xie et al. 2023) — the standard
+    // domain-matching selector: from the raw pool (lang <> 'en'), pick the
+    // 50 docs whose hashed unigram+bigram profile best matches the target
+    // domain (lang = 'en') by Gumbel-top-k over add-one-smoothed
+    // log-likelihood ratios. Everything is engine-portable: md5 buckets
+    // and Gumbel coins, 6-dp-rounded per-bucket ratios accumulated as
+    // DECIMAL, rank on the exact DECIMAL score — the oracle re-derives the
+    // whole pipeline (features, models, weights, noise, selection) in SQL.
+    QueryDef("q185_dsir_selection",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Sampling.dsirResample(
+            raw = docs.filter($"lang" =!= "en"),
+            target = docs.filter($"lang" === "en"),
+            k = 50, buckets = 256)
+          .orderBy($"rank")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(trim(text), '\s+'),
+              x -> length(x) > 0) AS w
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang, unnest(w) AS f FROM d
+          UNION ALL
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+            i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS f
+          FROM d),
+        fb AS (
+          SELECT doc_id, lang,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
+            count(*) AS cnt
+          FROM f GROUP BY 1, 2, 3),
+        tb AS (SELECT bucket, sum(cnt) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        rb AS (SELECT bucket, sum(cnt) AS cr FROM fb WHERE lang <> 'en' GROUP BY 1),
+        lr AS (
+          SELECT bucket,
+            round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT sum(ct) FROM tb) + 256 AS DOUBLE))
+                - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT sum(cr) FROM rb) + 256 AS DOUBLE)), 6) AS lr
+          FROM tb FULL JOIN rb USING (bucket)),
+        wgt AS (
+          SELECT fb.doc_id,
+            CAST(sum(CAST(lr AS DECIMAL(28,6)) * cnt) AS DECIMAL(38,6)) AS logw
+          FROM fb JOIN lr USING (bucket) WHERE fb.lang <> 'en' GROUP BY 1),
+        sc AS (
+          SELECT r.doc_id,
+            COALESCE(wgt.logw, CAST(0 AS DECIMAL(38,6))) AS logw,
+            CAST(COALESCE(wgt.logw, CAST(0 AS DECIMAL(38,6)))
+              + CAST(round(-ln(-ln(
+                  CAST(CAST(concat('0x', substr(md5('graft-dsir:'
+                    || CAST(r.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000 + 1 AS DOUBLE) / 1000001.0)), 6)
+                AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS score
+          FROM (SELECT doc_id FROM documents WHERE lang <> 'en') r
+          LEFT JOIN wgt ON r.doc_id = wgt.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank,
+          doc_id, CAST(logw AS DOUBLE) AS logw, CAST(score AS DOUBLE) AS score
+        FROM sc ORDER BY score DESC, doc_id LIMIT 50""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

@@ -111,6 +111,11 @@ object ScaleRamp {
       "neardup_clusters" -> (d =>
         Dedup.nearDupClusters(Dedup.minhashNearDups(d, threshold = 0.5))),
       "containment_pairs" -> (d => Dedup.containmentPairs(d)),
+      // exact-substring spans: the anchor frame grows linearly with total
+      // chars; scaledDocs' per-copy token perturbation (every 5th token)
+      // keeps cross-copy 40-char spans rare, so the exponent reads the
+      // shared-gram aggregate + diagonal-run pass, not quadratic output
+      "exact_substr_spans" -> (d => Dedup.exactSubstrSpans(d, minLen = 40)),
       "bm25_topk" -> (d => Retrieval.bm25TopK(d))))
 
     // Fixed 256-query probe set from the base fixture: the scaled axis is

@@ -588,4 +588,84 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
     assert(expected.nonEmpty, "planted excerpts must produce pairs")
   }
+
+  test("exactSubstrSpans: planted spans found with exact extents, nothing else") {
+    // 20-char span planted at different offsets; fillers share no 12-gram
+    // and differ at both span boundaries, so no span can extend.
+    val shared = "SHARED_SPAN_09876543"
+    assert(shared.length == 20)
+    val a = "a" * 10 + shared + "b" * 10          // span at 11
+    val b = "c" * 16 + shared + "d" * 4           // span at 17
+    val c = "z" * 13 + " totally unrelated text " // no >=12-char overlap
+    val d = a                                     // exact dup of a
+    val e = "e" * 5 + shared + "f" * 5 + shared + "g" * 5 // span TWICE
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, e))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, minLen = 12).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"))).toSet
+    val expected = Set(
+      (1L, 2L, 11L, 17L, 20L),
+      (1L, 4L, 1L, 1L, 40L),  // whole-doc span for the exact dup
+      (1L, 5L, 11L, 6L, 20L), (1L, 5L, 11L, 31L, 20L), // both alignments
+      (2L, 4L, 17L, 11L, 20L),
+      (2L, 5L, 17L, 6L, 20L), (2L, 5L, 17L, 31L, 20L),
+      (4L, 5L, 11L, 6L, 20L), (4L, 5L, 11L, 31L, 20L))
+    assert(got === expected)
+  }
+
+  test("exactSubstrSpans: minLen is a sharp threshold") {
+    // docs 1-2 share exactly minLen chars (reported, exact length); docs
+    // 1-3 share exactly minLen-1 (below threshold, absent). Boundary chars
+    // differ so spans cannot extend.
+    val s12 = "XYZ_THRESH12" // 12 chars
+    assert(s12.length == 12)
+    val docs = Seq(
+      (1L, "a" * 8 + s12 + "b" * 8),
+      (2L, "c" * 3 + s12 + "d" * 3),
+      (3L, "e" * 6 + s12.take(11) + "f" * 6)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, minLen = 12).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"))).toSet
+    assert(got === Set((1L, 2L, 9L, 4L, 12L)))
+  }
+
+  test("exactSubstrSpans: matches a brute-force reference on a random corpus") {
+    // 12 docs over a 4-char alphabet (forces heavy accidental overlap);
+    // the reference enumerates ALL maximal shared spans by direct diagonal
+    // scanning over the raw strings — no hashing, no windows.
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcd"
+    val texts = (1L to 12L).map(i =>
+      i -> Seq.fill(60)(alpha(rnd.nextInt(4))).mkString).toMap
+    val minLen = 6
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, minLen = minLen).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"))).toSet
+    val expected = (for {
+      ia <- 1L to 12L; ib <- (ia + 1) to 12L
+      ta = texts(ia); tb = texts(ib)
+      diag <- -(tb.length - 1) to (ta.length - 1)
+      // walk the diagonal, collecting maximal match runs
+      run <- {
+        val lo = math.max(0, diag); val hi = math.min(ta.length, tb.length + diag)
+        val runs = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        var i = lo
+        while (i < hi) {
+          if (ta(i) == tb(i - diag)) {
+            val st = i
+            while (i < hi && ta(i) == tb(i - diag)) i += 1
+            if (i - st >= minLen) runs += ((st, i - st))
+          } else i += 1
+        }
+        runs.toList
+      }
+    } yield (ia, ib, run._1 + 1L, run._1 - diag + 1L, run._2.toLong)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "a 4-char alphabet at length 60 must overlap")
+  }
 }

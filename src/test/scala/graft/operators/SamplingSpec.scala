@@ -270,4 +270,65 @@ class SamplingSpec extends SparkSpec {
     // their keys sit ~1e6 closer to zero than any unit-weight key
     assert(Set(1L, 2L, 3L, 4L).subsetOf(got.map(_._2).toSet))
   }
+
+  test("DSIR: weights and Gumbel-top-k selection match a local brute force " +
+      "on a two-domain fixture") {
+    val targetRows = Seq((1L, "apple banana apple"), (2L, "banana cherry banana"))
+    val rawRows = Seq(
+      (10L, "apple banana apple"), // pure target vocabulary
+      (11L, "dog emu fox dog"),    // pure raw-only vocabulary
+      (12L, "apple dog"))          // mixed
+    val target = targetRows.toDF("doc_id", "text")
+    val raw = rawRows.toDF("doc_id", "text")
+    val B = 64
+
+    // local mirror of the engine arithmetic, end to end
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def round6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def feats(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucketCounts(rows: Seq[(Long, String)]): Map[Long, Long] =
+      rows.flatMap { case (_, t) => feats(t).map(f => h60(f) % B) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tC = bucketCounts(targetRows)
+    val rC = bucketCounts(rawRows)
+    val tt = tC.values.sum; val tr = rC.values.sum
+    def lr(b: Long): BigDecimal = round6(
+      math.log((tC.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((rC.getOrElse(b, 0L) + 1.0) / (tr + B)))
+    def logw(t: String): BigDecimal =
+      feats(t).map(f => h60(f) % B).groupBy(identity)
+        .map { case (b, fs) => lr(b) * fs.size }.sum
+    val expectW = rawRows.map { case (id, t) => id -> logw(t) }.toMap
+
+    val gotW = Sampling.dsirWeights(raw, target, buckets = B).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        BigDecimal(r.getAs[java.math.BigDecimal]("logw"))).toMap
+    assert(gotW.keySet === expectW.keySet)
+    expectW.foreach { case (id, w) =>
+      assert(gotW(id) == w, s"doc $id: got ${gotW(id)}, expected $w")
+    }
+    // the interpretable ordering: pure-target vocab > mixed > pure-raw
+    assert(gotW(10L) > gotW(12L) && gotW(12L) > gotW(11L))
+
+    // Gumbel-top-k selection mirrors the same local arithmetic
+    def gumbel(id: Long): BigDecimal = round6(
+      -math.log(-math.log(((h60(s"graft-dsir:$id") % 1000000) + 1) / 1000001.0)))
+    val scores = rawRows.map { case (id, _) => id -> (expectW(id) + gumbel(id)) }
+    val expectTop = scores.sortBy { case (id, s) => (-s, id) }.take(2)
+    val gotTop = Sampling.dsirResample(raw, target, k = 2, buckets = B)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(gotTop.map(_._1).toSeq === expectTop.map(_._1))
+    gotTop.zip(expectTop).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es.toDouble) < 1e-9)
+    }
+  }
 }

@@ -50,7 +50,10 @@ class CatalogSpec extends SparkSpec {
     "q172_multimodal_dedup_report",
     // q178 cross-joins the ONE-ROW (unigram total, pair total) corpus
     // constants onto the collocation frame (shape (a))
-    "q178_pmi_collocations")
+    "q178_pmi_collocations",
+    // q185 cross-joins the ONE-ROW target/raw feature-total scalars onto
+    // the per-bucket ratio frame (shape (a))
+    "q185_dsir_selection")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
