@@ -178,6 +178,63 @@ object Pipelines {
       .select(col("window.start").as("window_start"), col("stream_id"),
         col("chunks"), col("bytes"))
 
+  /** Streaming-native windowed observability: the reference dashboard's
+    * per-window panel set (latency quantiles + distinct active streams +
+    * heavy-hitter streams + volume counters,
+    * grafana/provisioning/dashboards/pipeline_dashboard.json) computed as
+    * ONE event-time streaming aggregation — no Prometheus round-trip, no
+    * driver-side series. All three sketch aggregates are MERGEABLE
+    * ([[graft.operators.Sketches]] QuantileAgg/HllAgg/SpaceSavingAgg with
+    * property-tested merge trees), which is exactly what a streaming
+    * window aggregation requires: partials combine map-side within a
+    * trigger AND across triggers through the state store, so cross-trigger
+    * window results equal the batch aggregation over the same rows
+    * (StreamingPipelineSpec pins this).
+    *
+    * Per tumbling `windowLength` window over `valueCol` (default the
+    * chunk's duration_ms; a deployment wiring real ingest latency passes
+    * its own column): chunks, bytes, p50/p95/p99, HLL distinct-stream
+    * estimate, and the top-`topK` heavy-hitter stream ids. With
+    * `quantileCapacity` >= the window's row count the quantiles are EXACT
+    * rank selection; SpaceSaving is exact while a window's distinct
+    * streams fit `topCapacity` — both the oracle-checkable modes, both
+    * degrading to bounded-error sketches at 100 TB windows (state per
+    * window stays O(capacity), never O(rows)). */
+  def windowedTelemetry(
+      frames: DataFrame,
+      windowLength: String = "1 minute",
+      watermark: String = "30 seconds",
+      valueCol: String = "duration_ms",
+      quantileCapacity: Int = 8192,
+      hllB: Int = 12,
+      topCapacity: Int = 64,
+      topK: Int = 3): DataFrame = {
+    import graft.operators.{Sketches, StreamingTopK}
+    import org.apache.spark.sql.Encoders
+    val qAgg = udaf(new Sketches.QuantileAgg(quantileCapacity,
+      Seq(0.5, 0.95, 0.99)), Encoders.scalaDouble)
+    val hAgg = udaf(new Sketches.HllAgg(hllB), Encoders.STRING)
+    val sAgg = udaf(new Sketches.SpaceSavingAgg(topCapacity),
+      Encoders.product[StreamingTopK.ItemIn])
+    ChunkEvents.valid(ChunkEvents.decode(frames, liveDefaults = true))
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLength))
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(col("size_bytes")).as("bytes"),
+        qAgg(col(valueCol).cast("double")).as("qs"),
+        round(hAgg(col("stream_id")), 6).as("distinct_streams_est"),
+        sAgg(lit(""), col("stream_id"), lit(1L)).as("top_summary"))
+      .select(col("window.start").as("window_start"),
+        col("chunks"), col("bytes"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p95"),
+        element_at(col("qs"), 3).as("p99"),
+        col("distinct_streams_est"),
+        transform(slice(col("top_summary"), 1, topK),
+          c => c.getField("item")).as("top_streams"))
+  }
+
   /** Stream-stream keyed correlation (J2): decoded live chunks inner-joined
     * to a control-event stream (`stream_id`, `control_ts: timestamp`, ...)
     * on stream_id within +-`skew` event time. Watermarks on both sides

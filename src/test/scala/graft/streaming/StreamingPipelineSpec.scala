@@ -651,4 +651,66 @@ class StreamingPipelineSpec extends SparkSpec {
     // only stream-a chunk 0 is within ±1 minute of the control event
     assert(rows === Set(("stream-a", 0L, "quality_change")))
   }
+
+  test("windowedTelemetry: cross-trigger window results equal the batch " +
+      "aggregation over the same rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def js(sid: String, idx: Long, ts: String, dur: Long): String =
+      s"""{"stream_id":"$sid","chunk_index":$idx,"sequence_number":$idx,""" +
+        s""""timestamp":"$ts","size_bytes":${100000 + idx},""" +
+        s""""stream_type":"live","status":"received","checksum":"c",""" +
+        s""""duration_ms":$dur,"keyframe_aligned":true,""" +
+        s""""audio_track_id":"a","video_track_id":"v"}"""
+    // window [00:00, 00:01) filled across TWO triggers; later events
+    // advance the watermark past the window end so append mode emits it
+    val w1a = Seq(
+      js("s-a", 0, "2026-01-01T00:00:05+00:00", 1000),
+      js("s-b", 0, "2026-01-01T00:00:15+00:00", 3000),
+      js("s-a", 1, "2026-01-01T00:00:25+00:00", 2000))
+    val w1b = Seq(
+      js("s-c", 0, "2026-01-01T00:00:35+00:00", 5000),
+      js("s-a", 2, "2026-01-01T00:00:45+00:00", 4000),
+      js("s-b", 1, "2026-01-01T00:00:55+00:00", 1500))
+    val later = Seq(js("s-a", 3, "2026-01-01T00:02:10+00:00", 2500))
+    val flush = Seq(js("s-a", 4, "2026-01-01T00:05:10+00:00", 2500))
+
+    val stream = MemoryStream[String]
+    val out = Pipelines.windowedTelemetry(stream.toDF().toDF("value"),
+      windowLength = "1 minute", watermark = "30 seconds",
+      quantileCapacity = 64, hllB = 12, topCapacity = 8, topK = 2)
+    val q = out.writeStream.format("memory").queryName("wt_t8")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(w1a); q.processAllAvailable()
+      stream.addData(w1b); q.processAllAvailable() // same window, 2nd trigger
+      stream.addData(later); q.processAllAvailable()
+      stream.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("window_start"), r.getAs[Long]("chunks"),
+        r.getAs[Long]("bytes"), r.getAs[Double]("p50"), r.getAs[Double]("p95"),
+        r.getAs[Double]("p99"), r.getAs[Double]("distinct_streams_est"),
+        r.getSeq[String](r.fieldIndex("top_streams")).toList)
+    val got = spark.table("wt_t8").collect().map(key).toSet
+    assert(got.nonEmpty, "watermark advance must have emitted closed windows")
+    // batch form of the IDENTICAL operator over the union of all rows,
+    // restricted to the windows the stream has emitted so far — the
+    // mergeable-aggregate contract: cross-trigger state merge == one-shot
+    val all = (w1a ++ w1b ++ later ++ flush).toDF("value")
+    val batch = Pipelines.windowedTelemetry(all,
+        windowLength = "1 minute", watermark = "30 seconds",
+        quantileCapacity = 64, hllB = 12, topCapacity = 8, topK = 2)
+      .collect().map(key)
+      .filter(b => got.exists(_._1 == b._1)).toSet
+    assert(got === batch)
+    // the cross-trigger window is among the emitted ones, with the exact
+    // full-window contents: 6 chunks, 3 distinct streams, top = a then b
+    val w1 = got.find(_._2 == 6L).get
+    assert(w1._8 === List("s-a", "s-b"))
+    // exact rank selection over the 6 durations (ceil(p*n) convention):
+    // p50 -> 3rd of [1000,1500,2000,3000,4000,5000] = 2000, p99 -> 6th
+    assert(w1._4 === 2000.0 && w1._6 === 5000.0)
+  }
 }
