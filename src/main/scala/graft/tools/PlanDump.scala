@@ -133,7 +133,37 @@ object PlanDump {
         "by max degree, never a global sort), with the round output " +
         "localCheckpoint'd so plan depth stays constant across rounds — " +
         "the same fixed-length loop discipline as PageRank, no driver " +
-        "pulls at all."))
+        "pulls at all."),
+    "q179_sql_communities" ->
+      ("SQL community surface: the registration materializes ONLY the " +
+        "label-propagation view (r13 split — q168/q179 no longer pay each " +
+        "other's eager graph materialization), and the SQL text itself " +
+        "plans as one reused scan of the materialized labels: a " +
+        "partial-aggregated community count hash-joined back by " +
+        "community — no re-derivation of the propagation, no window."),
+    "q180_fuzzy_decontamination" ->
+      ("Cross-corpus fuzzy decontamination: train-side MinHash signatures " +
+        "band-explode and hash-join the eval-side banded index (Exchange " +
+        "on (band, bucket), never train x eval all-pairs); only " +
+        "band-colliding pairs reach the exact-Jaccard refinement, which " +
+        "joins by doc id over the candidate set. The exhaustive " +
+        "train x eval scan exists only in the DuckDB oracle."),
+    "q184_exact_substr_spans" ->
+      ("Exact-substring spans: the gram frame shuffles (hash, id, pos) " +
+        "tuples once for the shared-hash aggregate (min!=max distinct-doc " +
+        "test, partial-aggregated map-side), and only grams in >= 2 docs " +
+        "re-enter the pair equi-join (Exchange on gh). The diagonal-run " +
+        "window partitions by (doc_a, doc_b, diag) — bounded per pair, " +
+        "never a global sort; span extents come from one " +
+        "partial-aggregated groupBy. No all-pairs stage anywhere; the " +
+        "gram-string join exists only in the DuckDB oracle."),
+    "q185_dsir_selection" ->
+      ("DSIR selection: two vocabulary-keyed (bucket) aggregates build " +
+        "the target/raw models, the one-row totals broadcast onto the " +
+        "256-row ratio frame (whitelisted one-row BNLJ), per-doc weights " +
+        "are a bucket-keyed hash join + partial-aggregated DECIMAL sum, " +
+        "and the Gumbel-top-k lowers to TakeOrderedAndProject — k rows " +
+        "per partition cross the wire, never a global sort."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
