@@ -79,25 +79,33 @@ object Bench {
     val streamJson =
       if (streamSec <= 0 || only.isDefined) ""
       else {
-        val ss = buildSession()
-        val (sFloorMin, sFloorP50) = probeFloor(ss)
+        // Each leg gets its OWN fresh session: leg 2 on a session the
+        // in-memory leg just used inherits its state-store maintenance
+        // threads and heap debt — measured durable p99 4,949 ms as leg 2
+        // vs 1,814 ms solo in the same contention window. Quiesce + stop
+        // between legs; floors bracket the whole stream phase.
+        def quiesce(s: SparkSession): Unit = {
+          try s.streams.active.foreach { q =>
+            try q.stop() catch { case _: Throwable => () }
+          } catch { case _: Throwable => () }
+          try s.stop() catch { case _: Throwable => () }
+          System.gc()
+        }
         val warmup = math.min(10, streamSec / 3)
-        val mem = graft.streaming.StreamBench.run(ss, streamSec, rps = 2,
+        val s1 = buildSession()
+        val (sFloorMin, sFloorP50) = probeFloor(s1)
+        val mem = graft.streaming.StreamBench.run(s1, streamSec, rps = 2,
           durable = false, warmupSec = warmup)
-        val dur = graft.streaming.StreamBench.run(ss, streamSec, rps = 2,
+        quiesce(s1)
+        val s2 = buildSession()
+        val dur = graft.streaming.StreamBench.run(s2, streamSec, rps = 2,
           durable = true, warmupSec = warmup)
-        val (sFloorAfterMin, sFloorAfterP50) = probeFloor(ss)
+        val (sFloorAfterMin, sFloorAfterP50) = probeFloor(s2)
         streamStateJson =
           s""","stream_state_operators":{"in_memory":${mem.stateOpsJson},""" +
             s""""durable":${dur.stateOpsJson}}"""
-        // Quiesce and stop the stream session so the batch loop starts on
-        // its own fresh context, inheriting nothing (StateStore maintenance
-        // threads, RocksDB instances, cached blocks all release here).
-        try ss.streams.active.foreach { q =>
-          try q.stop() catch { case _: Throwable => () }
-        } catch { case _: Throwable => () }
-        try ss.stop() catch { case _: Throwable => () }
-        System.gc()
+        // the batch loop starts on its own fresh context, inheriting nothing
+        quiesce(s2)
         s""","stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
           s""""stream_p50_ms":${mem.steadyP50},"stream_p50_ms_durable":${dur.steadyP50},""" +
           s""""stream_rate_rps":2,"stream_sec":$streamSec,""" +

@@ -855,6 +855,49 @@ object Dedup {
     spans
   }
 
+  /** Per-document duplicated-character coverage from EXACT shared spans —
+    * the decision layer over [[exactSubstrSpans]]: how much of each doc is
+    * verbatim-shared with some other doc, the number a Lee-et-al-style
+    * ExactSubstr pipeline thresholds to trim or drop. ([[dupSpanCoverage]]'s
+    * exact counterpart — that one rides winnowing fingerprints.)
+    *
+    * Span intervals from both sides of every pair union (distinct), then a
+    * classic sweep merges overlaps WITHOUT materializing per-char rows: per
+    * doc ordered by (start, end), each interval contributes
+    * max(0, end - max(start, max-prior-end)) — one window partitioned by
+    * doc (bounded by the doc's span count, never a global sort) + one
+    * partial-aggregated sum. Integers end to end; the one division (the
+    * coverage fraction) happens at the output edge, 6-dp-rounded.
+    *
+    * Returns (idCol, n_chars, covered_chars, coverage) for EVERY doc,
+    * zero-filled. */
+  def exactSubstrCoverage(
+      docs: DataFrame,
+      minLen: Int = 40,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Int = 0): DataFrame = {
+    val spans = exactSubstrSpans(docs, minLen, textCol, idCol, maxBucket)
+    val iv = spans.select(col("doc_a").as("id"), col("start_a").as("s"),
+        (col("start_a") + col("span_len")).as("e"))
+      .unionByName(spans.select(col("doc_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e")))
+      .distinct()
+    val w = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = iv.withColumn("pm", max(col("e")).over(w))
+      .withColumn("inc", greatest(lit(0L),
+        col("e") - greatest(col("s"), coalesce(col("pm"), lit(0L)))))
+      .groupBy(col("id")).agg(sum(col("inc")).as("covered"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(cov.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("covered"), lit(0L)).as("covered_chars"),
+        when(col("n_chars") > 0L,
+          round(coalesce(col("covered"), lit(0L)).cast("double") / col("n_chars"), 6))
+          .otherwise(lit(0.0)).as("coverage"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
     * sign of sum over tokens of (+1/-1 from bit i of xxhash64(token)).
     * Per-row column form; corpus scans should use [[simhashTable]]

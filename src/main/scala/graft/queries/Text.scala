@@ -2957,7 +2957,60 @@ object Text extends QueryModule {
         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
             AS rank,
           doc_id, CAST(logw AS DOUBLE) AS logw, CAST(score AS DOUBLE) AS score
-        FROM sc ORDER BY score DESC, doc_id LIMIT 50""")))
+        FROM sc ORDER BY score DESC, doc_id LIMIT 50""")),
+
+    // --------------------------------------------------------------- q186
+    // Exact duplicated-span coverage per document — q184's decision layer
+    // (and q137's exact counterpart): the fraction of each doc's chars
+    // inside some verbatim >=40-char shared span, the number an
+    // ExactSubstr pipeline thresholds to trim or drop. Interval union via
+    // the ordered sweep (one bounded window + one sum), never per-char
+    // explode; integers until the one 6-dp division at the edge.
+    QueryDef("q186_substr_coverage",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactSubstrCoverage(t(s, dir, "documents"), minLen = 40)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 40) AS gram
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(pos)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            a.pos - b.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag, pos_a,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+          FROM m),
+        spans AS (
+          SELECT doc_a, doc_b, min(pos_a) AS start_a,
+            CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+            CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
+          FROM r GROUP BY doc_a, doc_b, diag, run_id),
+        iv AS (
+          SELECT doc_a AS doc_id, start_a AS s, start_a + span_len AS e
+          FROM spans
+          UNION
+          SELECT doc_b, start_b, start_b + span_len FROM spans),
+        w2 AS (
+          SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+        cov AS (
+          SELECT doc_id, sum(CASE
+              WHEN e > greatest(s, COALESCE(pm, 0))
+              THEN e - greatest(s, COALESCE(pm, 0)) ELSE 0 END) AS covered
+          FROM w2 GROUP BY 1)
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+          CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_chars,
+          round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / length(d.text), 6)
+            AS coverage
+        FROM documents d LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

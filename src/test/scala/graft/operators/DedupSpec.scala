@@ -667,5 +667,26 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib, run._1 + 1L, run._1 - diag + 1L, run._2.toLong)).toSet
     assert(got === expected)
     assert(expected.nonEmpty, "a 4-char alphabet at length 60 must overlap")
+
+    // coverage over the same corpus: per-doc char-mask union of the
+    // reference spans (both sides of every pair) — the boolean-array truth
+    // the interval-sweep must reproduce
+    val mask = scala.collection.mutable.Map[Long, Array[Boolean]]()
+    (1L to 12L).foreach(i => mask(i) = new Array[Boolean](60))
+    expected.foreach { case (a, b, sa, sb, len) =>
+      (0L until len).foreach { o =>
+        mask(a)((sa - 1 + o).toInt) = true
+        mask(b)((sb - 1 + o).toInt) = true
+      }
+    }
+    val gotCov = Dedup.exactSubstrCoverage(docs, minLen = minLen).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("covered_chars"), r.getAs[Double]("coverage"))).toSet
+    val expCov = (1L to 12L).map { i =>
+      val c = mask(i).count(identity).toLong
+      (i, 60L, c, BigDecimal(c.toDouble / 60.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(gotCov === expCov)
   }
 }
