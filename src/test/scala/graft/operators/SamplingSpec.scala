@@ -330,5 +330,29 @@ class SamplingSpec extends SparkSpec {
     gotTop.zip(expectTop).foreach { case ((_, gs), (_, es)) =>
       assert(math.abs(gs - es.toDouble) < 1e-9)
     }
+
+    // classifier filtering over the SAME models: NB log-odds = prior +
+    // logw, posterior = sigmoid, kept iff pareto(9) > 1 - posterior —
+    // every column brute-forced locally with identical arithmetic
+    val prior = round6(math.log(targetRows.size.toDouble / rawRows.size))
+    def pareto(id: Long): BigDecimal = round6(
+      math.pow(((h60(s"graft-clf:$id") % 1000000) + 1) / 1000001.0, -1.0 / 9.0) - 1.0)
+    val gotClf = Sampling.classifierFilter(raw, target, buckets = B).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("logodds"),
+        r.getAs[Double]("posterior"), r.getAs[Double]("pareto_draw"),
+        r.getAs[Boolean]("kept"))).sortBy(_._1)
+    assert(gotClf.map(_._1).toSeq === rawRows.map(_._1))
+    gotClf.foreach { case (id, lo, post, pd, kept) =>
+      val expLo = prior + expectW(id)
+      val expPost = round6(1.0 / (1.0 + math.exp(-expLo.toDouble))).toDouble
+      val expPd = pareto(id).toDouble
+      assert(math.abs(lo - expLo.toDouble) < 1e-9, s"doc $id logodds")
+      assert(post === expPost, s"doc $id posterior")
+      assert(pd === expPd, s"doc $id pareto")
+      assert(kept === (expPd > 1.0 - expPost), s"doc $id kept")
+    }
+    // the interpretable ordering carries through the sigmoid
+    val postOf = gotClf.map(t => t._1 -> t._3).toMap
+    assert(postOf(10L) > postOf(12L) && postOf(12L) > postOf(11L))
   }
 }

@@ -53,7 +53,10 @@ class CatalogSpec extends SparkSpec {
     "q178_pmi_collocations",
     // q185 cross-joins the ONE-ROW target/raw feature-total scalars onto
     // the per-bucket ratio frame (shape (a))
-    "q185_dsir_selection")
+    "q185_dsir_selection",
+    // q187 inherits q185's one-row total broadcasts plus its own ONE-ROW
+    // class-prior count scalars (shape (a))
+    "q187_classifier_filter")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
