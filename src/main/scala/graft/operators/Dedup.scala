@@ -819,14 +819,7 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val L = minLen
-    // sequence(1, stop) DESCENDS when stop < 1 — docs shorter than L must
-    // not reach the explode
-    val grams = docs.filter(length(col(textCol)) >= L)
-      .select(col(idCol).cast("long").as("id"),
-        explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
-        col(textCol).as("t"))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        xxhash64(expr(s"substring(t, pos, $L)")).as("gh"))
+    val grams = exactSubstrGrams(docs, minLen, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // gram hashes present in >= 2 distinct docs: min != max avoids a
     // count(distinct) expansion; partial aggregation collapses each
@@ -853,6 +846,59 @@ object Dedup {
       .localCheckpoint(true) // eager: lets grams be unpersisted before return
     grams.unpersist(blocking = false)
     spans
+  }
+
+  /** The positional L-gram hash frame behind [[exactSubstrSpans]]: one row
+    * (id, pos, gh) per L-char gram, gh = xxhash64 of the gram. PUBLIC so a
+    * pipeline can PERSIST a corpus's gram index once (8-byte hashes, no
+    * text) and run incremental cross-side span detection against it
+    * ([[exactSubstrSpansAgainstIndex]]) — the exact-substring member of
+    * the incremental-ingest family (q100 minhash, q161 media). `sequence`
+    * DESCENDS when stop < 1, so sub-L docs are filtered before the
+    * explode. Both sides of a cross-side join must use the SAME minLen. */
+  def exactSubstrGrams(
+      docs: DataFrame,
+      minLen: Int = 40,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    docs.filter(length(col(textCol)) >= L)
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
+        col(textCol).as("t"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(expr(s"substring(t, pos, $L)")).as("gh"))
+  }
+
+  /** Cross-side exact-substring spans: every maximal verbatim >=minLen-char
+    * span between an INDEXED corpus (a persisted [[exactSubstrGrams]]
+    * frame — typically yesterday's parquet) and an incoming probe batch —
+    * incremental ExactSubstr decontamination/dedup at ingestion: work is
+    * O(batch grams x bucket occupancy), the historical corpus contributes
+    * a scan of 8-byte hash tuples, and NO within-side pairs are computed.
+    * Same diagonal-run construction as [[exactSubstrSpans]]; `maxBucket`
+    * caps the INDEX side's degenerate grams (logged, recall-only, the
+    * [[signatureHammingJoin]] convention). Returns (index_id, probe_id,
+    * start_i, start_p, span_len), offsets 1-based. */
+  def exactSubstrSpansAgainstIndex(
+      index: DataFrame,
+      probe: DataFrame,
+      minLen: Int = 40,
+      maxBucket: Int = 0): DataFrame = {
+    val L = minLen
+    val idx = capBuckets(index, Seq("gh"), maxBucket, "exactSubstrSpansAgainstIndex")
+    val m = idx.as("i").join(probe.as("p"), col("i.gh") === col("p.gh"))
+      .select(col("i.id").as("index_id"), col("p.id").as("probe_id"),
+        col("i.pos").as("pos_i"), (col("i.pos") - col("p.pos")).as("diag"))
+    val w = Window.partitionBy(col("index_id"), col("probe_id"), col("diag"))
+      .orderBy(col("pos_i"))
+    m.withColumn("run_id", col("pos_i") - row_number().over(w))
+      .groupBy(col("index_id"), col("probe_id"), col("diag"), col("run_id"))
+      .agg(min(col("pos_i")).as("start_i"), count(lit(1)).as("n_anchor"))
+      .select(col("index_id"), col("probe_id"), col("start_i"),
+        (col("start_i") - col("diag")).as("start_p"),
+        (col("n_anchor") + (L - 1)).as("span_len"))
   }
 
   /** Per-document duplicated-character coverage from EXACT shared spans —

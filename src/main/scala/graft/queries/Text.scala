@@ -3081,7 +3081,49 @@ object Text extends QueryModule {
           FROM sel)
         SELECT doc_id, CAST(logodds AS DOUBLE) AS logodds, posterior,
           pareto_draw, (pareto_draw > 1.0 - posterior) AS kept
-        FROM ps ORDER BY doc_id""")))
+        FROM ps ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q188
+    // Incremental exact-substring ingest — the ExactSubstr member of the
+    // incremental family (q100 minhash, q161 media): yesterday's corpus
+    // persists its positional gram-hash index ONCE (8-byte hashes, no
+    // text); today's batch computes its own grams and joins the LOADED
+    // index — every maximal verbatim >=40-char span between batch and
+    // history, exactly, without recomputing or even re-reading historical
+    // text. Work is O(batch grams x occupancy); the oracle recomputes both
+    // sides from raw text and runs the exhaustive cross-parity scan.
+    QueryDef("q188_substr_ingest_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val store = graft.sources.TempStores.scratch(s, "graft_q188_substr_index")
+        Dedup.exactSubstrGrams(docs.filter($"doc_id" % 2 === 0), minLen = 40)
+          .write.mode("overwrite").parquet(store)
+        val probe = Dedup.exactSubstrGrams(docs.filter($"doc_id" % 2 === 1),
+          minLen = 40)
+        Dedup.exactSubstrSpansAgainstIndex(s.read.parquet(store), probe,
+            minLen = 40)
+          .orderBy($"index_id", $"probe_id", $"start_i", $"start_p")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 40) AS gram
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(pos)),
+        m AS (
+          SELECT a.doc_id AS index_id, b.doc_id AS probe_id, a.pos AS pos_i,
+            a.pos - b.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram
+            AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        r AS (
+          SELECT index_id, probe_id, diag, pos_i,
+            pos_i - row_number() OVER (
+              PARTITION BY index_id, probe_id, diag ORDER BY pos_i) AS run_id
+          FROM m)
+        SELECT index_id, probe_id, min(pos_i) AS start_i,
+          CAST(min(pos_i) - diag AS BIGINT) AS start_p,
+          CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
+        FROM r GROUP BY index_id, probe_id, diag, run_id
+        ORDER BY index_id, probe_id, start_i, start_p""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

@@ -679,6 +679,25 @@ class DedupSpec extends SparkSpec {
         mask(b)((sb - 1 + o).toInt) = true
       }
     }
+    // cross-side (index vs probe) form: splitting the same corpus by id
+    // parity, the index join must return exactly the cross-parity subset
+    // of the all-pairs spans (orientation: index side = even ids)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val gotX = Dedup.exactSubstrSpansAgainstIndex(
+        Dedup.exactSubstrGrams(even, minLen), Dedup.exactSubstrGrams(odd, minLen),
+        minLen).collect()
+      .map(r => (r.getAs[Long]("index_id"), r.getAs[Long]("probe_id"),
+        r.getAs[Long]("start_i"), r.getAs[Long]("start_p"),
+        r.getAs[Long]("span_len"))).toSet
+    val expX = expected.flatMap { case (a, b, sa, sb, len) =>
+      if (a % 2 == 0 && b % 2 == 1) Some((a, b, sa, sb, len))
+      else if (a % 2 == 1 && b % 2 == 0) Some((b, a, sb, sa, len))
+      else None
+    }
+    assert(gotX === expX)
+    assert(expX.nonEmpty, "the random corpus must have cross-parity spans")
+
     val gotCov = Dedup.exactSubstrCoverage(docs, minLen = minLen).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
         r.getAs[Long]("covered_chars"), r.getAs[Double]("coverage"))).toSet
