@@ -215,4 +215,34 @@ object Decontamination {
       .filter(col("jaccard") >= threshold)
       .select(col("__did").as(idCol), col("eval_id"), col("jaccard"))
   }
+
+  /** EXACT verbatim-span decontamination hits — the character-level
+    * (Lee-et-al ExactSubstr) gate beside the token-n-gram [[overlap]] and
+    * the MinHash [[fuzzyHits]]: a (doc, eval) pair is a hit iff the two
+    * share a verbatim substring of length >= `minLen`. The detection needs
+    * NO diagonal-run pass: a shared span of length >= L exists IFF at
+    * least one L-gram anchor matches, so existence is one positional-gram
+    * equi-join — which makes the operator STATELESS-STREAMING-SAFE
+    * (stream-side docs project grams map-side and stream-static-join the
+    * eval index; no watermark, no state store — the [[fuzzyHits]]
+    * contract). Span EXTENTS at ingestion would need the window pass;
+    * pipelines wanting them run [[Dedup.exactSubstrSpansAgainstIndex]] in
+    * batch over the flagged subset — exactly the two-phase shape a 100 TB
+    * ingest uses (cheap gate on everything, exact extents on the hits).
+    *
+    * Emits one row per MATCHING ANCHOR (at-least-once evidence, like
+    * fuzzyHits' per-band rows): batch callers `.distinct()`, streaming
+    * callers dedup at an idempotent sink. Returns (idCol, eval_id). */
+  def substrHits(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minLen: Int = 40,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val d = Dedup.exactSubstrGrams(docs, minLen, textCol, idCol)
+      .select(col("id").as("__did"), col("gh"))
+    val e = Dedup.exactSubstrGrams(evalDocs, minLen, textCol, idCol)
+      .select(col("id").as("eval_id"), col("gh"))
+    d.join(e, Seq("gh")).select(col("__did").as(idCol), col("eval_id"))
+  }
 }

@@ -3123,7 +3123,59 @@ object Text extends QueryModule {
           CAST(min(pos_i) - diag AS BIGINT) AS start_p,
           CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
         FROM r GROUP BY index_id, probe_id, diag, run_id
-        ORDER BY index_id, probe_id, start_i, start_p""")))
+        ORDER BY index_id, probe_id, start_i, start_p""")),
+
+    // --------------------------------------------------------------- q189
+    // Exact-substring spans from PLAIN SQL — the q168/q179 pattern for the
+    // new family: the whole anchor + diagonal-run construction is a query
+    // any JDBC/notebook client could type over documents_v (built-ins
+    // only: sequence/explode/xxhash64/window), pinned against the SAME
+    // DuckDB oracle as q184, proving the SQL path returns exactly what the
+    // Scala operator returns (and plans the same shape — gram shuffle,
+    // shared-hash prefilter, bounded per-pair window, no all-pairs).
+    QueryDef("q189_sql_substr_spans",
+      (s, dir) => {
+        graft.GraftSql.registerTables(s, dir, Seq("documents"))
+        s.sql("""WITH d AS (
+            SELECT doc_id, text FROM documents_v WHERE length(text) >= 40),
+          g AS (
+            SELECT doc_id, pos, xxhash64(substring(text, pos, 40)) AS gh
+            FROM d LATERAL VIEW explode(sequence(1, length(text) - 39)) t AS pos),
+          s AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+          c AS (SELECT g.* FROM g JOIN s USING (gh)),
+          m AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+              a.pos - b.pos AS diag
+            FROM c a JOIN c b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+          r AS (
+            SELECT doc_a, doc_b, diag, pos_a,
+              pos_a - row_number() OVER (
+                PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+            FROM m)
+          SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+            CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+            CAST(count(*) + 39 AS BIGINT) AS span_len
+          FROM r GROUP BY doc_a, doc_b, diag, run_id
+          ORDER BY doc_a, doc_b, start_a, start_b""")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 40) AS gram
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(pos)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            a.pos - b.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag, pos_a,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+          FROM m)
+        SELECT doc_a, doc_b, min(pos_a) AS start_a,
+          CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+          CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
+        FROM r GROUP BY doc_a, doc_b, diag, run_id
+        ORDER BY doc_a, doc_b, start_a, start_b""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

@@ -179,4 +179,51 @@ class DecontaminationSpec extends SparkSpec {
         "fuzzyHits must not create streaming state")
     } finally q.stop()
   }
+
+  // exact-span gate fixture: doc 1 contains eval 200's 12-char span
+  // verbatim, doc 2 contains 11 chars of it (below threshold), doc 3 is
+  // clean — existence must be EXACT at the minLen boundary
+  private val spanEval = Seq((200L, "x" * 3 + "EVAL_SPAN_12" + "y" * 3))
+    .toDF("doc_id", "text")
+  private val spanCorpus = Seq(
+    (1L, "a" * 10 + "EVAL_SPAN_12" + "b" * 10),
+    (2L, "c" * 10 + "EVAL_SPAN_1" + "d" * 10),
+    (3L, "completely clean text with nothing shared here")
+  ).toDF("doc_id", "text")
+
+  test("substrHits: exact verbatim-span existence at the minLen boundary, " +
+      "equal to the span operator's pair set") {
+    val got = Decontamination.substrHits(spanCorpus, spanEval, minLen = 12)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 200L)))
+    // existence == the exact span operator's (index, probe) pair set
+    val viaSpans = Dedup.exactSubstrSpansAgainstIndex(
+        Dedup.exactSubstrGrams(spanEval, 12), Dedup.exactSubstrGrams(spanCorpus, 12),
+        minLen = 12).select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === viaSpans)
+  }
+
+  test("substrHits runs STATELESS on a stream against a static eval set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val hits = Decontamination.substrHits(
+      stream.toDF().toDF("doc_id", "text"), spanEval, minLen = 12)
+    val q = hits.writeStream.format("memory").queryName("substr_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "a" * 10 + "EVAL_SPAN_12" + "b" * 10), (3L, "clean"))
+      q.processAllAvailable()
+      stream.addData((2L, "c" * 10 + "EVAL_SPAN_1" + "d" * 10),
+        (5L, "zzz" + "EVAL_SPAN_12"))
+      q.processAllAvailable()
+      val got = spark.table("substr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 200L), (5L, 200L)),
+        "hits across micro-batches; minLen boundary enforced")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "substrHits must not create streaming state")
+    } finally q.stop()
+  }
 }
