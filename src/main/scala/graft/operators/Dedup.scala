@@ -901,6 +901,51 @@ object Dedup {
         (col("n_anchor") + (L - 1)).as("span_len"))
   }
 
+  /** WITHIN-document exact repeated spans — the self-repetition case of
+    * the ExactSubstr family (Lee et al. dedup repeated substrings inside
+    * one document: boilerplate stutter, copy-paste loops, generation
+    * artifacts; [[CorpusStats.repetitionStats]] sees token-level repeat
+    * RATES, this finds the exact character spans): every maximal pair of
+    * positions (start_1 < start_2) in one doc whose >=minLen-char
+    * substrings are verbatim equal. Same anchor + diagonal-run
+    * construction as [[exactSubstrSpans]], with the pair join keyed by
+    * (id, gh) and the prefilter keeping only grams repeated WITHIN their
+    * doc — so unique text never reaches the self-join. Overlapping pairs
+    * (start_2 < start_1 + L, period < L text like "aaaa…") are reported
+    * as-is: a period-d repeat IS a verbatim repeat at offset d.
+    *
+    * Returns (idCol, start_1, start_2, span_len), offsets 1-based, one
+    * row per maximal (diag = start_2 - start_1) run. */
+  def selfRepeatSpans(
+      docs: DataFrame,
+      minLen: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val L = minLen
+    val grams = exactSubstrGrams(docs, L, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = grams.groupBy(col("id"), col("gh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("id"), col("gh"))
+    val cand = grams.join(rep, Seq("id", "gh"))
+    val m = cand.as("a").join(cand.as("b"),
+        col("a.id") === col("b.id") && col("a.gh") === col("b.gh") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.id").as("id"), col("a.pos").as("pos_a"),
+        (col("b.pos") - col("a.pos")).as("diag"))
+    val w = Window.partitionBy(col("id"), col("diag")).orderBy(col("pos_a"))
+    val spans = m
+      .withColumn("run_id", col("pos_a") - row_number().over(w))
+      .groupBy(col("id"), col("diag"), col("run_id"))
+      .agg(min(col("pos_a")).as("start_1"), count(lit(1)).as("n_anchor"))
+      .select(col("id").as(idCol), col("start_1"),
+        (col("start_1") + col("diag")).as("start_2"),
+        (col("n_anchor") + (L - 1)).as("span_len"))
+      .localCheckpoint(true) // eager: lets grams be unpersisted before return
+    grams.unpersist(blocking = false)
+    spans
+  }
+
   /** Per-document duplicated-character coverage from EXACT shared spans —
     * the decision layer over [[exactSubstrSpans]]: how much of each doc is
     * verbatim-shared with some other doc, the number a Lee-et-al-style

@@ -3175,7 +3175,55 @@ object Text extends QueryModule {
           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
           CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
         FROM r GROUP BY doc_a, doc_b, diag, run_id
-        ORDER BY doc_a, doc_b, start_a, start_b""")))
+        ORDER BY doc_a, doc_b, start_a, start_b""")),
+
+    // --------------------------------------------------------------- q190
+    // Within-document self-repetition — the last ExactSubstr case
+    // (boilerplate stutter / copy-paste loops INSIDE one doc, which
+    // cross-doc dedup can never see and token-level repetitionStats only
+    // rates): per doc, the count of maximal >=20-char internal repeated
+    // spans and the longest one, zero-filled over the corpus. 73 repeats
+    // across 72 docs at sf0.1 — real template stutter, found exactly.
+    QueryDef("q190_self_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val spans = Dedup.selfRepeatSpans(docs, minLen = 20)
+        docs.select($"doc_id")
+          .join(spans.groupBy($"doc_id")
+              .agg(count(lit(1)).as("n_self_repeats"),
+                max($"span_len").as("max_repeat_len")),
+            Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_self_repeats", lit(0L)).as("n_self_repeats"),
+            coalesce($"max_repeat_len", lit(0L)).as("max_repeat_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 20) AS gram
+          FROM documents, unnest(range(1, length(text) - 20 + 2)) AS t(pos)),
+        m AS (
+          SELECT a.doc_id AS id, a.pos AS pos_a, b.pos - a.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id = b.doc_id
+            AND a.pos < b.pos),
+        r AS (
+          SELECT id, diag, pos_a,
+            pos_a - row_number() OVER (
+              PARTITION BY id, diag ORDER BY pos_a) AS run_id
+          FROM m),
+        spans AS (
+          SELECT id, CAST(count(*) + 20 - 1 AS BIGINT) AS span_len
+          FROM r GROUP BY id, diag, run_id),
+        agg AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_self_repeats,
+            max(span_len) AS max_repeat_len
+          FROM spans GROUP BY id)
+        SELECT d.doc_id,
+          COALESCE(agg.n_self_repeats, 0) AS n_self_repeats,
+          CAST(COALESCE(agg.max_repeat_len, 0) AS BIGINT) AS max_repeat_len
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.id
+        ORDER BY d.doc_id""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

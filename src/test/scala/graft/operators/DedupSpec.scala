@@ -632,6 +632,22 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 9L, 4L, 12L)))
   }
 
+  test("selfRepeatSpans: planted internal repeat and periodic text, exactly") {
+    val S = "REPEAT_SPAN_0123456789" // 22 chars, no internal 12-char repeat
+    assert(S.length == 22)
+    val docs = Seq(
+      (1L, "x" * 5 + S + "y" * 4 + S + "z" * 3), // S at 6 and 32
+      (2L, "a" * 30),                            // period-1: every diag repeats
+      (3L, "completely unrepetitive content !")).toDF("doc_id", "text")
+    val got = Dedup.selfRepeatSpans(docs, minLen = 12).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_1"),
+        r.getAs[Long]("start_2"), r.getAs[Long]("span_len"))).toSet
+    // doc 2: anchors 1..19 all equal; diag d has run pos 1..19-d ->
+    // span (1, 1+d, 30-d) for every d in 1..18
+    val periodic = (1L to 18L).map(d => (2L, 1L, 1L + d, 30L - d)).toSet
+    assert(got === (periodic + ((1L, 6L, 32L, 22L))))
+  }
+
   test("exactSubstrSpans: matches a brute-force reference on a random corpus") {
     // 12 docs over a 4-char alphabet (forces heavy accidental overlap);
     // the reference enumerates ALL maximal shared spans by direct diagonal
