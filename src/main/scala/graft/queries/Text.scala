@@ -3223,7 +3223,113 @@ object Text extends QueryModule {
           COALESCE(agg.n_self_repeats, 0) AS n_self_repeats,
           CAST(COALESCE(agg.max_repeat_len, 0) AS BIGINT) AS max_repeat_len
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.id
-        ORDER BY d.doc_id""")))
+        ORDER BY d.doc_id""")),
+
+    // --------------------------------------------------------------- q191
+    // The exact-dedup curation funnel — the r13 operators composed the way
+    // a FineWeb/Lee-et-al pipeline runs them, with KEEP-FIRST semantics:
+    // a doc is dropped when >= 50% of its chars verbatim-appear in some
+    // EARLIER doc (coverage over the doc_b side of the span frame only —
+    // the smaller-id copy survives, so full-dup pairs keep exactly one
+    // canonical), then self-repetitive docs (any >= 20-char internal
+    // repeat) and sub-30-token stubs drop. Output: the stage ledger
+    // (stage, n_docs) — the number a curation run reports per gate.
+    QueryDef("q191_exact_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val spans = Dedup.exactSubstrSpans(docs, minLen = 40)
+        // coverage FROM EARLIER DOCS: only intervals where the doc is the
+        // larger-id side (doc_a < doc_b by construction)
+        val iv = spans.select($"doc_b".as("id"), $"start_b".as("s"),
+            ($"start_b" + $"span_len").as("e")).distinct()
+        val w = Window.partitionBy($"id").orderBy($"s", $"e")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cov = iv.withColumn("pm", max($"e").over(w))
+          .withColumn("inc", greatest(lit(0L),
+            $"e" - greatest($"s", coalesce($"pm", lit(0L)))))
+          .groupBy($"id").agg(sum($"inc").as("covered"))
+        val s2 = docs.select($"doc_id", $"text",
+            length($"text").cast("long").as("len"))
+          .join(cov.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .filter(round(coalesce($"covered", lit(0L)).cast("double") / $"len", 6)
+            < 0.5)
+          .select($"doc_id", $"text")
+        // existence only: a >=20-char internal repeat exists IFF some
+        // 20-gram hash occurs twice in the doc (the substrHits iff) — one
+        // grouped count, no self-join, no window (vs running the full
+        // selfRepeatSpans extents pass: measured ~2x this stage's cost)
+        val selfRep = Dedup.exactSubstrGrams(docs, minLen = 20)
+          .groupBy($"id", $"gh").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1)
+          .select($"id".as("doc_id")).distinct()
+        val s3 = s2.join(selfRep, Seq("doc_id"), "left_anti")
+        val s4 = s3.filter(TextFunctions.tokenCount($"text") >= 30L)
+        def cnt(df: org.apache.spark.sql.DataFrame, id: Int, name: String) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+              $"n_docs")
+        cnt(docs, 1, "corpus")
+          .unionByName(cnt(s2, 2, "dedup_vs_earlier"))
+          .unionByName(cnt(s3, 3, "no_self_repetition"))
+          .unionByName(cnt(s4, 4, "min_30_tokens"))
+          .orderBy($"stage_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 40) AS gram
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(pos)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            a.pos - b.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        r AS (
+          SELECT doc_a, doc_b, diag, pos_a,
+            pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+          FROM m),
+        spans AS (
+          SELECT doc_a, doc_b, min(pos_a) AS start_a,
+            CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+            CAST(count(*) + 40 - 1 AS BIGINT) AS span_len
+          FROM r GROUP BY doc_a, doc_b, diag, run_id),
+        iv AS (
+          SELECT doc_b AS id, start_b AS s, start_b + span_len AS e
+          FROM spans GROUP BY 1, 2, 3),
+        w2 AS (
+          SELECT id, s, e, max(e) OVER (PARTITION BY id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+        cov AS (
+          SELECT id, sum(CASE WHEN e > greatest(s, COALESCE(pm, 0))
+            THEN e - greatest(s, COALESCE(pm, 0)) ELSE 0 END) AS covered
+          FROM w2 GROUP BY 1),
+        s2 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          LEFT JOIN cov ON d.doc_id = cov.id
+          WHERE round(CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+            / length(d.text), 6) < 0.5),
+        sg AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            substr(text, CAST(pos AS INT), 20) AS gram
+          FROM documents, unnest(range(1, length(text) - 20 + 2)) AS t(pos)),
+        sm AS (
+          SELECT DISTINCT doc_id AS id FROM (
+            SELECT doc_id, gram FROM sg
+            GROUP BY doc_id, gram HAVING count(*) > 1)),
+        s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id FROM sm)),
+        s4 AS (SELECT * FROM s3
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 30)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_id, 'corpus' AS stage,
+            count(*) AS n_docs FROM documents
+          UNION ALL
+          SELECT 2, 'dedup_vs_earlier', count(*) FROM s2
+          UNION ALL
+          SELECT 3, 'no_self_repetition', count(*) FROM s3
+          UNION ALL
+          SELECT 4, 'min_30_tokens', count(*) FROM s4)
+        ORDER BY stage_id""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and
