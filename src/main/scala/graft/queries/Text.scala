@@ -3329,7 +3329,65 @@ object Text extends QueryModule {
           SELECT 3, 'no_self_repetition', count(*) FROM s3
           UNION ALL
           SELECT 4, 'min_30_tokens', count(*) FROM s4)
-        ORDER BY stage_id""")))
+        ORDER BY stage_id""")),
+
+    // --------------------------------------------------------------- q192
+    // Vocabulary-growth telemetry (Heaps-law curve) — the number a
+    // tokenizer-sizing pass watches: cumulative distinct vocabulary as the
+    // corpus grows, by ingest decile. One tokenize feeds everything; each
+    // term aggregates to its FIRST decile (vocabulary-keyed, map-side
+    // combined), so the cumulative curve is a 10-row running sum, never a
+    // per-prefix distinct-count rescan. All-integer output.
+    QueryDef("q192_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val toks = docs
+          .select($"doc_id", explode(TextFunctions.tokens($"text")).as("term"))
+          .filter(length($"term") > 0)
+          .crossJoin(broadcast(n))
+          .withColumn("decile", expr("(doc_id * 10) div n") + lit(1L))
+        val perB = toks.groupBy($"decile").agg(count(lit(1)).as("n_tokens"))
+        val newT = toks.groupBy($"term").agg(min($"decile").as("decile"))
+          .groupBy($"decile").agg(count(lit(1)).as("new_terms"))
+        val nd = docs.crossJoin(broadcast(n))
+          .withColumn("decile", expr("(doc_id * 10) div n") + lit(1L))
+          .groupBy($"decile").agg(count(lit(1)).as("n_docs"))
+        val w = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        nd.join(perB, Seq("decile"), "left").join(newT, Seq("decile"), "left")
+          .select($"decile", $"n_docs",
+            coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+            coalesce($"new_terms", lit(0L)).as("new_terms"))
+          .withColumn("cum_terms", sum($"new_terms").over(w))
+          .orderBy($"decile")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+        tk AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(text), '\s+'),
+            x -> length(x) > 0)) AS term
+          FROM documents),
+        td AS (
+          SELECT (doc_id * 10) // (SELECT n FROM n) + 1 AS decile, term
+          FROM tk),
+        nd AS (
+          SELECT (doc_id * 10) // (SELECT n FROM n) + 1 AS decile,
+            count(*) AS n_docs
+          FROM documents GROUP BY 1),
+        perb AS (SELECT decile, count(*) AS n_tokens FROM td GROUP BY 1),
+        newt AS (
+          SELECT decile, count(*) AS new_terms FROM (
+            SELECT term, min(decile) AS decile FROM td GROUP BY term)
+          GROUP BY 1)
+        SELECT nd.decile, nd.n_docs,
+          CAST(COALESCE(perb.n_tokens, 0) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(newt.new_terms, 0) AS BIGINT) AS new_terms,
+          CAST(sum(COALESCE(newt.new_terms, 0))
+            OVER (ORDER BY nd.decile) AS BIGINT) AS cum_terms
+        FROM nd LEFT JOIN perb USING (decile) LEFT JOIN newt USING (decile)
+        ORDER BY nd.decile""")))
 }
 
 /** Wide-to-long reshaping (unpivot/melt) — the inverse of q130's pivot and

@@ -56,7 +56,10 @@ class CatalogSpec extends SparkSpec {
     "q185_dsir_selection",
     // q187 inherits q185's one-row total broadcasts plus its own ONE-ROW
     // class-prior count scalars (shape (a))
-    "q187_classifier_filter")
+    "q187_classifier_filter",
+    // q192 cross-joins the ONE-ROW corpus-count scalar onto the token and
+    // doc frames for the decile arithmetic (shape (a))
+    "q192_vocab_growth")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
