@@ -881,4 +881,194 @@ object Similarity {
         col("nearest_label"), col("inter_dist"),
         round(col("inter_dist") / col("intra_mean_dist"), 6).as("separation"))
   }
+
+  // ------------------------------------------------------- PCA whitening
+
+  /** Fitted PCA-whitening model: `w` is the k x d whitening matrix
+    * Λ^(−1/2)·Vᵀ over the top-k eigenpairs (descending eigenvalue), so
+    * y = W(x − mean) has identity covariance on the fitted data.
+    * `eigenvalues` (all d, descending) double as the variance-explained
+    * telemetry an embedding pipeline monitors. */
+  final case class WhiteningModel(
+      mean: Array[Double],
+      w: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Fit PCA whitening over an embedding column — the standard embedding
+    * preprocessing ahead of SemDeDup / ANN (decorrelate + unit-variance;
+    * IVF cells and LSH planes both behave better on whitened inputs).
+    *
+    * Distributed shape: ONE treeAggregate pass accumulates (n, Σx, upper
+    * triangle of Σxxᵀ) — d + d(d+1)/2 doubles per partition, combined in a
+    * tree, so the driver receives ONE d×d summary regardless of corpus
+    * size (the MLlib RowMatrix shape; d=64 ⇒ 2,144 doubles). The d×d
+    * eigenproblem solves on the driver with cyclic Jacobi (deterministic:
+    * fixed sweep order, convergence on off-diagonal norm, eigenvectors
+    * sign-fixed by making each one's largest-|component| coordinate
+    * positive, ties by index; eigenpairs sorted by eigenvalue desc then
+    * index). `eps` regularizes: scale = (λ+eps)^(−1/2), so near-null
+    * directions don't explode.
+    *
+    * Determinism contract: the aggregation sums DOUBLES, so the model is
+    * deterministic for a fixed partitioning and equal within ~1e-9 across
+    * partitionings (FP sum order) — the ANN-family tolerance contract, not
+    * the bit-exact one; the catalog query pins whitening OUTCOMES
+    * (identity covariance, zero mean) under explicit tolerances. */
+  def fitWhitening(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      components: Int = 0,
+      eps: Double = 1e-6): WhiteningModel = {
+    import emb.sparkSession.implicits._
+    val vecs = emb.select(col(vecCol).cast("array<float>")).as[Array[Float]]
+    val d = vecs.head().length
+    val k = if (components <= 0) d else math.min(components, d)
+    val tri = d * (d + 1) / 2
+    // buffer: [n, s_0..s_{d-1}, upper-tri products]
+    val zero = new Array[Double](1 + d + tri)
+    val agg = vecs.rdd.treeAggregate(zero)(
+      (b, v) => {
+        b(0) += 1.0
+        var i = 0
+        while (i < d) {
+          val vi = v(i).toDouble
+          b(1 + i) += vi
+          var j = i
+          var t = 1 + d + i * d - i * (i - 1) / 2 // row-major upper-tri base
+          while (j < d) { b(t + (j - i)) += vi * v(j); j += 1 }
+          i += 1
+        }
+        b
+      },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val n = agg(0)
+    require(n >= 2, s"fitWhitening needs >= 2 rows, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => agg(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      val base = 1 + d + i * d - i * (i - 1) / 2
+      while (j < d) {
+        val c = agg(base + (j - i)) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c; j += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(idx => (-values(idx), idx))
+    val eigenvalues = order.map(values).toArray
+    val w = Array.tabulate(k) { r =>
+      val src = order(r)
+      val colV = Array.tabulate(d)(row => vectors(row)(src))
+      // sign fix: largest-|component| coordinate positive (ties: lowest idx)
+      var am = 0; var m = 0.0
+      var t = 0
+      while (t < d) { if (math.abs(colV(t)) > m) { m = math.abs(colV(t)); am = t }; t += 1 }
+      val sgn = if (colV(am) < 0.0) -1.0 else 1.0
+      val scale = 1.0 / math.sqrt(math.max(eigenvalues(r), 0.0) + eps)
+      colV.map(_ * sgn * scale)
+    }
+    WhiteningModel(mean, w, eigenvalues)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix V with eigenvectors as COLUMNS),
+    * unsorted. Deterministic: fixed (p,q) sweep order, rotation skipped on
+    * zero off-diagonal, convergence when the off-diagonal Frobenius norm
+    * drops below 1e-12 of the matrix norm (d<=a few hundred — the driver's
+    * share of the whitening fit). */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val norm = math.sqrt(a.map(r => r.map(x => x * x).sum).sum)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 * math.max(norm, 1e-300) && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = {
+        var s2 = 0.0
+        var x = 0
+        while (x < d) {
+          var y = x + 1
+          while (y < d) { s2 += 2.0 * a(x)(y) * a(x)(y); y += 1 }
+          x += 1
+        }
+        math.sqrt(s2)
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Apply a fitted whitening model: y = W(x − mean), one broadcast-model
+    * mapPartitions pass (the encodeIvfPq kernel shape — tight primitive
+    * loops, no per-row allocation beyond the output). Returns
+    * (idCol, whitened: array<double> of length k). */
+  def whiten(
+      emb: DataFrame,
+      model: WhiteningModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import emb.sparkSession.implicits._
+    val bc = emb.sparkSession.sparkContext.broadcast(model)
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = bc.value
+        val d = m.mean.length
+        val k = m.w.length
+        it.map { case (id, raw) =>
+          val y = new Array[Double](k)
+          var r = 0
+          while (r < k) {
+            val row = m.w(r)
+            var s = 0.0
+            var j = 0
+            while (j < d) { s += row(j) * (raw(j) - m.mean(j)); j += 1 }
+            y(r) = s
+            r += 1
+          }
+          (id, y)
+        }
+      }
+      .toDF(idCol, "whitened")
+  }
 }

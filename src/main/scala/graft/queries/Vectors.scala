@@ -625,7 +625,36 @@ object Vectors extends QueryModule {
         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS rank FROM sc)
         SELECT query_id, neighbor_id, vec_rank, lex_rank, rrf_score, rank
-        FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
+        FROM rk WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // --------------------------------------------------------------- q193
+    // PCA whitening as a self-verifying contract (the q44/q53 pattern for
+    // internals DuckDB cannot recompute — a Jacobi eigensolve): fit on the
+    // corpus (ONE treeAggregate pass -> d x d driver summary), whiten (one
+    // broadcast-model map pass), then FIT AGAIN on the whitened output —
+    // the second fit's eigenvalues must all be 1 and its mean all 0 within
+    // tolerance, which is the definition of whitening, verified by the
+    // same distributed pass that fitted it. The oracle pins the constants.
+    QueryDef("q193_pca_whitening",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val mdl = Similarity.fitWhitening(emb)
+        val wdf = Similarity.whiten(emb, mdl)
+        val chk = Similarity.fitWhitening(wdf, vecCol = "whitened")
+        val eigViolations =
+          chk.eigenvalues.count(e => math.abs(e - 1.0) > 1e-3).toLong
+        val meanViolations =
+          chk.mean.count(m => math.abs(m) > 1e-3).toLong
+        wdf.agg(count(lit(1)).as("n"))
+          .select($"n", lit(64L).as("d"),
+            lit(eigViolations).as("eig_violations"),
+            lit(meanViolations).as("mean_violations"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n, CAST(64 AS BIGINT) AS d,
+          CAST(0 AS BIGINT) AS eig_violations,
+          CAST(0 AS BIGINT) AS mean_violations
+        FROM embeddings"""))
   )
 
   /** Shared ANN output contract: recomputed-exact similarity, no self

@@ -548,4 +548,68 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Int]("nearest_label") !== r.getAs[Int]("label"))
     }
   }
+
+  test("jacobiEigen: reconstructs a seeded symmetric matrix; V orthonormal") {
+    val rnd = new scala.util.Random(5)
+    val d = 6
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextDouble() * 2 - 1; a(i)(j) = x; a(j)(i) = x
+    }
+    val (vals, v) = Similarity.jacobiEigen(a)
+    // A v_c == lambda_c v_c for every eigenpair
+    for (c <- 0 until d; r <- 0 until d) {
+      val av = (0 until d).map(k => a(r)(k) * v(k)(c)).sum
+      assert(math.abs(av - vals(c) * v(r)(c)) < 1e-9, s"pair $c row $r")
+    }
+    // columns orthonormal
+    for (c1 <- 0 until d; c2 <- 0 until d) {
+      val dot = (0 until d).map(k => v(k)(c1) * v(k)(c2)).sum
+      assert(math.abs(dot - (if (c1 == c2) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("whitening: correlated data comes out identity-covariance, zero-mean") {
+    import spark.implicits._
+    // strongly correlated 3-D cloud (y ~ 2x + noise, z independent)
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      val x = rnd.nextGaussian()
+      (i, Array((x + 3.0).toFloat, (2.0 * x + 0.1 * rnd.nextGaussian() - 1.0).toFloat,
+        rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(7)
+    val mdl = Similarity.fitWhitening(df, eps = 1e-9)
+    assert(mdl.eigenvalues.length === 3 &&
+      mdl.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      "eigenvalues descending")
+    val y = Similarity.whiten(df, mdl).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("whitened")).toArray)
+    val n = y.length
+    val meanY = Array.tabulate(3)(i => y.map(_(i)).sum / n)
+    meanY.foreach(m => assert(math.abs(m) < 1e-6, s"whitened mean $m"))
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val c = y.map(v => (v(i) - meanY(i)) * (v(j) - meanY(j))).sum / n
+      assert(math.abs(c - (if (i == j) 1.0 else 0.0)) < 1e-5, s"cov($i,$j)=$c")
+    }
+  }
+
+  test("whitening: components=k truncates to the top-k variance directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      val x = rnd.nextGaussian()
+      (i, Array((10.0 * x).toFloat, rnd.nextGaussian().toFloat,
+        (0.01 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val mdl = Similarity.fitWhitening(df, components = 2)
+    assert(mdl.w.length === 2)
+    val y = Similarity.whiten(df, mdl).collect()
+    assert(y.forall(r => r.getSeq[Double](r.fieldIndex("whitened")).size == 2))
+    // the top direction is the 10x-variance axis: |w_0| concentrates on dim 0
+    val w0 = mdl.w(0).map(math.abs)
+    assert(w0(0) * w0(0) / w0.map(a => a * a).sum > 0.99,
+      "first component must align with the dominant axis")
+  }
 }
