@@ -3080,7 +3080,8 @@ object Text extends QueryModule {
               AS pareto_draw
           FROM sel)
         SELECT doc_id, CAST(logodds AS DOUBLE) AS logodds, posterior,
-          pareto_draw, (pareto_draw > 1.0 - posterior) AS kept
+          pareto_draw,
+          (pareto_draw > CAST(1 AS DOUBLE) - posterior) AS kept
         FROM ps ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- q188
