@@ -3007,8 +3007,10 @@ object Text extends QueryModule {
           FROM w2 GROUP BY 1)
         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_chars,
-          round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / length(d.text), 6)
-            AS coverage
+          CASE WHEN length(d.text) > 0
+            THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+              / length(d.text), 6)
+            ELSE 0.0 END AS coverage
         FROM documents d LEFT JOIN cov USING (doc_id)
         ORDER BY doc_id""")),
 
@@ -3308,8 +3310,10 @@ object Text extends QueryModule {
         s2 AS (
           SELECT d.doc_id, d.text FROM documents d
           LEFT JOIN cov ON d.doc_id = cov.id
-          WHERE round(CAST(COALESCE(cov.covered, 0) AS DOUBLE)
-            / length(d.text), 6) < 0.5),
+          WHERE CASE WHEN length(d.text) > 0
+            THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+              / length(d.text), 6)
+            ELSE 0.0 END < 0.5),
         sg AS (
           SELECT doc_id, CAST(pos AS BIGINT) AS pos,
             substr(text, CAST(pos AS INT), 20) AS gram

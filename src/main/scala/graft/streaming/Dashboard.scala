@@ -144,6 +144,9 @@ object Dashboard {
     * — the registry keeps totals rather than a windowed series for API
     * calls, so this is the all-time quantile; NaN with no observations). */
   def apiDurationQuantile(q: Double, endpoints: Seq[String]): Double = {
+    // q outside (0,1) would make indexWhere miss (target > total) or land
+    // on the +Inf bucket at idx 0 — both out-of-contract, fail loudly
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
     val hists = endpoints.map(Metrics.apiDurationHistogram)
     if (hists.isEmpty) return Double.NaN
     val summed = hists.head.indices.map { i =>
