@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Pins the assumption Bench's between-rep hygiene sweep rests on (r13
+  * verdict #1c): the eager `localCheckpoint` frames the ExactSubstr and
+  * CC-loop operators return are PERSISTENT RDDs that (a) register in the
+  * SparkContext's persistentRdds map — `RDD.localCheckpoint` persists the
+  * source RDD, which calls `sc.persistRDD` — and (b) a blocking
+  * unpersist-all sweep genuinely reclaims them: the map empties AND the
+  * block manager reports zero cached RDD blocks. If a future Spark version
+  * (or operator lifecycle change) makes checkpoint blocks invisible to the
+  * sweep, this fails before a bench round smears. */
+class BenchHygieneSpec extends SparkSpec {
+
+  private def sweep(): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+  private def cachedRddBlocks(): Int =
+    spark.sparkContext.getRDDStorageInfo
+      .map(_.numCachedPartitions).sum
+
+  test("exactSubstrSpans' localCheckpoint RDD is seen and reclaimed by the sweep") {
+    sweep() // start clean regardless of suite ordering
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog near the river bank " * 2
+    val docs = Seq(
+      (1L, s"prefix one $span suffix one"),
+      (2L, s"prefix two $span suffix two"),
+      (3L, "an unrelated document with no shared content at all here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, minLen = 40)
+    assert(spans.count() > 0)
+    // the returned frame is backed by an eager localCheckpoint: its RDD
+    // must be registered as persistent, with materialized blocks
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "localCheckpoint RDD not registered in persistentRdds — Bench's sweep would miss it")
+    assert(cachedRddBlocks() > 0)
+    sweep()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "blocking unpersist-all left entries in persistentRdds")
+    assert(cachedRddBlocks() == 0,
+      "blocking unpersist-all left cached RDD blocks in the block manager")
+  }
+
+  test("nearDupClusters' final-round checkpoint RDD is reclaimed by the sweep") {
+    sweep()
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    assert(clusters.count() == 5)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    sweep()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(cachedRddBlocks() == 0)
+  }
+
+  test("a swept frame re-evaluates from scratch (reps rebuild their plan)") {
+    sweep()
+    import spark.implicits._
+    // Bench re-invokes the query builder per rep, so each rep's frame is a
+    // fresh plan — but guard the adjacent hazard too: re-counting the SAME
+    // checkpointed frame after the sweep must not throw (Spark recomputes
+    // or the count is served from the final plan), or an out-of-band retry
+    // of a cached-result query would crash the bench.
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c1 = Dedup.nearDupClusters(pairs)
+    assert(c1.count() == 2)
+    sweep()
+    val c2 = Dedup.nearDupClusters(pairs) // fresh build, as Bench does
+    assert(c2.count() == 2)
+  }
+}
