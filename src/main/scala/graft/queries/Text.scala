@@ -3136,16 +3136,30 @@ object Text extends QueryModule {
     // DuckDB oracle as q184, proving the SQL path returns exactly what the
     // Scala operator returns (and plans the same shape — gram shuffle,
     // shared-hash prefilter, bounded per-pair window, no all-pairs).
+    //
+    // The gram frame is MATERIALIZED as a persisted temp view before the
+    // span SQL runs (r13 verdict #2): Catalyst's InlineCTE expands a
+    // deterministic CTE into every consumer, so the 24-byte-per-character
+    // gram explode ran three times (shared-hash aggregate + both pair-join
+    // sides) and the SQL path cost 1.6x the operator. Registering the
+    // explode once mirrors `Dedup.exactSubstrSpans`' persist lifecycle
+    // exactly — the span construction itself stays pure SQL, and at 100 TB
+    // a 3x recompute of the corpus's every character is the difference
+    // that matters.
     QueryDef("q189_sql_substr_spans",
       (s, dir) => {
         graft.GraftSql.registerTables(s, dir, Seq("documents"))
-        s.sql("""WITH d AS (
-            SELECT doc_id, text FROM documents_v WHERE length(text) >= 40),
-          g AS (
-            SELECT doc_id, pos, xxhash64(substring(text, pos, 40)) AS gh
-            FROM d LATERAL VIEW explode(sequence(1, length(text) - 39)) t AS pos),
-          s AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
-          c AS (SELECT g.* FROM g JOIN s USING (gh)),
+        val grams = s.sql("""SELECT doc_id, pos,
+              xxhash64(substring(text, pos, 40)) AS gh
+            FROM (SELECT doc_id, text FROM documents_v
+                  WHERE length(text) >= 40)
+            LATERAL VIEW explode(sequence(1, length(text) - 39)) t AS pos""")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        grams.createOrReplaceTempView("substr_grams_v")
+        val out = s.sql("""WITH
+          s AS (SELECT gh FROM substr_grams_v
+                GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+          c AS (SELECT g.* FROM substr_grams_v g JOIN s USING (gh)),
           m AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
               a.pos - b.pos AS diag
@@ -3160,6 +3174,9 @@ object Text extends QueryModule {
             CAST(count(*) + 39 AS BIGINT) AS span_len
           FROM r GROUP BY doc_a, doc_b, diag, run_id
           ORDER BY doc_a, doc_b, start_a, start_b""")
+          .localCheckpoint(true) // eager: lets the gram cache release now
+        grams.unpersist(blocking = false)
+        out
       },
       Some("""WITH g AS (
           SELECT doc_id, CAST(pos AS BIGINT) AS pos,
