@@ -363,6 +363,19 @@ object Bench {
                 coarseIterations = 5)
               point(() => Similarity.ivfPqKnnJoin(emb, queries, k,
                 model = mdl, nProbe = 16, rerank = 128))
+            },
+            // IVF-PQ in the PCA-rotated basis (OPQ-lite, q194): identical
+            // probe/rerank budget as ivf_pq — the recall delta is pure
+            // quantization-error reduction from decorrelated subspaces.
+            // Rotation preserves cosine, so `exact` stays the truth.
+            "ivf_pq_whitened" -> {
+              val wm = Similarity.fitWhitening(emb)
+              val rotEmb = Similarity.rotateForAnn(emb, wm)
+              val rotQ = Similarity.rotateForAnn(queries, wm)
+              val mdl = Similarity.trainIvfPq(rotEmb, nCentroids = cells,
+                coarseIterations = 5)
+              point(() => Similarity.ivfPqKnnJoin(rotEmb, rotQ, k,
+                model = mdl, nProbe = 16, rerank = 128))
             })
           s""","ann_recall":{"k":$k,"n_queries":$nQ,"format":"[recall,min_sec]",""" +
             entries.map { case (nm, v) => s""""$nm":$v""" }.mkString(",") + "}"

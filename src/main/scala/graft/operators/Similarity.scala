@@ -1071,4 +1071,114 @@ object Similarity {
       }
       .toDF(idCol, "whitened")
   }
+
+  /** The orthonormal PCA ROTATION of a fitted whitening model: mean zeroed
+    * and each whitening row rescaled by √(λ+eps) back to unit norm, i.e.
+    * y = Vᵀx. Orthogonal and un-centered, so inner products and norms —
+    * hence cosine — are preserved EXACTLY: an ANN index built on rotated
+    * vectors answers with unchanged ground truth. What changes is the
+    * coordinate system: variance concentrates into the leading coordinates
+    * and cross-correlations vanish, so PQ subquantizers (which quantize
+    * fixed dsub-coordinate blocks independently) spend their codebooks on
+    * decorrelated, energy-sorted blocks — the OPQ-lite preprocessing win
+    * (OPQ itself initializes from exactly this rotation). Full whitening
+    * (centering + λ^(−1/2) scaling) would CHANGE the cosine metric and
+    * with it the answer set — wrong for serving an index whose contract is
+    * original-space cosine; the rotation is the metric-preserving part.
+    * `eps` must match the fit's. */
+  def pcaRotation(model: WhiteningModel, eps: Double = 1e-6): WhiteningModel = {
+    val rot = model.w.zipWithIndex.map { case (row, r) =>
+      val s = math.sqrt(math.max(model.eigenvalues(r), 0.0) + eps)
+      row.map(_ * s)
+    }
+    WhiteningModel(new Array[Double](model.mean.length), rot, model.eigenvalues)
+  }
+
+  /** [[pcaRotation]] with PQ eigenvalue allocation (the OPQ paper's
+    * non-parametric initialization): the rotated dims are PERMUTED so each
+    * of the `m` PQ subspaces (contiguous dsub-dim blocks) receives a
+    * balanced share of the variance. Plain PCA rotation sorts variance
+    * into the leading block — the WORST allocation for equal-size
+    * codebooks (the leading subquantizer drowns while the trailing ones
+    * idle); balancing equalizes per-subspace distortion. Allocation is
+    * round-based: each round deals one dim to every subspace, the largest
+    * remaining eigenvalue going to the subspace with the smallest
+    * accumulated log-variance (deterministic: ties by subspace index).
+    * A permutation of orthonormal rows is still orthonormal — cosine is
+    * still preserved exactly. */
+  def pcaRotationBalanced(
+      model: WhiteningModel,
+      m: Int = 8,
+      eps: Double = 1e-6): WhiteningModel = {
+    val rot = pcaRotation(model, eps)
+    val d = rot.w.length
+    require(m >= 1 && d % m == 0, s"dim $d must be divisible by m=$m")
+    val dsub = d / m
+    val logs = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    var next = 0 // rows already sorted by descending eigenvalue
+    var round = 0
+    while (round < dsub) {
+      // smallest accumulated variance first; each gets exactly one dim
+      val order = (0 until m).sortBy(j => (logs(j), j))
+      order.foreach { j =>
+        slots(j) += next
+        logs(j) += math.log(math.max(model.eigenvalues(next), 1e-300) + eps)
+        next += 1
+      }
+      round += 1
+    }
+    val perm = slots.flatMap(_.toSeq)
+    WhiteningModel(rot.mean, perm.map(rot.w).toArray,
+      perm.map(model.eigenvalues).toArray)
+  }
+
+  /** Rotate an embedding frame into the PCA basis for ANN indexing/query:
+    * [[pcaRotationBalanced]] applied via [[whiten]]'s broadcast-map
+    * kernel, cast back to the (idCol, vecCol array<float>) shape every
+    * index builder and search in this module consumes. `m` must match the
+    * PQ subspace count the index is trained with (pass m = 1 for a plain
+    * descending-variance rotation, e.g. ahead of a truncating index).
+    * Corpus and queries MUST pass through the same fitted model —
+    * encode-time and query-time bases have to agree, which is why the
+    * model persists alongside the PQ index ([[saveWhitening]]). */
+  def rotateForAnn(
+      emb: DataFrame,
+      model: WhiteningModel,
+      m: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    whiten(emb, pcaRotationBalanced(model, m), idCol, vecCol)
+      .select(col(idCol), col("whitened").cast("array<float>").as(vecCol))
+
+  /** Persist a whitening/rotation model as plain parquet under `path` —
+    * the companion artifact of a PQ index built on rotated vectors: a
+    * serving session that loads the codes without the basis would encode
+    * queries in the wrong coordinate system and silently return garbage.
+    * Doubles round-trip exactly (parquet float64). */
+  def saveWhitening(spark: org.apache.spark.sql.SparkSession,
+      model: WhiteningModel, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      Seq(("mean", -1, model.mean.toSeq), ("eig", -1, model.eigenvalues.toSeq)) ++
+        model.w.zipWithIndex.map { case (row, r) => ("w", r, row.toSeq) }
+    rows.toDF("part", "i", "vec")
+      .repartition(1) // model is tiny ((k+2) x d doubles)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveWhitening]]. */
+  def loadWhitening(spark: org.apache.spark.sql.SparkSession,
+      path: String): WhiteningModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("part"), col("i"), col("vec").cast("array<double>"))
+      .as[(String, Int, Array[Double])]
+      .collect() // bounded: (k+2) x d doubles
+    def one(p: String) = rows.find(_._1 == p)
+      .getOrElse(throw new IllegalArgumentException(s"no '$p' row under $path"))._3
+    val w = rows.filter(_._1 == "w").sortBy(_._2).map(_._3)
+    require(w.nonEmpty, s"no whitening rows under $path")
+    WhiteningModel(one("mean"), w, one("eig"))
+  }
 }

@@ -72,6 +72,18 @@ object AnnTune {
         Similarity.ivfPqKnnJoin(emb, queries, k, model = mdl, nProbe = 16, rerank = pool))
       println(f"ivfpq m=$m%-2d nProbe=16 rerank=$pool%-3d recall=$r%.3f minSec=$t%.2f")
     }
+    // PCA-rotated basis with per-m balanced eigenvalue allocation
+    // (OPQ-lite, q194): same budgets as the rows above — the recall delta
+    // is pure subquantizer decorrelation/balancing gain
+    val wm = Similarity.fitWhitening(emb)
+    for (m <- Seq(8, 16); pool <- Seq(64, 128, 192)) {
+      val rotEmb = Similarity.rotateForAnn(emb, wm, m = m)
+      val rotQ = Similarity.rotateForAnn(queries, wm, m = m)
+      val mdl = Similarity.trainIvfPq(rotEmb, nCentroids = cells, m = m, coarseIterations = 5)
+      val (r, t) = timeIt(() =>
+        Similarity.ivfPqKnnJoin(rotEmb, rotQ, k, model = mdl, nProbe = 16, rerank = pool))
+      println(f"ivfpq_rot m=$m%-2d nProbe=16 rerank=$pool%-3d recall=$r%.3f minSec=$t%.2f")
+    }
     spark.stop()
   }
 }

@@ -612,4 +612,77 @@ class SimilaritySpec extends SparkSpec {
     assert(w0(0) * w0(0) / w0.map(a => a * a).sum > 0.99,
       "first component must align with the dominant axis")
   }
+
+  test("pcaRotation: orthonormal rows; rotateForAnn preserves pairwise cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 120L).map { i =>
+      val x = rnd.nextGaussian()
+      (i, Array((x + 1.0).toFloat, (3.0 * x + rnd.nextGaussian()).toFloat,
+        rnd.nextGaussian().toFloat, (0.5 * rnd.nextGaussian() - 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val rot = Similarity.pcaRotation(Similarity.fitWhitening(df))
+    assert(rot.mean.forall(_ == 0.0), "rotation must not center")
+    val d = rot.w.length
+    for (r1 <- 0 until d; r2 <- 0 until d) {
+      val dot = rot.w(r1).zip(rot.w(r2)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (r1 == r2) 1.0 else 0.0)) < 1e-6,
+        s"rows $r1,$r2 not orthonormal: $dot")
+    }
+    val orig = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dd = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dd / (na * nb)
+    }
+    val rotted = Similarity.rotateForAnn(df, Similarity.fitWhitening(df), m = 2)
+      .as[(Long, Array[Float])].collect().toMap
+    val ids = orig.keys.toSeq.sorted.take(15)
+    for (a <- ids; b <- ids if a < b)
+      assert(math.abs(cos(orig(a), orig(b)) - cos(rotted(a), rotted(b))) < 1e-5,
+        s"cosine($a,$b) changed under rotation")
+  }
+
+  test("pcaRotationBalanced: permutation of orthonormal rows, balanced subspace variance") {
+    import spark.implicits._
+    // strongly anisotropic 8-D cloud: per-dim stddevs 8,7,...,1
+    val rnd = new scala.util.Random(19)
+    val df = (0L until 200L).map(i =>
+        (i, Array.tabulate(8)(j => ((8 - j) * rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val wm = Similarity.fitWhitening(df)
+    val plain = Similarity.pcaRotation(wm)
+    val bal = Similarity.pcaRotationBalanced(wm, m = 4)
+    // every balanced row is one of the plain rotation's rows (a permutation)
+    val plainRows = plain.w.map(_.toSeq).toSet
+    assert(bal.w.forall(r => plainRows(r.toSeq)))
+    assert(bal.w.map(_.toSeq).distinct.length == 8)
+    // per-subspace (dsub=2) eigenvalue log-sums are tighter than the
+    // sorted allocation's: balanced spread strictly smaller
+    def spread(eigs: Array[Double], m: Int): Double = {
+      val dsub = eigs.length / m
+      val sums = eigs.grouped(dsub).map(_.map(math.log).sum).toSeq
+      sums.max - sums.min
+    }
+    assert(spread(bal.eigenvalues, 4) < spread(plain.eigenvalues, 4),
+      "balanced allocation must equalize per-subspace variance")
+  }
+
+  test("saveWhitening/loadWhitening: exact double round-trip through parquet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 60L).map(i =>
+        (i, Array.fill(5)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val mdl = Similarity.fitWhitening(df)
+    val path = graft.sources.TempStores.scratch(spark, "graft_spec_whitening")
+    Similarity.saveWhitening(spark, mdl, path)
+    val back = Similarity.loadWhitening(spark, path)
+    assert(back.mean.toSeq == mdl.mean.toSeq)
+    assert(back.eigenvalues.toSeq == mdl.eigenvalues.toSeq)
+    assert(back.w.length == mdl.w.length &&
+      back.w.zip(mdl.w).forall { case (a, b) => a.toSeq == b.toSeq })
+  }
 }

@@ -59,7 +59,11 @@ class CatalogSpec extends SparkSpec {
     "q187_classifier_filter",
     // q192 cross-joins the ONE-ROW corpus-count scalar onto the token and
     // doc frames for the decile arithmetic (shape (a))
-    "q192_vocab_growth")
+    "q192_vocab_growth",
+    // q194 cross-joins the ONE-ROW annContract aggregate with the ONE-ROW
+    // rotation-drift counter (shape (a)), and runs ivfPqSearch's bounded
+    // <= 5-query broadcast side (q41's justification)
+    "q194_whitened_ivfpq")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
