@@ -3458,5 +3458,76 @@ object Reshape extends QueryModule {
           CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6))
             AS DOUBLE) AS total,
           round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
-        FROM m GROUP BY measure ORDER BY measure""")))
+        FROM m GROUP BY measure ORDER BY measure""")),
+
+    // --------------------------------------------------------------- q195
+    // The ExactSubstr `maxBucket` lever under load (r13 verdict #5 — the
+    // knob a 100 TB run actually needs, exercised nowhere at default 0):
+    // a boilerplate-heavy corpus is SYNTHESIZED by prepending one shared
+    // 88-char license block to every third document, putting ~50 gram
+    // buckets at occupancy n/3 — the degenerate shape (identical
+    // boilerplate across millions of docs) whose pair join would
+    // otherwise go locally O(m²). With a finite cap the query pins, at
+    // both SFs:
+    //   dropped_gram_rows / capped_buckets — the operator's LOGGED drop
+    //     ledger, recomputed independently by DuckDB from gram STRINGS
+    //     (occupancy among >=2-doc grams; real numbers, not constants);
+    //   exactness_violations = 0 — the recall-only contract: capping may
+    //     LOSE spans, but every span still reported must be verbatim-equal
+    //     in both documents (verified by substring comparison, so a hash
+    //     collision or offset bug would surface here);
+    //   boilerplate_recall = true — the cap didn't nuke recall: the kept
+    //     cap-many docs still report spans containing the license block.
+    QueryDef("q195_capped_substr_spans",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 24
+        val bp = "GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS " +
+          "BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT"
+        val docs = t(s, dir, "documents")
+        val synth = docs.select($"doc_id",
+          when($"doc_id" % 3 === 0, concat(lit(bp), lit(" "), $"text"))
+            .otherwise($"text").as("text"))
+        // drop ledger, recomputed exactly as capBuckets accounts it:
+        // occupancy of each >=2-distinct-doc gram over the whole frame
+        val grams = Dedup.exactSubstrGrams(synth, minLen = 40)
+        val ledger = grams.groupBy($"gh")
+          .agg(min($"id").as("mn"), max($"id").as("mx"),
+            count(lit(1)).as("occ"))
+          .filter($"mn" =!= $"mx")
+          .agg(
+            coalesce(sum(when($"occ" > cap, $"occ" - cap)), lit(0L))
+              .as("dropped_gram_rows"),
+            count_if($"occ" > cap).as("capped_buckets"))
+        val spans = Dedup.exactSubstrSpans(synth, minLen = 40, maxBucket = cap)
+        val checked = spans
+          .join(synth.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+          .join(synth.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+          .select(
+            expr("substring(ta, CAST(start_a AS INT), CAST(span_len AS INT))")
+              .as("sa"),
+            expr("substring(tb, CAST(start_b AS INT), CAST(span_len AS INT))")
+              .as("sb"))
+          .agg(count_if($"sa" =!= $"sb").as("exactness_violations"),
+            (count_if($"sa".contains(bp)) > 0L).as("boilerplate_recall"))
+        ledger.crossJoin(checked)
+      },
+      Some("""WITH synth AS (
+          SELECT doc_id, CASE WHEN doc_id % 3 = 0
+            THEN 'GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT ' || text
+            ELSE text END AS text
+          FROM documents),
+        g AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 40) AS gram
+          FROM synth, unnest(range(1, length(text) - 40 + 2)) AS t(pos)),
+        sh AS (
+          SELECT gram, count(*) AS occ FROM g
+          GROUP BY gram HAVING min(doc_id) <> max(doc_id))
+        SELECT
+          CAST(COALESCE(sum(CASE WHEN occ > 24 THEN occ - 24 END), 0)
+            AS BIGINT) AS dropped_gram_rows,
+          CAST(count(*) FILTER (WHERE occ > 24) AS BIGINT) AS capped_buckets,
+          CAST(0 AS BIGINT) AS exactness_violations,
+          true AS boilerplate_recall
+        FROM sh""")))
 }

@@ -615,6 +615,39 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("exactSubstrSpans: maxBucket keeps the cap smallest ids, spans stay exact, drops accounted") {
+    // 6 docs share one 20-char span (distinct fillers, distinct offsets):
+    // its 9 inner 12-grams each occupy a bucket at occupancy 6
+    val shared = "SHARED_SPAN_09876543"
+    val docs = (1 to 6).map { i =>
+      val c = ('a' + (i - 1)).toChar.toString
+      (i.toLong, c * (9 + i) + shared + c * 3)
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.exactSubstrSpans(docs, minLen = 12).collect()
+    assert(uncapped.length == 15, "C(6,2) pairs uncapped")
+    // cap = 3: every span-gram bucket deterministically keeps doc ids
+    // 1..3 (capBuckets orders by id), so spans survive ONLY among those —
+    // recall loss, with the kept spans' extents still exact
+    val capped = Dedup.exactSubstrSpans(docs, minLen = 12, maxBucket = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"))).toSet
+    def start(i: Int): Long = (10 + i).toLong
+    assert(capped === Set(
+      (1L, 2L, start(1), start(2), 20L),
+      (1L, 3L, start(1), start(3), 20L),
+      (2L, 3L, start(2), start(3), 20L)))
+    // the logged ledger's numbers: 9 buckets x (6 - 3) dropped rows
+    val grams = Dedup.exactSubstrGrams(docs, minLen = 12)
+    val sharedGh = grams.groupBy(col("gh"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("gh")
+    val stats =
+      Dedup.bucketCapStats(grams.join(sharedGh, Seq("gh")), Seq("gh"), 3)
+    assert(stats === Dedup.BucketCapStats(droppedRows = 27, cappedBuckets = 9))
+  }
+
   test("exactSubstrSpans: minLen is a sharp threshold") {
     // docs 1-2 share exactly minLen chars (reported, exact length); docs
     // 1-3 share exactly minLen-1 (below threshold, absent). Boundary chars

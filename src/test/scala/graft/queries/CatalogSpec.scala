@@ -63,7 +63,10 @@ class CatalogSpec extends SparkSpec {
     // q194 cross-joins the ONE-ROW annContract aggregate with the ONE-ROW
     // rotation-drift counter (shape (a)), and runs ivfPqSearch's bounded
     // <= 5-query broadcast side (q41's justification)
-    "q194_whitened_ivfpq")
+    "q194_whitened_ivfpq",
+    // q195 cross-joins the ONE-ROW drop ledger with the ONE-ROW
+    // exactness/recall aggregate (shape (a))
+    "q195_capped_substr_spans")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
