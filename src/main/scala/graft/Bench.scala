@@ -116,7 +116,12 @@ object Bench {
         val (sFloorAfterMin, sFloorAfterP50) = probeFloor(s2)
         streamStateJson =
           s""","stream_state_operators":{"in_memory":${mem.stateOpsJson},""" +
-            s""""durable":${dur.stateOpsJson}}"""
+            s""""durable":${dur.stateOpsJson}},""" +
+            // the reference dashboard's live panels, computed from the
+            // measured stream legs themselves (sidecar-only — the stdout
+            // metric line has a ~1.5 KB tail budget)
+            s""""panels":{"in_memory":${mem.panelsJson},""" +
+            s""""durable":${dur.panelsJson}}"""
         // the batch loop starts on its own fresh context, inheriting nothing
         quiesce(s2)
         s""","stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +

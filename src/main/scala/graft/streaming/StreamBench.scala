@@ -54,12 +54,27 @@ object StreamBench {
       warmupSec: Int, steadyBatches: Int,
       steadyP50: Long, steadyP95: Long, steadyP99: Long,
       gaps: Long, activeStreams: Long, shufflePartitions: String,
-      durable: Boolean, stateOps: Seq[StateOpStats] = Nil) {
+      durable: Boolean, stateOps: Seq[StateOpStats] = Nil,
+      panels: Seq[(String, Double)] = Nil,
+      panelWindowMs: Long = 0L, panelNowMs: Long = 0L) {
     def stateOpsJson: String = stateOps.map { s =>
       s"""{"operator":"${s.operator}","rows":${s.rowsTotal},""" +
         s""""memory_bytes":${s.memoryBytes},"commit_sum_ms_p50":${s.commitP50},""" +
         s""""commit_sum_ms_p99":${s.commitP99}}"""
     }.mkString("[", ",", "]")
+    /** Live dashboard panels evaluated from THIS run's recorded series —
+      * the reference's Grafana infographic computed from a measured
+      * stream. Self-describing envelope: the window and evaluation
+      * instant are included so the values re-derive from the series
+      * alone (pinned by StreamingPipelineSpec). NaN (no increase in
+      * window) serializes as null. */
+    def panelsJson: String = {
+      val vals = panels.map { case (name, v) =>
+        val vs = if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+        s""""$name":$vs"""
+      }.mkString("{", ",", "}")
+      s"""{"window_ms":$panelWindowMs,"now_ms":$panelNowMs,"values":$vals}"""
+    }
   }
 
   /** Drive the live pipeline for `seconds` at `rps` rows/s and collect
@@ -95,6 +110,10 @@ object StreamBench {
     spark.streams.addListener(listener)
 
     Metrics.reset()
+    // The panel series is process-wide: clear it so this run's panels are
+    // computed from THIS run's samples only (a previous leg's samples
+    // carry pre-reset counter values and would corrupt the window rates).
+    Dashboard.series.clear()
     Pipelines.registerProgressListener(spark) // official totals arrive driver-side
     Sinks.InMemoryObjectStore.clear("sbench")
     Sinks.InMemoryMetadataSink.clear("sbench")
@@ -150,6 +169,18 @@ object StreamBench {
     def pct(xs: Seq[Long], p: Double): Long =
       if (xs.isEmpty) 0L
       else xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    // Evaluate every live panel of the reference dashboard from the run's
+    // own recorded series (SURVEY §6's infographic loop): the evaluation
+    // instant and window are captured in the Result so a spec — or a
+    // reader of the artifact — can re-derive the identical values from
+    // the same series. Window = the dashboard's own [1m] range selector,
+    // evaluated at run end — exactly what Grafana would show live at that
+    // moment (on a 60 s+warm-up leg that is the steady tail; a shorter
+    // spec run is covered whole).
+    val panelNow = System.currentTimeMillis()
+    val panelWindow = 60000L
+    val panelVals = Dashboard.panelCatalog(panelWindow, panelNow)
+      .flatMap(p => p.value.map(f => p.panel -> f()))
     Result(
       chunksPerSec = processed / wallSec, chunks = processed, wallSec = wallSec,
       rps = rps, batches = durations.size,
@@ -164,7 +195,8 @@ object StreamBench {
       stateOps = stateLast.asScala.toSeq.sortBy(_._1).map { case (op, (rows, bytes)) =>
         val commits = stateCommits.asScala.collect { case (`op`, ms) => ms }.toSeq.sorted
         StateOpStats(op, rows, bytes, pct(commits, 0.5), pct(commits, 0.99))
-      })
+      },
+      panels = panelVals, panelWindowMs = panelWindow, panelNowMs = panelNow)
   }
 
   def main(args: Array[String]): Unit = {
@@ -201,7 +233,8 @@ object StreamBench {
         s""""active_streams":${r.activeStreams},""" +
         s""""shuffle_partitions":${r.shufflePartitions},""" +
         s""""durable_sinks":${r.durable},""" +
-        s""""state_operators":${r.stateOpsJson}}"""
+        s""""state_operators":${r.stateOpsJson},""" +
+        s""""panels":${r.panelsJson}}"""
     println(json)
     spark.stop()
   }

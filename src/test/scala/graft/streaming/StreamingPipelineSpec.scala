@@ -713,4 +713,35 @@ class StreamingPipelineSpec extends SparkSpec {
     // p50 -> 3rd of [1000,1500,2000,3000,4000,5000] = 2000, p99 -> 6th
     assert(w1._4 === 2000.0 && w1._6 === 5000.0)
   }
+
+  test("StreamBench panels: values re-derive exactly from the recorded series " +
+      "and agree with the run's own measured figures") {
+    // a short real run: the panels the bench artifact publishes must be a
+    // pure function of (series, registry, window, instant) — re-evaluating
+    // the catalog at the captured (panelWindowMs, panelNowMs) has to
+    // reproduce the Result's values bit-for-bit, and the run-average rate
+    // panel has to agree with the run's own chunks/s within the
+    // window-alignment slack.
+    val r = StreamBench.run(spark, seconds = 8, rps = 4, durable = false,
+      warmupSec = 2)
+    assert(r.chunks > 0 && r.panels.nonEmpty)
+    val re = Dashboard.panelCatalog(r.panelWindowMs, r.panelNowMs)
+      .flatMap(p => p.value.map(f => p.panel -> f())).toMap
+    r.panels.foreach { case (name, v) =>
+      val rv = re(name)
+      assert((v.isNaN && rv.isNaN) || v === rv,
+        s"panel '$name': artifact $v vs re-derived $rv")
+    }
+    val byName = r.panels.toMap
+    assert(byName("Live: Chunk Gaps Detected (Total)") === r.gaps.toDouble)
+    assert(byName("Active Live Streams") === r.activeStreams.toDouble)
+    // run-average processing rate: series window (first..last sample) vs
+    // wall clock differ by startup/drain slack — generous band, but must
+    // be the right magnitude and nonzero
+    val rate = byName("Live: Spark Processing Rate")
+    assert(rate > 0.0 && math.abs(rate - r.chunksPerSec) < r.chunksPerSec,
+      s"panel rate $rate vs measured ${r.chunksPerSec}")
+    Dashboard.series.clear()
+    Metrics.reset()
+  }
 }
