@@ -163,7 +163,30 @@ object PlanDump {
         "256-row ratio frame (whitelisted one-row BNLJ), per-doc weights " +
         "are a bucket-keyed hash join + partial-aggregated DECIMAL sum, " +
         "and the Gumbel-top-k lowers to TakeOrderedAndProject — k rows " +
-        "per partition cross the wire, never a global sort."))
+        "per partition cross the wire, never a global sort."),
+    "q189_sql_substr_spans" ->
+      ("SQL-authored spans (r14 CTE-materialization fix): the gram " +
+        "explode appears ONCE as an InMemoryTableScan of the persisted " +
+        "temp view on all three consumers (shared-hash aggregate + both " +
+        "pair-join sides) — Catalyst's InlineCTE would otherwise expand " +
+        "the 24-byte-per-character explode into each, a measured 1.6x. " +
+        "Downstream shape identical to q184: Exchange on gh, bounded " +
+        "per-pair diagonal window, partial-aggregated extents."),
+    "q194_whitened_ivfpq" ->
+      ("Whitened IVF-PQ: the rotation is ONE broadcast-model " +
+        "mapPartitions pass (no shuffle — the d x d basis rides the task " +
+        "closure), feeding exactly q149's index shape: byte codes on the " +
+        "cell-keyed Exchange, ADC HOF projection, id-keyed exact re-rank " +
+        "of the shortlist. The one-row drift/contract aggregates " +
+        "cross-join (whitelisted one-row BNLJ)."),
+    "q195_capped_substr_spans" ->
+      ("Capped spans under degenerate boilerplate: the synthesized " +
+        "corpus puts ~50 gram buckets at occupancy n/3, and the plan " +
+        "must show the cap's row_number window (partitioned by gh, " +
+        "bounded per bucket) BETWEEN the shared-gram prefilter and the " +
+        "pair join — so the join sees at most cap rows per bucket and " +
+        "the quadratic blowup never materializes. The drop ledger is " +
+        "one partial-aggregated groupBy over the gram frame."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
