@@ -818,9 +818,26 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucket: Int = 0): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val L = minLen
     val grams = exactSubstrGrams(docs, minLen, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = exactSubstrSpansFromGrams(grams, minLen, maxBucket)
+    grams.unpersist(blocking = false)
+    spans
+  }
+
+  /** [[exactSubstrSpans]] over a CALLER-provided gram frame (the
+    * [[exactSubstrGrams]] shape: id, pos, gh) — for callers that need the
+    * gram frame for their own accounting beside the spans (q195's drop
+    * ledger) without paying the explode twice. The caller owns the
+    * frame's lifecycle: persist it first (it is read by the shared-hash
+    * aggregate and both pair-join sides), unpersist after this returns
+    * (the result is eagerly materialized). */
+  def exactSubstrSpansFromGrams(
+      grams: DataFrame,
+      minLen: Int,
+      maxBucket: Int = 0): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
     // gram hashes present in >= 2 distinct docs: min != max avoids a
     // count(distinct) expansion; partial aggregation collapses each
     // partition's repeats before the shuffle
@@ -836,16 +853,13 @@ object Dedup {
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
-    val spans = m
-      .withColumn("run_id", col("pos_a") - row_number().over(w))
+    m.withColumn("run_id", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run_id"))
       .agg(min(col("pos_a")).as("start_a"), count(lit(1)).as("n_anchor"))
       .select(col("doc_a"), col("doc_b"), col("start_a"),
         (col("start_a") - col("diag")).as("start_b"),
         (col("n_anchor") + (L - 1)).as("span_len"))
-      .localCheckpoint(true) // eager: lets grams be unpersisted before return
-    grams.unpersist(blocking = false)
-    spans
+      .localCheckpoint(true) // eager: lets the gram cache release now
   }
 
   /** The positional L-gram hash frame behind [[exactSubstrSpans]]: one row

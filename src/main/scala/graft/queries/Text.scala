@@ -3488,9 +3488,13 @@ object Reshape extends QueryModule {
         val synth = docs.select($"doc_id",
           when($"doc_id" % 3 === 0, concat(lit(bp), lit(" "), $"text"))
             .otherwise($"text").as("text"))
-        // drop ledger, recomputed exactly as capBuckets accounts it:
-        // occupancy of each >=2-distinct-doc gram over the whole frame
+        // ONE gram explode serves both consumers (the q189 lesson): the
+        // persisted frame feeds the operator's span construction AND the
+        // independent drop-ledger audit — recomputed exactly as capBuckets
+        // accounts it (occupancy of each >=2-distinct-doc gram), with the
+        // oracle recomputing it a third way from gram STRINGS.
         val grams = Dedup.exactSubstrGrams(synth, minLen = 40)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ledger = grams.groupBy($"gh")
           .agg(min($"id").as("mn"), max($"id").as("mx"),
             count(lit(1)).as("occ"))
@@ -3499,7 +3503,8 @@ object Reshape extends QueryModule {
             coalesce(sum(when($"occ" > cap, $"occ" - cap)), lit(0L))
               .as("dropped_gram_rows"),
             count_if($"occ" > cap).as("capped_buckets"))
-        val spans = Dedup.exactSubstrSpans(synth, minLen = 40, maxBucket = cap)
+        val spans =
+          Dedup.exactSubstrSpansFromGrams(grams, minLen = 40, maxBucket = cap)
         val checked = spans
           .join(synth.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
           .join(synth.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
@@ -3510,7 +3515,10 @@ object Reshape extends QueryModule {
               .as("sb"))
           .agg(count_if($"sa" =!= $"sb").as("exactness_violations"),
             (count_if($"sa".contains(bp)) > 0L).as("boilerplate_recall"))
-        ledger.crossJoin(checked)
+        val out = ledger.crossJoin(checked)
+          .localCheckpoint(true) // eager: the ledger must read the cache
+        grams.unpersist(blocking = false)
+        out
       },
       Some("""WITH synth AS (
           SELECT doc_id, CASE WHEN doc_id % 3 = 0
