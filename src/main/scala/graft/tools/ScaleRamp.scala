@@ -118,6 +118,24 @@ object ScaleRamp {
       "exact_substr_spans" -> (d => Dedup.exactSubstrSpans(d, minLen = 40)),
       "bm25_topk" -> (d => Retrieval.bm25TopK(d))))
 
+    // The maxBucket lever under a DEGENERATE corpus (q195's shape): one
+    // shared 88-char block on every third doc puts ~50 gram buckets at
+    // occupancy n/3 — uncapped, the pair stage is C(n/3, 2) per bucket
+    // and this ramp would not finish factor 10 (16,667-doc buckets ≈
+    // 7e12 pair rows); capped, each bucket contributes at most C(24, 2)
+    // pairs and the wall should track the LINEAR gram frame. This row is
+    // the scale evidence for the knob a boilerplate-heavy 100 TB corpus
+    // needs.
+    val bp = "GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS " +
+      "BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT"
+    def boilerplateDocs(f: Int): DataFrame =
+      scaledDocs(spark, sfDir, f).withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(lit(bp), lit(" "), col("text")))
+          .otherwise(col("text")))
+    ramp("dedup_capped", boilerplateDocs, Seq(
+      "substr_spans_cap24" ->
+        (d => Dedup.exactSubstrSpans(d, minLen = 40, maxBucket = 24))))
+
     // Fixed 256-query probe set from the base fixture: the scaled axis is
     // the CORPUS (index build + candidate generation); query fan-out is a
     // constant multiplier and stays pinned so exponents read corpus growth.
