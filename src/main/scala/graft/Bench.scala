@@ -41,29 +41,24 @@ object Bench {
     // AFTER the query loop: a floor that rose mid-run explains late-
     // catalog outliers (r11's q115 34 s) that a single up-front probe
     // can't — external load is not constant over a 20-minute suite.
-    def probeFloor(s: SparkSession): (Long, Long) = {
-      val times = (1 to 7).map { _ =>
+    def probeTimes(s: SparkSession, n: Int): Seq[Double] =
+      (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try s.range(0, 1000000, 1, cpus.toInt).repartition(cpus.toInt)
           .selectExpr("sum(id)").collect()
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e6
       }.sorted
+    def probeFloor(s: SparkSession): (Long, Long) = {
+      val times = probeTimes(s, 7)
       (times.head.round, times(times.size / 2).round)
     }
 
     // Cheap floor probe for in-loop use: 3 samples, min. The 7-sample
     // bracketing probes bound the whole run; this one stamps a moment.
-    def quickFloor(s: SparkSession): Long = {
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try s.range(0, 1000000, 1, cpus.toInt).repartition(cpus.toInt)
-          .selectExpr("sum(id)").collect()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e6
-      }
-      times.min.round
-    }
+    // Same probe job as probeFloor (shared probeTimes), so the contended
+    // test f > floorK * floorRef compares like with like.
+    def quickFloor(s: SparkSession): Long = probeTimes(s, 3).head.round
 
     // Out-of-band policy constants (used by the stream legs below AND the
     // query loop): env-overridable for exercising the retry paths locally;
@@ -151,11 +146,17 @@ object Bench {
             math.max(first.fP50, first.aP50) > floorK * streamQuietRefMs
           if (first.r.steadyP99 <= streamBarMs || !contended) first
           else {
-            streamObLog += s"""{"leg":"${if (durable) "durable" else "in_memory"}",""" +
-              s""""discarded_p99_ms":${first.r.steadyP99},""" +
-              s""""floor_ms_p50":${first.fP50},"floor_after_ms_p50":${first.aP50}}"""
             val second = runLeg(durable)
-            if (second.r.steadyP99 < first.r.steadyP99) second else first
+            // log AFTER the outcome: both attempts' p99s and floors, and
+            // which one the published fields carry
+            val keepFirst = first.r.steadyP99 <= second.r.steadyP99
+            streamObLog += s"""{"leg":"${if (durable) "durable" else "in_memory"}",""" +
+              s""""first_p99_ms":${first.r.steadyP99},""" +
+              s""""first_floors_ms_p50":[${first.fP50},${first.aP50}],""" +
+              s""""retry_p99_ms":${second.r.steadyP99},""" +
+              s""""retry_floors_ms_p50":[${second.fP50},${second.aP50}],""" +
+              s""""kept":"${if (keepFirst) "first" else "retry"}"}"""
+            if (keepFirst) first else second
           }
         }
         val memLeg = legDefended(durable = false)
@@ -259,22 +260,33 @@ object Bench {
         var t = evalFully(name)
         dropPersisted()
         if (t >= 0.0 && t < best) best = t
-        // out-of-band? probe the floor NOW; retry only if it's elevated
-        var attempts = 0
-        while (t > obMinSec && best < Double.MaxValue && t > obFactor * best &&
-            attempts < obMaxPerQuery - obCount && obTotal < obMaxTotal && {
-              val f = quickFloor(spark)
-              obLog += s"""{"q":"$name","rep":$rep,""" +
-                f""""discarded_sec":$t%.3f,"floor_ms":$f,""" +
-                s""""contended":${f > floorK * floorRef}}"""
-              f > floorK * floorRef
-            }) {
-          attempts += 1; obCount += 1; obTotal += 1
-          System.gc()
-          val t2 = evalFully(name)
-          dropPersisted()
-          if (t2 >= 0.0 && t2 < t) t = t2
-          if (t >= 0.0 && t < best) best = t
+        // Out-of-band? Probe the floor NOW; retry only while it's
+        // elevated. Every log entry is written AFTER its outcome is
+        // known, so the artifact's provenance is exact: a clean-floor
+        // probe records the kept rep with its evidence; a contended
+        // retry records both attempt times and which one was kept.
+        var settled = false
+        while (!settled && t > obMinSec && best < Double.MaxValue &&
+            t > obFactor * best && obCount < obMaxPerQuery &&
+            obTotal < obMaxTotal) {
+          val f = quickFloor(spark)
+          if (f <= floorK * floorRef) {
+            // slow rep at a CLEAN floor: keep it — this one is real
+            obLog += s"""{"q":"$name","rep":$rep,""" +
+              f""""sec":$t%.3f,"floor_ms":$f,"contended":false,"kept":true}"""
+            settled = true
+          } else {
+            obCount += 1; obTotal += 1
+            System.gc()
+            val t2 = evalFully(name)
+            dropPersisted()
+            val kept = if (t2 >= 0.0 && t2 < t) t2 else t
+            obLog += s"""{"q":"$name","rep":$rep,""" +
+              f""""orig_sec":$t%.3f,"retry_sec":$t2%.3f,"kept_sec":$kept%.3f,""" +
+              s""""floor_ms":$f,"contended":true}"""
+            t = kept
+            if (t >= 0.0 && t < best) best = t
+          }
         }
         t
       }

@@ -21,6 +21,15 @@ object Text extends QueryModule {
   private val ChunkSize = 64
   private val ChunkStride = 48
 
+  /** The 98-char shared license block q195 prepends to synthesize a
+    * boilerplate-degenerate corpus; ScaleRamp's `dedup_capped` family
+    * ramps the SAME shape, so one constant keeps query and ramp aligned
+    * (the q195 DuckDB oracle necessarily inlines it as a SQL literal —
+    * the one copy that must stay in sync by hand). */
+  private[graft] val BoilerplateBlock: String =
+    "GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS " +
+      "BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT"
+
   // DuckDB fragments mirroring TextFunctions
   private val wsSql = """string_split_regex(trim(text), '\s+')"""
   private val shinglesSql =
@@ -3272,8 +3281,12 @@ object Text extends QueryModule {
         val s2 = docs.select($"doc_id", $"text",
             length($"text").cast("long").as("len"))
           .join(cov.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .filter(round(coalesce($"covered", lit(0L)).cast("double") / $"len", 6)
-            < 0.5)
+          // empty text = zero coverage = kept (0.0/0 is NaN, which would
+          // silently EXCLUDE here while the oracle's CASE keeps) — mirror
+          // exactSubstrCoverage's otherwise(0.0) branch on both engines
+          .filter(when($"len" > 0,
+              round(coalesce($"covered", lit(0L)).cast("double") / $"len", 6))
+            .otherwise(0.0) < 0.5)
           .select($"doc_id", $"text")
         // existence only: a >=20-char internal repeat exists IFF some
         // 20-gram hash occurs twice in the doc (the substrHits iff) — one
@@ -3464,7 +3477,7 @@ object Reshape extends QueryModule {
     // The ExactSubstr `maxBucket` lever under load (r13 verdict #5 — the
     // knob a 100 TB run actually needs, exercised nowhere at default 0):
     // a boilerplate-heavy corpus is SYNTHESIZED by prepending one shared
-    // 88-char license block to every third document, putting ~50 gram
+    // 98-char license block to every third document, putting ~60 gram
     // buckets at occupancy n/3 — the degenerate shape (identical
     // boilerplate across millions of docs) whose pair join would
     // otherwise go locally O(m²). With a finite cap the query pins, at
@@ -3482,8 +3495,7 @@ object Reshape extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val cap = 24
-        val bp = "GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS " +
-          "BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT"
+        val bp = Text.BoilerplateBlock
         val docs = t(s, dir, "documents")
         val synth = docs.select($"doc_id",
           when($"doc_id" % 3 === 0, concat(lit(bp), lit(" "), $"text"))

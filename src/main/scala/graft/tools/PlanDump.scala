@@ -181,7 +181,7 @@ object PlanDump {
         "cross-join (whitelisted one-row BNLJ)."),
     "q195_capped_substr_spans" ->
       ("Capped spans under degenerate boilerplate: the synthesized " +
-        "corpus puts ~50 gram buckets at occupancy n/3, and the plan " +
+        "corpus puts ~60 gram buckets at occupancy n/3, and the plan " +
         "must show the cap's row_number window (partitioned by gh, " +
         "bounded per bucket) BETWEEN the shared-gram prefilter and the " +
         "pair join — so the join sees at most cap rows per bucket and " +

@@ -119,15 +119,14 @@ object ScaleRamp {
       "bm25_topk" -> (d => Retrieval.bm25TopK(d))))
 
     // The maxBucket lever under a DEGENERATE corpus (q195's shape): one
-    // shared 88-char block on every third doc puts ~50 gram buckets at
+    // shared 98-char block on every third doc puts ~60 gram buckets at
     // occupancy n/3 — uncapped, the pair stage is C(n/3, 2) per bucket
     // and this ramp would not finish factor 10 (16,667-doc buckets ≈
     // 7e12 pair rows); capped, each bucket contributes at most C(24, 2)
     // pairs and the wall should track the LINEAR gram frame. This row is
     // the scale evidence for the knob a boilerplate-heavy 100 TB corpus
     // needs.
-    val bp = "GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS " +
-      "BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT"
+    val bp = graft.queries.Text.BoilerplateBlock
     def boilerplateDocs(f: Int): DataFrame =
       scaledDocs(spark, sfDir, f).withColumn("text",
         when(col("doc_id") % 3 === 0, concat(lit(bp), lit(" "), col("text")))

@@ -56,14 +56,15 @@ class BenchHygieneSpec extends SparkSpec {
     assert(cachedRddBlocks() == 0)
   }
 
-  test("a swept frame re-evaluates from scratch (reps rebuild their plan)") {
+  test("a fresh build after the sweep evaluates cleanly (reps rebuild their plan)") {
     sweep()
     import spark.implicits._
-    // Bench re-invokes the query builder per rep, so each rep's frame is a
-    // fresh plan — but guard the adjacent hazard too: re-counting the SAME
-    // checkpointed frame after the sweep must not throw (Spark recomputes
-    // or the count is served from the final plan), or an out-of-band retry
-    // of a cached-result query would crash the bench.
+    // The sweep makes the PREVIOUS frame unusable by design — unpersisting
+    // a locally-checkpointed RDD loses its truncated lineage, so an action
+    // on the OLD frame would throw "checkpoint block not found". Bench
+    // never does that: every evaluation (including out-of-band retries)
+    // re-invokes the query builder, producing a fresh plan. This pins that
+    // contract: build -> evaluate -> sweep -> rebuild -> evaluate works.
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val c1 = Dedup.nearDupClusters(pairs)
     assert(c1.count() == 2)
