@@ -70,6 +70,16 @@ object Bench {
     val obFactor = sys.env.getOrElse("SPARK_GRAFT_OB_FACTOR", "2.0").toDouble
     val obMinSec = sys.env.getOrElse("SPARK_GRAFT_OB_MIN_SEC", "1.5").toDouble
     val floorK = sys.env.getOrElse("SPARK_GRAFT_OB_FLOOR_K", "1.6").toDouble
+    // History-aware gate factor (r14 verdict #2): a query whose within-run
+    // MIN exceeds histFactor x its committed-sidecar min is suspect even
+    // when no single rep is out of band vs the others — the uniform-window
+    // blind spot (r14 committed q88 at 4.4x its r13 min with zero retries
+    // because all three reps sat inside one contended window).
+    val histFactor = sys.env.getOrElse("SPARK_GRAFT_OB_HIST_FACTOR", "2.0").toDouble
+    // Bounded retry budgets, env-overridable for exercising the paths
+    // locally; official runs leave them unset and the artifact records them.
+    val obMaxPerQuery = sys.env.getOrElse("SPARK_GRAFT_OB_MAX_PER_QUERY", "2").toInt
+    val obMaxTotal = sys.env.getOrElse("SPARK_GRAFT_OB_MAX_TOTAL", "32").toInt
 
     // Optional comma-separated name filter for iterating on one query
     // locally; the driver never sets it, so official runs time everything.
@@ -117,12 +127,15 @@ object Bench {
         val warmup = math.min(10, streamSec / 3)
         // One leg = fresh session, floor probe, run, floor probe, quiesce.
         final case class Leg(r: graft.streaming.StreamBench.Result,
-          fMin: Long, fP50: Long, aMin: Long, aP50: Long)
-        def runLeg(durable: Boolean): Leg = {
+          fMin: Long, fP50: Long, aMin: Long, aP50: Long) {
+          def floorsJson: String =
+            s"""{"before_ms":[$fMin,$fP50],"after_ms":[$aMin,$aP50]}"""
+        }
+        def runLeg(durable: Boolean, pipeline: String = "live"): Leg = {
           val s = buildSession()
           val (fMin, fP50) = probeFloor(s)
           val r = graft.streaming.StreamBench.run(s, streamSec, rps = 2,
-            durable = durable, warmupSec = warmup)
+            durable = durable, warmupSec = warmup, pipeline = pipeline)
           val (aMin, aP50) = probeFloor(s)
           quiesce(s)
           Leg(r, fMin, fP50, aMin, aP50)
@@ -138,19 +151,28 @@ object Bench {
         // kept — that one the engine has to own.
         val streamBarMs =
           sys.env.getOrElse("SPARK_GRAFT_STREAM_BAR_MS", "2000").toLong
+        // VOD leg bar: the reference dashboard's own VOD alert threshold
+        // (orange at 15 s, infographic "VOD: Processing Latency") applied
+        // to batch duration — far above any non-pathological run.
+        val vodBarMs =
+          sys.env.getOrElse("SPARK_GRAFT_VOD_BAR_MS", "15000").toLong
         val streamQuietRefMs = 280L // quiet-host probe band, PROFILING.md
         val streamObLog = scala.collection.mutable.ArrayBuffer[String]()
-        def legDefended(durable: Boolean): Leg = {
-          val first = runLeg(durable)
+        def legDefended(durable: Boolean, pipeline: String = "live",
+            barMs: Long = streamBarMs): Leg = {
+          val first = runLeg(durable, pipeline)
           val contended =
             math.max(first.fP50, first.aP50) > floorK * streamQuietRefMs
-          if (first.r.steadyP99 <= streamBarMs || !contended) first
+          if (first.r.steadyP99 <= barMs || !contended) first
           else {
-            val second = runLeg(durable)
+            val second = runLeg(durable, pipeline)
             // log AFTER the outcome: both attempts' p99s and floors, and
             // which one the published fields carry
             val keepFirst = first.r.steadyP99 <= second.r.steadyP99
-            streamObLog += s"""{"leg":"${if (durable) "durable" else "in_memory"}",""" +
+            val legName =
+              if (pipeline == "vod") "vod"
+              else if (durable) "durable" else "in_memory"
+            streamObLog += s"""{"leg":"$legName",""" +
               s""""first_p99_ms":${first.r.steadyP99},""" +
               s""""first_floors_ms_p50":[${first.fP50},${first.aP50}],""" +
               s""""retry_p99_ms":${second.r.steadyP99},""" +
@@ -161,19 +183,45 @@ object Bench {
         }
         val memLeg = legDefended(durable = false)
         val durLeg = legDefended(durable = true)
-        val (mem, dur) = (memLeg.r, durLeg.r)
+        // VOD leg (r14 verdict #4): the reference's VOD panels published
+        // null in every r14 artifact because only the live pipeline was
+        // driven. Same fresh-session + floor-probe + retry discipline;
+        // durable sinks like the headline leg. 5 s trigger, rate-matched.
+        val vodLeg = legDefended(durable = true, pipeline = "vod", barMs = vodBarMs)
+        val (mem, dur, vodR) = (memLeg.r, durLeg.r, vodLeg.r)
         streamStateJson =
           s""","stream_state_operators":{"in_memory":${mem.stateOpsJson},""" +
-            s""""durable":${dur.stateOpsJson}},""" +
-            // the reference dashboard's live panels, computed from the
-            // measured stream legs themselves (sidecar-only — the stdout
-            // metric line has a ~1.5 KB tail budget)
+            s""""durable":${dur.stateOpsJson},"vod":${vodR.stateOpsJson}},""" +
+            // the reference dashboard's panels, computed from the measured
+            // stream legs themselves (sidecar-only — the stdout metric line
+            // has a ~1.5 KB tail budget). VOD panels come from the vod leg.
             s""""panels":{"in_memory":${mem.panelsJson},""" +
-            s""""durable":${dur.panelsJson}},""" +
+            s""""durable":${dur.panelsJson},"vod":${vodR.panelsJson}},""" +
+            // full per-leg exact-latency envelopes (compact p99s go on
+            // stdout below)
+            s""""chunk_latency_exact":{"in_memory":${mem.exactLatency.json},""" +
+            s""""durable":${dur.exactLatency.json},"vod":${vodR.exactLatency.json}},""" +
+            // all bracketing floor probes of every KEPT leg attempt — the
+            // r14 top-level stream_floor_* fields kept their names while
+            // changing which probes they carry; this object is the explicit
+            // record (see stream_fields_version)
+            s""""stream_floors":{"in_memory":${memLeg.floorsJson},""" +
+            s""""durable":${durLeg.floorsJson},"vod":${vodLeg.floorsJson}},""" +
             s""""stream_out_of_band":[${streamObLog.mkString(",")}]"""
-        // the batch loop starts on its own fresh context, inheriting nothing
-        s""","stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
+        // the batch loop starts on its own fresh context, inheriting nothing.
+        // chunk_p99_ms_exact* = exact per-chunk latency at delivery
+        // completion (the reference's own observation point) — the r15
+        // headline for BASELINE.md's live p99 ~2,000 ms; batch-duration
+        // p99s stay for round-over-round continuity.
+        s""","stream_fields_version":3,""" +
+          s""""stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
           s""""stream_p50_ms":${mem.steadyP50},"stream_p50_ms_durable":${dur.steadyP50},""" +
+          s""""chunk_p99_ms_exact":${dur.exactLatency.dlvP99},""" +
+          s""""chunk_p99_ms_exact_mem":${mem.exactLatency.dlvP99},""" +
+          s""""chunk_p50_ms_exact":${dur.exactLatency.dlvP50},""" +
+          s""""vod_chunk_p95_ms_exact":${vodR.exactLatency.dlvP95},""" +
+          s""""stream_vod_p99_ms":${vodR.steadyP99},""" +
+          s""""stream_state_partitions":${graft.streaming.StreamBench.DefaultStatePartitions},""" +
           s""""stream_rate_rps":2,"stream_sec":$streamSec,""" +
           s""""stream_retries":${streamObLog.size},""" +
           s""""stream_floor_ms_min":${memLeg.fMin},"stream_floor_ms_p50":${memLeg.fP50},""" +
@@ -213,13 +261,35 @@ object Bench {
     // discarded attempt WITH its floor probe in the sidecar. A slow rep at
     // a CLEAN floor is kept: that one is real and the recorded probe says
     // so. All thresholds published in the artifact.
-    // env-overridable for exercising the retry path locally; official runs
-    // leave them unset and the defaults are recorded in the artifact
-    val obMaxPerQuery = 2  // bounded retries per query
-    val obMaxTotal = 24    // ...and per run
-    val floorRef = math.max(floorMinMs, 150L) // quiet-host probes dip ~120 ms
+    // The contended-moment test `quickFloor > floorK * floorRef` must
+    // compare LIKE WITH LIKE (review finding, r14): the in-loop probe is a
+    // 3-sample min taken mid-run, so its reference is a 3-sample min taken
+    // at run start — NOT the 7-sample bracketing probe above, whose deeper
+    // min reads systematically lower and would bias every test toward
+    // "contended". Both statistics are published (job_floor_ms_* for the
+    // bracket, ob_policy.floor_ref_ms for this gate's reference).
+    val floorRef = math.max(quickFloor(spark), 150L) // quiet probes dip ~120 ms
     var obTotal = 0
     val obLog = scala.collection.mutable.ArrayBuffer[String]()
+    // Historical per-query mins from the committed round-over-round record
+    // (BENCH_SIDECAR.json at the repo root — regenerated by every full
+    // official run, committed each round): the reference map for the
+    // history-aware gate. Absent/filtered sidecar -> empty map, gate off.
+    def loadHistMins(path: String): Map[String, Double] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"mins":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
+    val histMins = loadHistMins(
+      sys.env.getOrElse("SPARK_GRAFT_OB_HIST_PATH", s"$repoRoot/BENCH_SIDECAR.json"))
+      .filter(_._2 > 0.0)
     // Floor timeline: a quick probe every 20 queries, so a mid-run
     // contention window is visible in the artifact itself rather than
     // inferred from which queries smeared.
@@ -280,15 +350,54 @@ object Bench {
             System.gc()
             val t2 = evalFully(name)
             dropPersisted()
+            // the retry attempt's own floor, recorded so a reader can see
+            // whether the substituted time was itself measured clean
+            val f2 = quickFloor(spark)
             val kept = if (t2 >= 0.0 && t2 < t) t2 else t
             obLog += s"""{"q":"$name","rep":$rep,""" +
               f""""orig_sec":$t%.3f,"retry_sec":$t2%.3f,"kept_sec":$kept%.3f,""" +
-              s""""floor_ms":$f,"contended":true}"""
+              s""""floor_ms":$f,"retry_floor_ms":$f2,"contended":true}"""
             t = kept
             if (t >= 0.0 && t < best) best = t
           }
         }
         t
+      }.toBuffer
+      // History-aware gate (r14 verdict #2, the uniform-window blind spot):
+      // the within-run-best trigger above cannot fire when ALL reps sat in
+      // one contended window — BENCH_r14 committed q88/q91/q93/q82/q80 at
+      // 2.2-5.0x their r13 mins, zero retries, while both builder runs
+      // posted r13 levels on identical code. When the run's min exceeds
+      // histFactor x the committed sidecar's min for this query (and is
+      // absolutely slow), probe the floor NOW: contended -> bounded retry
+      // with full provenance; clean -> keep, and the log says the move is
+      // engine-owned. Same budget, same logging discipline as above.
+      histMins.get(name).foreach { h =>
+        var settled = false
+        while (!settled && best < Double.MaxValue && best > obMinSec &&
+            best > histFactor * h && obCount < obMaxPerQuery &&
+            obTotal < obMaxTotal) {
+          val f = quickFloor(spark)
+          if (f <= floorK * floorRef) {
+            obLog += s"""{"q":"$name","trigger":"history",""" +
+              f""""hist_min_sec":$h%.3f,"run_min_sec":$best%.3f,""" +
+              s""""floor_ms":$f,"contended":false,"kept":true}"""
+            settled = true
+          } else {
+            obCount += 1; obTotal += 1
+            System.gc()
+            val t2 = evalFully(name)
+            dropPersisted()
+            val f2 = quickFloor(spark)
+            val prevBest = best
+            if (t2 >= 0.0 && t2 < best) best = t2
+            obLog += s"""{"q":"$name","trigger":"history",""" +
+              f""""hist_min_sec":$h%.3f,"run_min_sec":$prevBest%.3f,""" +
+              f""""retry_sec":$t2%.3f,"kept_sec":$best%.3f,""" +
+              s""""floor_ms":$f,"retry_floor_ms":$f2,"contended":true}"""
+            if (t2 >= 0.0) raw += t2
+          }
+        }
       }
       // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr, for spotting
       // session-age drift (a growing sequence means accumulated state —
@@ -315,7 +424,10 @@ object Bench {
         s""","out_of_band_reps":[${obLog.mkString(",")}]""" +
         s""","ob_policy":{"factor":$obFactor,"min_sec":$obMinSec,""" +
         s""""floor_k":$floorK,"floor_ref_ms":$floorRef,""" +
-        s""""retries_used":$obTotal,"retries_max":$obMaxTotal}"""
+        s""""floor_ref_stat":"quick_min_of_3","hist_factor":$histFactor,""" +
+        s""""hist_queries":${histMins.size},""" +
+        s""""retries_used":$obTotal,"retries_max":$obMaxTotal,""" +
+        s""""max_per_query":$obMaxPerQuery}"""
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -478,11 +590,10 @@ object Bench {
     // The repo sidecar is the committed round-over-round perf record — a
     // SPARK_GRAFT_BENCH_ONLY-filtered local iteration must NOT clobber it
     // with a partial payload; filtered runs write only the /tmp sidecar.
-    // Repo root comes from the environment, falling back to the forked
-    // JVM's working directory (sbt forks in the project base directory) —
-    // not a hardcoded path, so a run from another checkout records itself.
-    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
-      sys.props.getOrElse("user.dir", "."))
+    // Repo root (defined with the history map above) comes from the
+    // environment, falling back to the forked JVM's working directory (sbt
+    // forks in the project base directory) — not a hardcoded path, so a run
+    // from another checkout records itself.
     val sidecars =
       Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")) ++
         (if (only.isDefined) Nil else Seq(s"$repoRoot/BENCH_SIDECAR.json"))

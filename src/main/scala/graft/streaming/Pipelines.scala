@@ -51,17 +51,58 @@ object Pipelines {
     * in for the reference's per-row `time.time()` at delivery. Delivered to
     * the driver registry by Metrics.ProgressListener — the cluster-correct
     * metric channel. */
+  /** Driver-payload hard guard for the exact-latency observation. Per-batch
+    * rows are already bounded by the source's admission control (W3:
+    * maxOffsetsPerTrigger 100 live / 10 VOD), so the cap sits far above the
+    * contract bound; it exists so a source WITHOUT a rate limit cannot ship
+    * an O(rows) array to the driver. The aggregator keeps the LARGEST
+    * latencies when the cap binds, so high quantiles (the published p99)
+    * stay exact while rows-per-batch <= cap/0.01. */
+  val MaxLatencyObservations = 4096
+
+  final case class LatBuf(top: Seq[Long])
+
+  /** Bounded top-latencies aggregate for `observe()` (r14 verdict #1): the
+    * raw per-chunk latencies behind the histogram bands, largest-first,
+    * capped at `cap`. `observe` rejects `collect_list` compositions
+    * (non-deterministic outside an aggregate); this typed Aggregator is
+    * deterministic — its result is the sorted multiset top, independent of
+    * row order — and O(cap) in state and payload. */
+  final class TopLatenciesAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, LatBuf, Seq[Long]] {
+    private def trim(xs: Seq[Long]): Seq[Long] =
+      if (xs.size <= 2 * cap) xs
+      else xs.sorted(Ordering[Long].reverse).take(cap)
+    override def zero: LatBuf = LatBuf(Vector.empty)
+    override def reduce(b: LatBuf, v: Long): LatBuf = LatBuf(trim(b.top :+ v))
+    override def merge(a: LatBuf, b: LatBuf): LatBuf = LatBuf(trim(a.top ++ b.top))
+    override def finish(b: LatBuf): Seq[Long] =
+      b.top.sorted(Ordering[Long].reverse).take(cap)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[LatBuf] =
+      org.apache.spark.sql.Encoders.product[LatBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   private def latencyBandAggs(eventTs: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
     val latMs = unix_millis(current_timestamp()) - unix_millis(eventTs)
     val sec = latMs.cast("double") / lit(1000.0)
     val bs = Metrics.LatencyBuckets
+    val topLat = udaf(new TopLatenciesAgg(MaxLatencyObservations),
+      org.apache.spark.sql.Encoders.scalaLong)
     (0 to bs.size).map { i =>
       val cond =
         if (i == 0) sec <= bs.head
         else if (i == bs.size) sec > bs.last
         else sec > bs(i - 1) && sec <= bs(i)
       count_if(cond).as(s"lat_band_$i")
-    } :+ sum(latMs).as("lat_sum_ms")
+    } :+ sum(latMs).as("lat_sum_ms") :+
+      // the raw per-chunk latencies behind the bands (r14 verdict #1: the
+      // bucket-interpolated panel p99 saturates near a bucket's top edge —
+      // 3,939-3,972 ms inside (2,4] s — and cannot say whether the true p99
+      // is 2.1 s or 3.9 s; the exact quantile requires the values). Same
+      // quantity as the bands: batch trigger timestamp - event timestamp.
+      topLat(latMs).as("lat_ms_sorted")
   }
 
   /** Decode + keyed live state; pure transform, shared by tests and the

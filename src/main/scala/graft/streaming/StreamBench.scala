@@ -48,6 +48,27 @@ object StreamBench {
       operator: String, rowsTotal: Long, memoryBytes: Long,
       commitP50: Long, commitP99: Long)
 
+  /** Exact (rank-selected, non-interpolated) per-chunk latency percentiles
+    * over the steady window, in ms. Two forms of the reference's
+    * chunk_processing_latency metric (spark_streaming.py:460-461):
+    *  - `trig*`: batch trigger timestamp - event timestamp — the exact
+    *    quantile of the SAME quantity the histogram bands measure, so the
+    *    interpolated panel value is directly checkable against it;
+    *  - `dlv*`: trig + that batch's triggerExecution ms — latency at
+    *    delivery COMPLETION, the reference's own observation point (it
+    *    calls time.time() while delivering each chunk in foreachBatch).
+    * `samples` = chunks in the steady window feeding both. */
+  final case class ExactLatency(
+      samples: Int,
+      trigP50: Long, trigP95: Long, trigP99: Long,
+      dlvP50: Long, dlvP95: Long, dlvP99: Long) {
+    def json: String =
+      s"""{"samples":$samples,"trigger_ms_p50":$trigP50,""" +
+        s""""trigger_ms_p95":$trigP95,"trigger_ms_p99":$trigP99,""" +
+        s""""delivered_ms_p50":$dlvP50,"delivered_ms_p95":$dlvP95,""" +
+        s""""delivered_ms_p99":$dlvP99}"""
+  }
+
   final case class Result(
       chunksPerSec: Double, chunks: Long, wallSec: Double, rps: Int,
       batches: Int, p50: Long, p95: Long, p99: Long,
@@ -56,7 +77,9 @@ object StreamBench {
       gaps: Long, activeStreams: Long, shufflePartitions: String,
       durable: Boolean, stateOps: Seq[StateOpStats] = Nil,
       panels: Seq[(String, Double)] = Nil,
-      panelWindowMs: Long = 0L, panelNowMs: Long = 0L) {
+      panelWindowMs: Long = 0L, panelNowMs: Long = 0L,
+      pipeline: String = "live",
+      exactLatency: ExactLatency = ExactLatency(0, 0, 0, 0, 0, 0, 0)) {
     def stateOpsJson: String = stateOps.map { s =>
       s"""{"operator":"${s.operator}","rows":${s.rowsTotal},""" +
         s""""memory_bytes":${s.memoryBytes},"commit_sum_ms_p50":${s.commitP50},""" +
@@ -77,12 +100,33 @@ object StreamBench {
     }
   }
 
-  /** Drive the live pipeline for `seconds` at `rps` rows/s and collect
-    * micro-batch percentiles. Safe to call repeatedly in one session. */
+  /** Default state-store partition count for the rate-matched bench legs.
+    * The keyed stage's state-store count is a THROUGHPUT sizing decision,
+    * not a CPU-count one: every store pays a fixed per-batch commit floor
+    * (changelog append + fsync — profiled at ~400 ms/store summed to ~13 s
+    * across 32 stores per batch on this host, the entirety of the ~1 s
+    * steady batch time r14 measured), so a deployment sizes stores to
+    * peak-rate x per-store commit capacity and scales the count UP with
+    * load. At the reference's operating point (~2 chunks/s over 16 stream
+    * keys) 4 stores is generous; measured steady batch p50 dropped
+    * 992 -> 532 ms. Env-overridable; recorded in every artifact. */
+  val DefaultStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4").toInt
+
+  /** Drive the live (or VOD — `pipeline = "vod"`) pipeline for `seconds` at
+    * `rps` rows/s and collect micro-batch percentiles. Safe to call
+    * repeatedly in one session. `statePartitions` sets the session's
+    * shuffle width for the stream's keyed stage (restored afterwards). */
   def run(spark: SparkSession, seconds: Int, rps: Int,
-      durable: Boolean, warmupSec: Int): Result = {
+      durable: Boolean, warmupSec: Int, pipeline: String = "live",
+      statePartitions: Int = DefaultStatePartitions): Result = {
+    require(pipeline == "live" || pipeline == "vod", s"unknown pipeline: $pipeline")
+    val vod = pipeline == "vod"
     // (ns-at-completion, triggerExecution ms) per non-empty batch
     val batches = new ConcurrentLinkedQueue[(Long, Long)]()
+    // per non-empty batch: the observe()d exact per-chunk latencies
+    // (ns-at-completion, triggerExecution ms, lat_ms_sorted)
+    val batchLats = new ConcurrentLinkedQueue[(Long, Long, Seq[Long])]()
     // per stateful operator: last-seen (rows, memory) + all commit latencies
     val stateLast = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     val stateCommits = new ConcurrentLinkedQueue[(String, Long)]()
@@ -98,7 +142,20 @@ object StreamBench {
           // triggerExecution is the end-to-end micro-batch time; the other
           // durationMs entries are its sub-phases (summing would double-count).
           Option(e.progress.durationMs.get("triggerExecution"))
-            .foreach(ms => batches.add((System.nanoTime(), ms.toLong)))
+            .foreach { ms =>
+              val now = System.nanoTime()
+              batches.add((now, ms.toLong))
+              // exact per-chunk latencies ride the same observe row as the
+              // histogram bands (cluster-correct driver channel, bounded by
+              // the source rate limit + MaxLatencyObservations)
+              val om = e.progress.observedMetrics
+              Option(om.get(s"${pipeline}_metrics")).foreach { row =>
+                try {
+                  val lats = row.getSeq[Long](row.fieldIndex("lat_ms_sorted"))
+                  if (lats.nonEmpty) batchLats.add((now, ms.toLong, lats))
+                } catch { case _: Throwable => () }
+              }
+            }
           // SPARK_GRAFT_STREAM_PROFILE=1: dump the full progress JSON
           // (phase breakdown + state-store commit metrics) to stderr, one
           // line per batch, for offline micro-batch-floor analysis.
@@ -128,10 +185,23 @@ object StreamBench {
         (new Sinks.InMemoryObjectStore("sbench"), new Sinks.InMemoryMetadataSink("sbench"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-ckpt").toString
 
+    // Size the keyed stage's state-store count to the operating point (see
+    // DefaultStatePartitions): the conf is read at stream start (fresh
+    // checkpoint each run), restored after so batch work on a shared
+    // session keeps its own width.
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+
     val t0 = System.nanoTime()
-    val q = Pipelines.startLive(
-      StreamSources.syntheticLiveSource(spark, rowsPerSecond = rps, nStreams = 16),
-      objects, meta, ckpt)
+    val q =
+      if (vod)
+        Pipelines.startVod(
+          StreamSources.syntheticVodSource(spark, rowsPerSecond = rps, nStreams = 16),
+          objects, meta, ckpt)
+      else
+        Pipelines.startLive(
+          StreamSources.syntheticLiveSource(spark, rowsPerSecond = rps, nStreams = 16),
+          objects, meta, ckpt)
     try q.awaitTermination(seconds * 1000L) finally {
       // Stop BETWEEN triggers, not mid-batch: stop() interrupts any
       // in-flight foreachPartition task and the killed task's stack trace
@@ -146,13 +216,15 @@ object StreamBench {
       q.stop()
     }
     val wallSec = (System.nanoTime() - t0) / 1e9
+    spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
 
     // listener bus is async — let the final progress events drain
+    val processedCounter = s"spark_${pipeline}_chunks_processed_total"
     var prev = -1L
-    var cur = Metrics.counter("spark_live_chunks_processed_total")
+    var cur = Metrics.counter(processedCounter)
     while (cur != prev) {
       prev = cur; Thread.sleep(300)
-      cur = Metrics.counter("spark_live_chunks_processed_total")
+      cur = Metrics.counter(processedCounter)
     }
     spark.streams.removeListener(listener)
     val processed = cur
@@ -181,6 +253,19 @@ object StreamBench {
     val panelWindow = 60000L
     val panelVals = Dashboard.panelCatalog(panelWindow, panelNow)
       .flatMap(p => p.value.map(f => p.panel -> f()))
+    // Exact per-chunk latency over the steady window (r14 verdict #1): rank
+    // selection over every chunk's recorded latency — no bucket
+    // interpolation. Both anchors (trigger timestamp; + batch duration =
+    // delivery completion) come from the same per-batch observe rows.
+    val steadyLatBatches = batchLats.asScala.toSeq
+      .filter(_._1 - firstBatchNs >= warmupSec * 1_000_000_000L)
+    val trigLats = steadyLatBatches.flatMap(_._3).sorted
+    val dlvLats = steadyLatBatches.flatMap { case (_, batchMs, ls) =>
+      ls.map(_ + batchMs)
+    }.sorted
+    val exact = ExactLatency(trigLats.size,
+      pct(trigLats, 0.5), pct(trigLats, 0.95), pct(trigLats, 0.99),
+      pct(dlvLats, 0.5), pct(dlvLats, 0.95), pct(dlvLats, 0.99))
     Result(
       chunksPerSec = processed / wallSec, chunks = processed, wallSec = wallSec,
       rps = rps, batches = durations.size,
@@ -190,13 +275,15 @@ object StreamBench {
       steadyP99 = pct(steady, 0.99),
       gaps = Metrics.counter("live_chunk_gaps_total"),
       activeStreams = Metrics.activeLiveStreams,
-      shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions"),
+      // the width the STREAM's keyed stage actually ran at
+      shufflePartitions = statePartitions.toString,
       durable = durable,
       stateOps = stateLast.asScala.toSeq.sortBy(_._1).map { case (op, (rows, bytes)) =>
         val commits = stateCommits.asScala.collect { case (`op`, ms) => ms }.toSeq.sorted
         StateOpStats(op, rows, bytes, pct(commits, 0.5), pct(commits, 0.99))
       },
-      panels = panelVals, panelWindowMs = panelWindow, panelNowMs = panelNow)
+      panels = panelVals, panelWindowMs = panelWindow, panelNowMs = panelNow,
+      pipeline = pipeline, exactLatency = exact)
   }
 
   def main(args: Array[String]): Unit = {
@@ -218,9 +305,12 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val durable = sys.env.get("SPARK_GRAFT_DURABLE").contains("1")
-    val r = run(spark, seconds, rps, durable, warmupSec)
+    val pipeline = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPELINE", "live")
+    val r = run(spark, seconds, rps, durable, warmupSec, pipeline)
     val json =
-      s"""{"metric":"stream_throughput","chunks_per_sec":${"%.1f".format(r.chunksPerSec)},""" +
+      s"""{"metric":"stream_throughput","pipeline":"${r.pipeline}",""" +
+        s""""chunk_latency_exact":${r.exactLatency.json},""" +
+        s""""chunks_per_sec":${"%.1f".format(r.chunksPerSec)},""" +
         s""""chunks":${r.chunks},"wall_sec":${"%.1f".format(r.wallSec)},""" +
         s""""rows_per_sec_requested":${r.rps},""" +
         s""""batches":${r.batches},"batch_ms_p50":${r.p50},""" +

@@ -109,7 +109,10 @@ object StreamSources {
         sid.as("stream_id"),
         idx.as("chunk_index"),
         (idx + cumGap).as("sequence_number"),
-        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
+        // millisecond precision, like the reference producer's
+        // datetime.isoformat() (producer.py:289): truncating to whole
+        // seconds inflated every measured per-chunk latency by U(0,1) s
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
         (lit(500000L) + pmod(h, lit(1500000L))).as("size_bytes"),
         lit("live").as("stream_type"),
         lit("received").as("status"),
@@ -128,4 +131,50 @@ object StreamSources {
       spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSecond.toString).load(),
       nStreams, gapEvery)
+
+  /** Deterministic synthetic VOD-upload generator: the Kafka event the
+    * reference API publishes per uploaded chunk (api/main.py:275-291 —
+    * stream_id, chunk_index, timestamp, size_bytes, stream_type=vod,
+    * status=uploaded, checksum, duration_ms, resolution, title,
+    * keyframe_aligned, audio_track_id, raw_path), keyed on a stable hash
+    * like [[syntheticLiveEvents]] so every run generates the same stream.
+    * No sequence gaps: VOD uploads are client-acknowledged, the gap quirk
+    * is live-only (producer.py:269-281). */
+  def syntheticVodEvents(base: DataFrame, nStreams: Int = 2): DataFrame = {
+    val withTs =
+      if (base.columns.contains("timestamp")) base
+      else base.withColumn("timestamp", current_timestamp())
+    val v = col("value")
+    val sid = concat(lit("vod-"), pmod(v, lit(nStreams)).cast("string"))
+    val idx = (v / nStreams).cast("long")
+    val h = abs(xxhash64(sid, idx))
+    withTs.select(
+      to_json(struct(
+        sid.as("stream_id"),
+        idx.as("chunk_index"),
+        // millisecond precision, like the reference producer's
+        // datetime.isoformat() (producer.py:289): truncating to whole
+        // seconds inflated every measured per-chunk latency by U(0,1) s
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
+        (lit(8000000L) + pmod(h, lit(42000000L))).as("size_bytes"),
+        lit("vod").as("stream_type"),
+        lit("uploaded").as("status"),
+        md5(concat_ws(":", sid, idx.cast("string"))).as("checksum"),
+        (lit(4000L) + pmod(h, lit(4000L))).as("duration_ms"),
+        lit("1920x1080").as("resolution"),
+        lit(true).as("keyframe_aligned"),
+        concat(lit("audio-"), sid).as("audio_track_id"),
+        concat(lit("Match "), sid).as("title"),
+        concat(lit("vod-raw/"), sid, lit("/raw/"), idx.cast("string"), lit(".ts"))
+          .as("raw_path"))).as("value"),
+      col("timestamp").as("kafka_timestamp"))
+  }
+
+  /** Rate-source wiring for [[syntheticVodEvents]]. */
+  def syntheticVodSource(spark: SparkSession, rowsPerSecond: Int,
+      nStreams: Int = 2): DataFrame =
+    syntheticVodEvents(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load(),
+      nStreams)
 }
