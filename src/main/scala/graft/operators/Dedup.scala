@@ -94,13 +94,22 @@ object Dedup {
     * principle slip the occ>=8 filter) — callers whose CONTRACT promises
     * "at most cap members per bucket" (coEngagementEdges) opt into the
     * exact pass; the LSH/signature generators keep the probe (their cap is
-    * a performance guard, and their healthy-path cost matters). */
+    * a performance guard, and their healthy-path cost matters).
+    *
+    * `tiebreakers` completes the survivor order when `id` alone is not a
+    * key within a bucket (one doc contributing several rows — a doc
+    * repeating a shared gram in the gh-keyed frames): row_number over a
+    * non-total order makes WHICH rows survive the cap run-dependent.
+    * Callers whose frames can repeat ids per bucket pass the disambiguating
+    * columns (the gram frames pass `pos`); the banded LSH/signature/
+    * fingerprint frames are one-row-per-doc-per-bucket by construction. */
   private[operators] def capBuckets(
       banded: DataFrame,
       keys: Seq[String],
       cap: Int,
       opName: String,
-      exactGuard: Boolean = false): DataFrame = {
+      exactGuard: Boolean = false,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
     if (cap <= 0) return banded
     if (cap >= 64 && !exactGuard) {
       val f = 32.0 / cap
@@ -115,7 +124,8 @@ object Dedup {
     log.warn(s"$opName: bucket occupancy cap $cap dropped ${stats.droppedRows} " +
       s"banded rows across ${stats.cappedBuckets} degenerate buckets " +
       "(recall-only loss; run Dedup.exact first to collapse identical docs)")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(("id" +: tiebreakers).map(col): _*)
     banded.withColumn("occ_rank", row_number().over(w))
       .filter(col("occ_rank") <= cap)
       .drop("occ_rank")
@@ -845,21 +855,36 @@ object Dedup {
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select(col("gh"))
+    // The candidate frame is PERSISTED before the self-join (r15): both
+    // join sides referencing the un-materialized `cand` re-plan its whole
+    // subtree — the shared-hash aggregate (a full gh shuffle of the gram
+    // frame, the heaviest exchange here) and the prefilter join each ran
+    // TWICE (verified in the executed plan: two ShuffleQueryStages for the
+    // same min/max aggregate). Materializing cand runs each once; the
+    // cache holds only duplicated-gram rows (a tiny fraction of any real
+    // corpus, and cap-bounded on degenerate ones). At sf0.1 the A/B is a
+    // wash (3.74 vs 3.73 s min-of-3 — the duplicate aggregate hides inside
+    // host noise at fixture scale); the win is the structural one: one
+    // full-corpus-frame shuffle removed, which is what survives a 100x
+    // scale-up.
     val cand = capBuckets(grams.join(shared, Seq("gh")), Seq("gh"),
-      maxBucket, "exactSubstrSpans")
+      maxBucket, "exactSubstrSpans", tiebreakers = Seq("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = cand.as("a").join(cand.as("b"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
-    m.withColumn("run_id", col("pos_a") - row_number().over(w))
+    val spans = m.withColumn("run_id", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run_id"))
       .agg(min(col("pos_a")).as("start_a"), count(lit(1)).as("n_anchor"))
       .select(col("doc_a"), col("doc_b"), col("start_a"),
         (col("start_a") - col("diag")).as("start_b"),
         (col("n_anchor") + (L - 1)).as("span_len"))
-      .localCheckpoint(true) // eager: lets the gram cache release now
+      .localCheckpoint(true) // eager: lets the gram + cand caches release now
+    cand.unpersist(blocking = false)
+    spans
   }
 
   /** The positional L-gram hash frame behind [[exactSubstrSpans]]: one row
@@ -901,7 +926,8 @@ object Dedup {
       minLen: Int = 40,
       maxBucket: Int = 0): DataFrame = {
     val L = minLen
-    val idx = capBuckets(index, Seq("gh"), maxBucket, "exactSubstrSpansAgainstIndex")
+    val idx = capBuckets(index, Seq("gh"), maxBucket, "exactSubstrSpansAgainstIndex",
+      tiebreakers = Seq("pos"))
     val m = idx.as("i").join(probe.as("p"), col("i.gh") === col("p.gh"))
       .select(col("i.id").as("index_id"), col("p.id").as("probe_id"),
         col("i.pos").as("pos_i"), (col("i.pos") - col("p.pos")).as("diag"))
@@ -941,7 +967,10 @@ object Dedup {
     val rep = grams.groupBy(col("id"), col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("id"), col("gh"))
+    // persisted for the same reason as exactSubstrSpans' cand: both self-
+    // join sides would otherwise re-run the repeated-gram aggregate
     val cand = grams.join(rep, Seq("id", "gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = cand.as("a").join(cand.as("b"),
         col("a.id") === col("b.id") && col("a.gh") === col("b.gh") &&
           col("a.pos") < col("b.pos"))
@@ -956,6 +985,7 @@ object Dedup {
         (col("start_1") + col("diag")).as("start_2"),
         (col("n_anchor") + (L - 1)).as("span_len"))
       .localCheckpoint(true) // eager: lets grams be unpersisted before return
+    cand.unpersist(blocking = false)
     grams.unpersist(blocking = false)
     spans
   }

@@ -30,6 +30,56 @@ object Text extends QueryModule {
     "GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS " +
       "BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT"
 
+  /** q189's interior, exposed PRE-localCheckpoint so the
+    * single-materialization property is visible evidence, not an assertion
+    * (r14 verdict #3: the committed plan was the post-checkpoint
+    * `Scan ExistingRDD`, which cannot show it). TWO materialization
+    * points, mirroring `Dedup.exactSubstrSpansFromGrams` exactly (r15):
+    * the gram explode (read by the shared-hash aggregate and the
+    * prefilter join — Catalyst's InlineCTE would re-explode per consumer,
+    * the r14 1.6x), and the prefiltered CANDIDATE frame (read by both
+    * pair-join sides — an un-materialized candidate re-plans its whole
+    * subtree per side, running the gh-shuffle aggregate twice). Returns
+    * (caches-to-unpersist, span frame); the span plan must hold exactly
+    * two InMemoryTableScans (the candidate cache on both join sides) and
+    * zero Generate nodes. Callers own the lifecycle: the QueryDef eagerly
+    * checkpoints the spans then unpersists; PlanDump dumps the span plan
+    * as committed evidence; CatalogSpec pins the counts mechanically. */
+  private[graft] def sqlSubstrSpanParts(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    graft.GraftSql.registerTables(s, dir, Seq("documents"))
+    val grams = s.sql("""SELECT doc_id, pos,
+          xxhash64(substring(text, pos, 40)) AS gh
+        FROM (SELECT doc_id, text FROM documents_v
+              WHERE length(text) >= 40)
+        LATERAL VIEW explode(sequence(1, length(text) - 39)) t AS pos""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.createOrReplaceTempView("substr_grams_v")
+    val cand = s.sql("""SELECT g.* FROM substr_grams_v g
+        JOIN (SELECT gh FROM substr_grams_v
+              GROUP BY gh HAVING min(doc_id) <> max(doc_id)) s USING (gh)""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.createOrReplaceTempView("substr_cand_v")
+    val spans = s.sql("""WITH
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+          a.pos - b.pos AS diag
+        FROM substr_cand_v a JOIN substr_cand_v b
+          ON a.gh = b.gh AND a.doc_id < b.doc_id),
+      r AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+          pos_a - row_number() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+        FROM m)
+      SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+        CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+        CAST(count(*) + 39 AS BIGINT) AS span_len
+      FROM r GROUP BY doc_a, doc_b, diag, run_id
+      ORDER BY doc_a, doc_b, start_a, start_b""")
+    (Seq(grams, cand), spans)
+  }
+
   // DuckDB fragments mirroring TextFunctions
   private val wsSql = """string_split_regex(trim(text), '\s+')"""
   private val shinglesSql =
@@ -3146,45 +3196,22 @@ object Text extends QueryModule {
     // Scala operator returns (and plans the same shape — gram shuffle,
     // shared-hash prefilter, bounded per-pair window, no all-pairs).
     //
-    // The gram frame is MATERIALIZED as a persisted temp view before the
-    // span SQL runs (r13 verdict #2): Catalyst's InlineCTE expands a
-    // deterministic CTE into every consumer, so the 24-byte-per-character
-    // gram explode ran three times (shared-hash aggregate + both pair-join
-    // sides) and the SQL path cost 1.6x the operator. Registering the
-    // explode once mirrors `Dedup.exactSubstrSpans`' persist lifecycle
-    // exactly — the span construction itself stays pure SQL, and at 100 TB
-    // a 3x recompute of the corpus's every character is the difference
-    // that matters.
+    // The gram frame AND the prefiltered candidate frame are MATERIALIZED
+    // as persisted temp views before the span SQL runs (r13 verdict #2 +
+    // r15): Catalyst's InlineCTE expands a deterministic CTE into every
+    // consumer, so the 24-byte-per-character gram explode ran three times
+    // (1.6x), and an un-materialized candidate CTE re-plans the shared-
+    // hash aggregate into both pair-join sides (a second full gh shuffle
+    // of the gram frame). Registering each once mirrors
+    // `Dedup.exactSubstrSpansFromGrams`' persist lifecycle exactly — the
+    // span construction itself stays pure SQL, and at 100 TB a recompute
+    // of the corpus's every character is the difference that matters.
     QueryDef("q189_sql_substr_spans",
       (s, dir) => {
-        graft.GraftSql.registerTables(s, dir, Seq("documents"))
-        val grams = s.sql("""SELECT doc_id, pos,
-              xxhash64(substring(text, pos, 40)) AS gh
-            FROM (SELECT doc_id, text FROM documents_v
-                  WHERE length(text) >= 40)
-            LATERAL VIEW explode(sequence(1, length(text) - 39)) t AS pos""")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        grams.createOrReplaceTempView("substr_grams_v")
-        val out = s.sql("""WITH
-          s AS (SELECT gh FROM substr_grams_v
-                GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
-          c AS (SELECT g.* FROM substr_grams_v g JOIN s USING (gh)),
-          m AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
-              a.pos - b.pos AS diag
-            FROM c a JOIN c b ON a.gh = b.gh AND a.doc_id < b.doc_id),
-          r AS (
-            SELECT doc_a, doc_b, diag, pos_a,
-              pos_a - row_number() OVER (
-                PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
-            FROM m)
-          SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
-            CAST(min(pos_a) - diag AS BIGINT) AS start_b,
-            CAST(count(*) + 39 AS BIGINT) AS span_len
-          FROM r GROUP BY doc_a, doc_b, diag, run_id
-          ORDER BY doc_a, doc_b, start_a, start_b""")
-          .localCheckpoint(true) // eager: lets the gram cache release now
-        grams.unpersist(blocking = false)
+        val (caches, spans) = Text.sqlSubstrSpanParts(s, dir)
+        val out = spans
+          .localCheckpoint(true) // eager: lets the caches release now
+        caches.foreach(_.unpersist(blocking = false))
         out
       },
       Some("""WITH g AS (
@@ -3549,5 +3576,81 @@ object Reshape extends QueryModule {
           CAST(count(*) FILTER (WHERE occ > 24) AS BIGINT) AS capped_buckets,
           CAST(0 AS BIGINT) AS exactness_violations,
           true AS boilerplate_recall
-        FROM sh""")))
+        FROM sh""")),
+
+    // --------------------------------------------------------------- q196
+    // q195's `maxBucket` lever on the INCREMENTAL path (r14 verdict #6):
+    // the same boilerplate-degenerate shape arriving at INGEST time, where
+    // [[Dedup.exactSubstrSpansAgainstIndex]] joins a probe batch against a
+    // persisted gram index — an uncapped degenerate gram makes that join
+    // locally quadratic in exactly the way q195 pins for the batch
+    // self-join. Corpus split: even doc_ids are the historical index, odd
+    // the incoming batch; every third doc carries the license block, so
+    // the index holds boilerplate docs (id % 6 == 0) at per-gram occupancy
+    // ~n/6 >> cap and the probe brings more (id % 6 == 3). Pins, both SFs:
+    //   dropped_index_rows / capped_buckets — the index-side cap's drop
+    //     ledger (capBuckets caps EVERY index gh bucket — no >=2-doc
+    //     prefilter on this path), recomputed by DuckDB from gram STRINGS;
+    //   exactness_violations = 0 — every reported span verbatim-equal
+    //     between index and probe text (recall-only contract);
+    //   boilerplate_recall = true — kept index docs still pair with the
+    //     probe's boilerplate docs across the cap.
+    QueryDef("q196_capped_index_spans",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 24
+        val bp = Text.BoilerplateBlock
+        val docs = t(s, dir, "documents")
+        val synth = docs.select($"doc_id",
+          when($"doc_id" % 3 === 0, concat(lit(bp), lit(" "), $"text"))
+            .otherwise($"text").as("text"))
+        val ixDocs = synth.filter($"doc_id" % 2 === 0)
+        val pbDocs = synth.filter($"doc_id" % 2 =!= 0)
+        // ONE index-side gram explode serves the ledger audit, the cap's
+        // occupancy pass, and the join (q189/q195 lifecycle)
+        val ixGrams = Dedup.exactSubstrGrams(ixDocs, minLen = 40)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ledger = ixGrams.groupBy($"gh")
+          .agg(count(lit(1)).as("occ"))
+          .agg(
+            coalesce(sum(when($"occ" > cap, $"occ" - cap)), lit(0L))
+              .as("dropped_index_rows"),
+            count_if($"occ" > cap).as("capped_buckets"))
+        val spans = Dedup.exactSubstrSpansAgainstIndex(
+            ixGrams, Dedup.exactSubstrGrams(pbDocs, minLen = 40),
+            minLen = 40, maxBucket = cap)
+        val checked = spans
+          .join(synth.select($"doc_id".as("index_id"), $"text".as("ti")),
+            "index_id")
+          .join(synth.select($"doc_id".as("probe_id"), $"text".as("tp")),
+            "probe_id")
+          .select(
+            expr("substring(ti, CAST(start_i AS INT), CAST(span_len AS INT))")
+              .as("si"),
+            expr("substring(tp, CAST(start_p AS INT), CAST(span_len AS INT))")
+              .as("sp"))
+          .agg(count_if($"si" =!= $"sp").as("exactness_violations"),
+            (count_if($"si".contains(bp)) > 0L).as("boilerplate_recall"))
+        val out = ledger.crossJoin(checked)
+          .localCheckpoint(true) // eager: the ledger must read the cache
+        ixGrams.unpersist(blocking = false)
+        out
+      },
+      Some("""WITH synth AS (
+          SELECT doc_id, CASE WHEN doc_id % 3 = 0
+            THEN 'GRAFT STANDARD LICENSE HEADER DO NOT REMOVE THIS BLOCK IS IDENTICAL ACROSS EVERY EXPORTED DOCUMENT ' || text
+            ELSE text END AS text
+          FROM documents),
+        g AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 40) AS gram
+          FROM synth, unnest(range(1, length(text) - 40 + 2)) AS t(pos)
+          WHERE doc_id % 2 = 0),
+        occ AS (SELECT gram, count(*) AS occ FROM g GROUP BY gram)
+        SELECT
+          CAST(COALESCE(sum(CASE WHEN occ > 24 THEN occ - 24 END), 0)
+            AS BIGINT) AS dropped_index_rows,
+          CAST(count(*) FILTER (WHERE occ > 24) AS BIGINT) AS capped_buckets,
+          CAST(0 AS BIGINT) AS exactness_violations,
+          true AS boilerplate_recall
+        FROM occ""")))
 }

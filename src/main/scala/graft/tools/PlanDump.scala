@@ -165,13 +165,17 @@ object PlanDump {
         "and the Gumbel-top-k lowers to TakeOrderedAndProject — k rows " +
         "per partition cross the wire, never a global sort."),
     "q189_sql_substr_spans" ->
-      ("SQL-authored spans (r14 CTE-materialization fix): the gram " +
-        "explode appears ONCE as an InMemoryTableScan of the persisted " +
-        "temp view on all three consumers (shared-hash aggregate + both " +
-        "pair-join sides) — Catalyst's InlineCTE would otherwise expand " +
-        "the 24-byte-per-character explode into each, a measured 1.6x. " +
-        "Downstream shape identical to q184: Exchange on gh, bounded " +
-        "per-pair diagonal window, partial-aggregated extents."),
+      ("SQL-authored spans (r14 CTE-materialization fix, r15 candidate " +
+        "materialization): the gram explode and the shared-hash " +
+        "prefilter each run ONCE — the span plan's only leaves are TWO " +
+        "InMemoryTableScans of the persisted candidate view (both pair-" +
+        "join sides) and ZERO Generate nodes; InlineCTE would otherwise " +
+        "re-explode per consumer (the r14 1.6x) and re-run the gh-" +
+        "shuffle aggregate per join side (verified in the r14 executed " +
+        "plan: two ShuffleQueryStages for one aggregate). The plan below " +
+        "is the PRE-localCheckpoint interior (the committed query's own " +
+        "plan is the post-checkpoint Scan ExistingRDD, which cannot show " +
+        "this); CatalogSpec pins both counts mechanically."),
     "q194_whitened_ivfpq" ->
       ("Whitened IVF-PQ: the rotation is ONE broadcast-model " +
         "mapPartitions pass (no shuffle — the d x d basis rides the task " +
@@ -186,7 +190,15 @@ object PlanDump {
         "bounded per bucket) BETWEEN the shared-gram prefilter and the " +
         "pair join — so the join sees at most cap rows per bucket and " +
         "the quadratic blowup never materializes. The drop ledger is " +
-        "one partial-aggregated groupBy over the gram frame."))
+        "one partial-aggregated groupBy over the gram frame."),
+    "q196_capped_index_spans" ->
+      ("q195's cap on the INCREMENTAL path: the index-side gram frame is " +
+        "persisted once (InMemoryTableScan on the ledger aggregate, the " +
+        "cap's occupancy pass, and the probe join), the cap's row_number " +
+        "window (partitioned by gh) sits on the INDEX side only — the " +
+        "probe batch never pays it — and the probe x index join is a " +
+        "plain gh equi-join seeing at most cap index rows per bucket. " +
+        "No within-side pairs anywhere (the incremental contract)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -206,10 +218,17 @@ object PlanDump {
     sb.append(s"captured at sf0.001 with shuffle.partitions=8 (shapes, not sizes,\n")
     sb.append("are what carry to a 1000-executor cluster).\n")
     picks.foreach { case (name, why) =>
-      val q = byName(name)
-      val df = q.fn(spark, dir)
+      // q189's committed frame is post-localCheckpoint (Scan ExistingRDD) —
+      // dump its PRE-checkpoint interior instead, where the single-
+      // materialization evidence lives (r14 verdict #3)
+      val (df, cleanup): (org.apache.spark.sql.DataFrame, () => Unit) =
+        if (name == "q189_sql_substr_spans") {
+          val (caches, spans) = graft.queries.Text.sqlSubstrSpanParts(spark, dir)
+          (spans, () => { caches.foreach(_.unpersist(blocking = true)); () })
+        } else (byName(name).fn(spark, dir), () => ())
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      cleanup()
       sb.append(s"\n## $name\n\n")
       sb.append(s"**Must hold at scale:** $why\n\n")
       sb.append("```\n").append(plan.trim).append("\n```\n")

@@ -648,6 +648,22 @@ class DedupSpec extends SparkSpec {
     assert(stats === Dedup.BucketCapStats(droppedRows = 27, cappedBuckets = 9))
   }
 
+  test("capBuckets: pos tiebreaker makes survivors total-order deterministic " +
+      "when one doc repeats a gram in a bucket") {
+    // bucket 10 holds doc 1 twice (a doc repeating a shared gram) — an
+    // orderBy(id) alone leaves WHICH of the five rows survive cap=3 to
+    // shuffle order; with the pos tiebreaker the survivor set is pinned:
+    // (id, pos) ascending -> (1,5), (1,9), (2,3)
+    val rows = Seq((10L, 1L, 9L), (10L, 2L, 7L), (10L, 1L, 5L),
+        (10L, 2L, 3L), (10L, 3L, 1L))
+      .toDF("gh", "id", "pos").repartition(8) // shuffle-order noise
+    val got = (1 to 3).map { _ =>
+      Dedup.capBuckets(rows, Seq("gh"), 3, "spec", tiebreakers = Seq("pos"))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"))).toSet
+    }
+    got.foreach(s => assert(s === Set((1L, 5L), (1L, 9L), (2L, 3L))))
+  }
+
   test("exactSubstrSpans: minLen is a sharp threshold") {
     // docs 1-2 share exactly minLen chars (reported, exact length); docs
     // 1-3 share exactly minLen-1 (below threshold, absent). Boundary chars

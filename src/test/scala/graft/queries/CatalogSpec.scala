@@ -66,7 +66,10 @@ class CatalogSpec extends SparkSpec {
     "q194_whitened_ivfpq",
     // q195 cross-joins the ONE-ROW drop ledger with the ONE-ROW
     // exactness/recall aggregate (shape (a))
-    "q195_capped_substr_spans")
+    "q195_capped_substr_spans",
+    // q196 = q195's shape on the index path: ONE-ROW index drop ledger x
+    // ONE-ROW exactness/recall aggregate (shape (a))
+    "q196_capped_index_spans")
 
   for (q <- SparkEntry.catalog) {
     test(s"${q.name} executes on sf0.001 with rows > 0 and a scale-safe plan") {
@@ -82,6 +85,33 @@ class CatalogSpec extends SparkSpec {
             "set), add the query to deliberateBnlj with a justification")
       assert(df.count() > 0)
     }
+  }
+
+  test("q189 interior: the span plan reads ONLY the candidate cache " +
+      "(2 InMemoryTableScans, both pair-join sides) and re-runs neither " +
+      "the gram explode nor the shared-hash aggregate — the r14 1.6x " +
+      "CTE-inlining regression guard, pinned mechanically") {
+    val (caches, spans) = Text.sqlSubstrSpanParts(spark, sf0001)
+    try {
+      // walk the OPERATOR TREE, not its string form: an InMemoryTableScan
+      // leaf's toString renders the whole cached-build plan (explode
+      // included), so substring counting over-counts. sparkPlan is the
+      // pre-AQE physical tree (executedPlan wraps it in an
+      // AdaptiveSparkPlanExec whose input is not a `children` member).
+      val plan = spans.queryExecution.sparkPlan
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p.getClass.getSimpleName +: p.children.flatMap(nodes)
+      val names = nodes(plan)
+      assert(names.count(_ == "InMemoryTableScanExec") === 2,
+        s"expected the candidate cache on both pair-join sides, got:\n" +
+          names.mkString(" "))
+      assert(!names.contains("GenerateExec"),
+        s"gram explode inlined into the span plan:\n${names.mkString(" ")}")
+      assert(names.count(_.startsWith("HashAggregateExec")) <= 4,
+        // final+partial span extents only — a shared-hash min/max pair
+        // reappearing here would mean the prefilter re-planned per side
+        s"unexpected aggregates in the span plan:\n${names.mkString(" ")}")
+    } finally caches.foreach(_.unpersist(blocking = true))
   }
 
   test("AQE is on in the catalog session (runtime coalesce + skew-join at scale)") {
