@@ -84,6 +84,66 @@ object AnnTune {
         Similarity.ivfPqKnnJoin(rotEmb, rotQ, k, model = mdl, nProbe = 16, rerank = pool))
       println(f"ivfpq_rot m=$m%-2d nProbe=16 rerank=$pool%-3d recall=$r%.3f minSec=$t%.2f")
     }
+
+    // ---- anisotropic fixture (r14 verdict #5): the base embeddings are
+    // near-isotropic (eigen spread 0.011-0.021), so the rotation's win
+    // there is its FLOOR. Project the same vectors through a fixed
+    // non-axis-aligned skew — Householder mix (I - 2uu^T, u = 1/sqrt(d))
+    // composed with a per-dimension exponential decay (cond(cov) ~ 2.5e3)
+    // — so variance concentrates in directions that cross PQ's subspace
+    // boundaries, the regime OPQ-style rotation exists for. Deterministic
+    // (no RNG), exact truth recomputed on the projected vectors.
+    {
+      import org.apache.spark.sql.functions.{col => c}
+      val d = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+      val scales = Array.tabulate(d)(j => math.pow(0.94, j))
+      val u = 1.0 / math.sqrt(d.toDouble)
+      val skewW = Array.tabulate(d, d)((r, q) =>
+        ((if (r == q) 1.0 else 0.0) - 2.0 * u * u) * scales(q))
+      val skewModel = Similarity.WhiteningModel(
+        new Array[Double](d), skewW, scales.map(s => s * s))
+      val skewed = Similarity.whiten(emb, skewModel)
+        .select(c("vec_id"), c("whitened").cast("array<float>").as("embedding"))
+        .persist()
+      skewed.count()
+      val sq = skewed.filter(c("vec_id") < nQ)
+      val exactS = pairs(Similarity.knnJoin(skewed, sq, k))
+      def recallS(s: Set[(Long, Long)]): Double =
+        if (exactS.isEmpty) 0.0 else (s & exactS).size.toDouble / exactS.size
+      def timeS(mk: () => DataFrame): (Double, Double) = {
+        val r = recallS(pairs(mk()))
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (r, times.min)
+      }
+      val wmS = Similarity.fitWhitening(skewed)
+      println(f"skewed_fixture eigen_head=${wmS.eigenvalues.head}%.4g " +
+        f"eigen_tail=${wmS.eigenvalues.last}%.4g " +
+        f"spread=${wmS.eigenvalues.head / math.max(wmS.eigenvalues.last, 1e-300)}%.1f")
+      // rerank=128 is 6.4% of the sf0.1 fixture — the exact re-rank then
+      // absorbs most ADC error and recall saturates ~0.99 for ANY basis;
+      // the 32-pool point is where codebook quality actually discriminates
+      for (m <- Seq(8, 16); pool <- Seq(32, 128)) {
+        val mdl = Similarity.trainIvfPq(skewed, nCentroids = cells, m = m,
+          coarseIterations = 5)
+        val (r, t) = timeS(() =>
+          Similarity.ivfPqKnnJoin(skewed, sq, k, model = mdl, nProbe = 16,
+            rerank = pool))
+        println(f"skewed_ivfpq m=$m%-2d nProbe=16 rerank=$pool%-3d recall=$r%.3f minSec=$t%.2f")
+        val rotEmb = Similarity.rotateForAnn(skewed, wmS, m = m)
+        val rotQ = Similarity.rotateForAnn(sq, wmS, m = m)
+        val mdlR = Similarity.trainIvfPq(rotEmb, nCentroids = cells, m = m,
+          coarseIterations = 5)
+        val (rr, tr) = timeS(() =>
+          Similarity.ivfPqKnnJoin(rotEmb, rotQ, k, model = mdlR, nProbe = 16,
+            rerank = pool))
+        println(f"skewed_ivfpq_rot m=$m%-2d nProbe=16 rerank=$pool%-3d recall=$rr%.3f minSec=$tr%.2f")
+      }
+      skewed.unpersist()
+    }
     spark.stop()
   }
 }
