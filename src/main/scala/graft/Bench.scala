@@ -274,16 +274,25 @@ object Bench {
     // Historical per-query mins from the committed round-over-round record
     // (BENCH_SIDECAR.json at the repo root — regenerated by every full
     // official run, committed each round): the reference map for the
-    // history-aware gate. Absent/filtered sidecar -> empty map, gate off.
+    // history-aware gate. The gate reads the sidecar's `hist_best` map —
+    // the elementwise BEST-EVER min, re-merged by every full run — not the
+    // last run's `mins`: a single contended official run would otherwise
+    // poison the next round's reference with exactly the inflated values
+    // the gate exists to defend against (the committed r14 sidecar carries
+    // q88 at 4.07 s vs its true 0.93 s floor). `mins` is the fallback for
+    // a sidecar predating the field. Absent sidecar -> empty map, gate off.
+    def parseQueryMap(txt: String, key: String): Map[String, Double] =
+      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map { m =>
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
     def loadHistMins(path: String): Map[String, Double] =
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"mins":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
-          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
-        }.getOrElse(Map.empty)
+        val best = parseQueryMap(txt, "hist_best")
+        if (best.nonEmpty) best else parseQueryMap(txt, "mins")
       } catch { case _: Throwable => Map.empty }
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
       sys.props.getOrElse("user.dir", "."))
@@ -425,7 +434,7 @@ object Bench {
         s""","ob_policy":{"factor":$obFactor,"min_sec":$obMinSec,""" +
         s""""floor_k":$floorK,"floor_ref_ms":$floorRef,""" +
         s""""floor_ref_stat":"quick_min_of_3","hist_factor":$histFactor,""" +
-        s""""hist_queries":${histMins.size},""" +
+        s""""hist_queries":${histMins.size},"hist_stat":"best_ever",""" +
         s""""retries_used":$obTotal,"retries_max":$obMaxTotal,""" +
         s""""max_per_query":$obMaxPerQuery}"""
 
@@ -457,6 +466,18 @@ object Bench {
     val minsJson = results.map { case (k, _, raw) =>
       val ok = raw.filter(_ >= 0.0)
       "\"" + k + "\":" + (if (ok.isEmpty) "-1.0" else f"${ok.min}%.3f")
+    }.mkString("{", ",", "}")
+    // Best-ever per-query mins: this run's mins merged (elementwise min)
+    // into the loaded history — the self-maintaining reference the
+    // history-aware gate reads next round. Union-keyed so a temporarily
+    // filtered-out query keeps its record; retry times already in `raw`.
+    val runMins = results.flatMap { case (k, _, raw) =>
+      val ok = raw.filter(_ >= 0.0)
+      if (ok.isEmpty) None else Some(k -> ok.min)
+    }.toMap
+    val histBestJson = (histMins.keySet ++ runMins.keySet).toSeq.sorted.map { k =>
+      val v = (histMins.get(k).toSeq ++ runMins.get(k).toSeq).min
+      "\"" + k + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
     val totalMin = results
@@ -562,7 +583,8 @@ object Bench {
     //    count, stream/ann telemetry, and a *headline* subset of per-query
     //    medians, staying well under 1.5 KB at any catalog size.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""mins":$minsJson,"queries_stddev":$stddevJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$selfDefenseJson$filtered,"sf":"$sfDir"}"""
+      s""""mins":$minsJson,"hist_best":$histBestJson,""" +
+      s""""queries_stddev":$stddevJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$selfDefenseJson$filtered,"sf":"$sfDir"}"""
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
       "q44_lsh_knn", "q53_ivf_knn", "q72_full_pipeline", "q87_cms_heavy_hitters",
