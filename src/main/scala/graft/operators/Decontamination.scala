@@ -238,11 +238,18 @@ object Decontamination {
       evalDocs: DataFrame,
       minLen: Int = 40,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastIndex: Boolean = false): DataFrame = {
     val d = Dedup.exactSubstrGrams(docs, minLen, textCol, idCol)
       .select(col("id").as("__did"), col("gh"))
     val e = Dedup.exactSubstrGrams(evalDocs, minLen, textCol, idCol)
       .select(col("id").as("eval_id"), col("gh"))
-    d.join(e, Seq("gh")).select(col("__did").as(idCol), col("eval_id"))
+    // `broadcastIndex`: eval benchmark suites are small and FIXED-size
+    // (they don't grow with the corpus), so at ingest scale the right plan
+    // broadcasts the eval gram index and the 100 TB corpus side stays a
+    // map-only scan — gram projection feeding a BroadcastHashJoin, zero
+    // corpus-side exchange. Left false for corpus-sized eval sets.
+    val ej = if (broadcastIndex) org.apache.spark.sql.functions.broadcast(e) else e
+    d.join(ej, Seq("gh")).select(col("__did").as(idCol), col("eval_id"))
   }
 }

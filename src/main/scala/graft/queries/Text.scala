@@ -2460,6 +2460,47 @@ object Text extends QueryModule {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) e
         LEFT JOIN hh ON hh.id_b = e.doc_id ORDER BY e.doc_id""")),
 
+    // --------------------------------------------------------------- q197
+    // The VERBATIM-span decontamination gate (Decontamination.substrHits),
+    // previously spec-only: a (corpus doc, eval item) pair is contaminated
+    // iff they share a >= 40-char verbatim substring — detected by one
+    // positional 40-gram existence join, no diagonal-run pass (a shared
+    // span of length >= L exists iff an L-gram anchor matches). Eval items
+    // are synthesized as verbatim 120-char excerpts of every 97th document
+    // (the leakage shape: benchmark text lifted straight from the crawl),
+    // so each excerpt must at minimum hit its own source doc, and any doc
+    // sharing the excerpted passage also surfaces. The eval gram index is
+    // BROADCAST (benchmark suites are small and fixed-size; they don't
+    // grow with the corpus), so the corpus side is a map-only gram
+    // projection feeding a BroadcastHashJoin — zero corpus-side exchange,
+    // the plan shape that makes the gate viable per-ingest-batch at
+    // 100 TB. The oracle recomputes the join on gram STRINGS, so a hash
+    // collision or an off-by-one in the positional gram frame fails the
+    // compare loudly.
+    QueryDef("q197_substr_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val eval = docs
+          .filter($"doc_id" % 97 === 0 && length($"text") >= 130)
+          .select($"doc_id", substring($"text", 10, 120).as("text"))
+        Decontamination.substrHits(docs, eval, broadcastIndex = true)
+          .distinct()
+          .orderBy($"doc_id", $"eval_id")
+      },
+      Some("""WITH ev AS (
+          SELECT doc_id AS eval_id, substr(text, 10, 120) AS etext
+          FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 130),
+        eg AS (
+          SELECT DISTINCT eval_id, substr(etext, CAST(pos AS INT), 40) AS gram
+          FROM ev, unnest(range(1, length(etext) - 40 + 2)) AS t(pos)),
+        cg AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(pos AS INT), 40) AS gram
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(pos))
+        SELECT DISTINCT cg.doc_id, eg.eval_id
+        FROM cg JOIN eg USING (gram)
+        ORDER BY doc_id, eval_id""")),
+
     // --------------------------------------------------------------- q115
     // Near-dup-aware eval split: q107 audits EXACT-dup leakage; this closes
     // the remaining hole — near-duplicates straddling train/val. The split

@@ -198,7 +198,16 @@ object PlanDump {
         "window (partitioned by gh) sits on the INDEX side only — the " +
         "probe batch never pays it — and the probe x index join is a " +
         "plain gh equi-join seeing at most cap index rows per bucket. " +
-        "No within-side pairs anywhere (the incremental contract)."))
+        "No within-side pairs anywhere (the incremental contract)."),
+    "q197_substr_decontamination" ->
+      ("Verbatim-span decontamination gate: the eval gram index is " +
+        "BROADCAST (benchmark suites are small and fixed-size), so the " +
+        "corpus side is a map-only gram projection feeding a " +
+        "BroadcastHashJoin — the corpus' only Exchange is the small " +
+        "matched-pair distinct AFTER the join, never the gram frame " +
+        "itself. The existence test needs no diagonal-run window (a " +
+        "shared >= L span exists iff an L-gram anchor matches), which is " +
+        "what makes the gate stateless-streaming-safe per ingest batch."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

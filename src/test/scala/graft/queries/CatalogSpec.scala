@@ -114,6 +114,35 @@ class CatalogSpec extends SparkSpec {
     } finally caches.foreach(_.unpersist(blocking = true))
   }
 
+  test("q197 gate plan: the eval gram index broadcasts and the corpus side " +
+      "is a map-only gram projection — no exchange of any kind below the " +
+      "join (the property that makes the gate viable per-ingest-batch at " +
+      "100 TB)") {
+    val df = SparkEntry.queries("q197_substr_decontamination")(spark, sf0001)
+    // pre-AQE tree (the broadcast is planned statically via broadcast())
+    val plan = df.queryExecution.sparkPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val bhj = nodes(plan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"expected a BroadcastHashJoin:\n$plan")
+    // pre-AQE, exchanges aren't inserted yet — the streamed side is the
+    // child OPPOSITE the join's declared buildSide
+    val streamedSide = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.left
+    }
+    val streamedNames = nodes(streamedSide).map(_.getClass.getSimpleName)
+    assert(!streamedNames.exists(_.contains("Exchange")),
+      s"corpus side must reach the join map-only, got:\n" +
+        streamedNames.mkString(" "))
+    assert(streamedNames.contains("GenerateExec"),
+      s"corpus gram projection missing below the join:\n" +
+        streamedNames.mkString(" "))
+  }
+
   test("AQE is on in the catalog session (runtime coalesce + skew-join at scale)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
