@@ -135,6 +135,22 @@ object ScaleRamp {
       "substr_spans_cap24" ->
         (d => Dedup.exactSubstrSpans(d, minLen = 40, maxBucket = 24))))
 
+    // The broadcast decontamination gate (q197's shape): the eval gram
+    // index is FIXED (benchmark suites don't grow with the corpus) while
+    // the corpus axis scales — the gate is a map-only gram projection
+    // into a BroadcastHashJoin, so the exponent should read the linear
+    // corpus scan, independent of the eval side. Excerpts come from the
+    // BASE fixture; scaledDocs' per-copy token markers break cross-copy
+    // 40-char runs, so hit cardinality stays pinned to copy 0.
+    val evalSet = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 === 0 && length(col("text")) >= 130)
+      .select(col("doc_id"), substring(col("text"), 10, 120).as("text"))
+      .localCheckpoint(true)
+    ramp("decontam", scaledDocs(spark, sfDir, _), Seq(
+      "substr_gate_bcast" -> (d =>
+        graft.operators.Decontamination.substrHits(d, evalSet,
+          broadcastIndex = true).distinct())))
+
     // Fixed 256-query probe set from the base fixture: the scaled axis is
     // the CORPUS (index build + candidate generation); query fan-out is a
     // constant multiplier and stays pinned so exponents read corpus growth.
