@@ -990,6 +990,31 @@ object Dedup {
     spans
   }
 
+  /** Map-side existence test for an internal verbatim repeat: TRUE iff some
+    * minLen-gram occurs at two positions of `text` — [[selfRepeatSpans]]'s
+    * IFF without the extents. All the evidence lives inside the single row
+    * (a doc's grams are substrings of its own text), so this is a pure
+    * projection — transform + array_distinct over the row's own gram
+    * hashes, zero shuffle — where the grouped-count form shuffles ~one row
+    * per distinct (doc, gram), i.e. the corpus's whole character mass, to
+    * answer a per-doc boolean. At 100 TB that is the difference between a
+    * map-only scan and the heaviest exchange in the job. Same hash space
+    * as [[exactSubstrGrams]] (xxhash64 of the positional gram), so
+    * collision behavior matches the frame-based operators; transient
+    * per-row memory is 8 bytes per character (the long hash array). Docs
+    * shorter than minLen+1 chars have at most one gram and return false
+    * (the when-guard also keeps `sequence` from its descending-range
+    * form on negative spans). */
+  def hasInternalRepeat(
+      text: org.apache.spark.sql.Column,
+      minLen: Int = 20): org.apache.spark.sql.Column = {
+    val n = length(text) - (minLen - 1)
+    when(n > 1,
+      size(array_distinct(transform(sequence(lit(1), n),
+        i => xxhash64(substring(text, i, lit(minLen)))))) < n)
+      .otherwise(lit(false))
+  }
+
   /** Per-document duplicated-character coverage from EXACT shared spans —
     * the decision layer over [[exactSubstrSpans]]: how much of each doc is
     * verbatim-shared with some other doc, the number a Lee-et-al-style

@@ -3357,14 +3357,16 @@ object Text extends QueryModule {
             .otherwise(0.0) < 0.5)
           .select($"doc_id", $"text")
         // existence only: a >=20-char internal repeat exists IFF some
-        // 20-gram hash occurs twice in the doc (the substrHits iff) — one
-        // grouped count, no self-join, no window (vs running the full
-        // selfRepeatSpans extents pass: measured ~2x this stage's cost)
-        val selfRep = Dedup.exactSubstrGrams(docs, minLen = 20)
-          .groupBy($"id", $"gh").agg(count(lit(1)).as("c"))
-          .filter($"c" > 1)
-          .select($"id".as("doc_id")).distinct()
-        val s3 = s2.join(selfRep, Seq("doc_id"), "left_anti")
+        // 20-gram hash occurs twice in the doc (the substrHits iff) — and
+        // all the evidence is inside the row, so the test is a MAP-SIDE
+        // projection (Dedup.hasInternalRepeat: transform + array_distinct
+        // over the row's own gram hashes). The r14 form shuffled the full
+        // 20-gram frame through a grouped count + anti-join — the corpus's
+        // whole character mass exchanged to answer a per-doc boolean — and
+        // it ran over ALL docs; the filter now touches only stage-2
+        // survivors. (Running full selfRepeatSpans extents: ~2x even the
+        // grouped form.)
+        val s3 = s2.filter(!Dedup.hasInternalRepeat($"text", 20))
         val s4 = s3.filter(TextFunctions.tokenCount($"text") >= 30L)
         def cnt(df: org.apache.spark.sql.DataFrame, id: Int, name: String) =
           df.agg(count(lit(1)).as("n_docs"))

@@ -697,6 +697,38 @@ class DedupSpec extends SparkSpec {
     assert(got === (periodic + ((1L, 6L, 32L, 22L))))
   }
 
+  test("hasInternalRepeat: map-side existence agrees with the grouped gram " +
+      "frame AND with brute-force substring scanning, incl. length edges") {
+    val rnd = new scala.util.Random(29)
+    val alpha = "abc"
+    val L = 8
+    val texts = (1L to 40L).map { i =>
+      // mixed lengths straddling the L and L+1 edges plus random bodies
+      // over a 3-char alphabet (dense accidental repeats)
+      val len = (i % 7) match {
+        case 0 => L - 1 // too short for any gram
+        case 1 => L     // exactly one gram
+        case _ => 20 + rnd.nextInt(40)
+      }
+      i -> Seq.fill(len.toInt)(alpha(rnd.nextInt(3))).mkString
+    }.toMap
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", Dedup.hasInternalRepeat($"text", L).as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // reference 1: brute force over the raw strings
+    val brute = texts.map { case (id, t) =>
+      val grams = t.sliding(L).toSeq
+      id -> (grams.size != grams.distinct.size)
+    }
+    assert(got === brute)
+    // reference 2: the shuffling grouped-count form this replaces
+    val grouped = Dedup.exactSubstrGrams(docs, minLen = L)
+      .groupBy($"id", $"gh").count().filter($"count" > 1)
+      .select($"id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2).keySet === grouped)
+  }
+
   test("exactSubstrSpans: matches a brute-force reference on a random corpus") {
     // 12 docs over a 4-char alphabet (forces heavy accidental overlap);
     // the reference enumerates ALL maximal shared spans by direct diagonal
