@@ -1492,13 +1492,20 @@ object Text extends QueryModule {
         import s.implicits._
         val docs = t(s, dir, "documents")
         val assets = Multimodal.assetize(docs)
+        // ONE pass over each modality's pair frame: the r14 form consumed
+        // `pairs` three times (count + both sides of a union-distinct), so
+        // the decode + fingerprint + banded-join subtree behind it
+        // EXECUTED three times per modality — the q189 multiple-consumer
+        // lesson, here solved by folding all three figures into a single
+        // aggregate over the endpoint explode (2 rows per pair: count/2 =
+        // pairs, distinct endpoints = assets_in_dups).
         def stats(modality: String, n: org.apache.spark.sql.DataFrame,
             pairs: org.apache.spark.sql.DataFrame, a: String, b: String) =
           n.agg(count(lit(1)).as("n_assets"))
-            .crossJoin(pairs.agg(count(lit(1)).as("dup_pairs")))
-            .crossJoin(pairs.select(col(a).as("x"))
-              .union(pairs.select(col(b).as("x"))).distinct()
-              .agg(count(lit(1)).as("assets_in_dups")))
+            .crossJoin(pairs
+              .select(explode(array(col(a), col(b))).as("x"))
+              .agg((count(lit(1)) / 2).cast("long").as("dup_pairs"),
+                count_distinct($"x").as("assets_in_dups")))
             .select(lit(modality).as("modality"), $"n_assets",
               $"dup_pairs", $"assets_in_dups")
         val text = Dedup.exact(docs).agg(
