@@ -3353,36 +3353,41 @@ object Text extends QueryModule {
           .withColumn("inc", greatest(lit(0L),
             $"e" - greatest($"s", coalesce($"pm", lit(0L)))))
           .groupBy($"id").agg(sum($"inc").as("covered"))
-        val s2 = docs.select($"doc_id", $"text",
+        // The whole ledger is ONE pass: each doc gets cumulative pass
+        // flags (coverage gate; AND map-side internal-repeat test — r15,
+        // Dedup.hasInternalRepeat: the r14 form shuffled the full 20-gram
+        // frame through a grouped count + anti-join to answer a per-doc
+        // boolean; AND token floor), and all four stage counts come from
+        // one conditional aggregate. The r14 form unioned four per-stage
+        // counts, re-executing the coverage join three times and the
+        // repeat filter twice. Empty text = zero coverage = kept (0.0/0
+        // is NaN, which would silently EXCLUDE here while the oracle's
+        // CASE keeps) — mirror exactSubstrCoverage's otherwise(0.0)
+        // branch on both engines.
+        val flagged = docs.select($"doc_id", $"text",
             length($"text").cast("long").as("len"))
           .join(cov.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          // empty text = zero coverage = kept (0.0/0 is NaN, which would
-          // silently EXCLUDE here while the oracle's CASE keeps) — mirror
-          // exactSubstrCoverage's otherwise(0.0) branch on both engines
-          .filter(when($"len" > 0,
+          .withColumn("pass_cov", when($"len" > 0,
               round(coalesce($"covered", lit(0L)).cast("double") / $"len", 6))
             .otherwise(0.0) < 0.5)
-          .select($"doc_id", $"text")
-        // existence only: a >=20-char internal repeat exists IFF some
-        // 20-gram hash occurs twice in the doc (the substrHits iff) — and
-        // all the evidence is inside the row, so the test is a MAP-SIDE
-        // projection (Dedup.hasInternalRepeat: transform + array_distinct
-        // over the row's own gram hashes). The r14 form shuffled the full
-        // 20-gram frame through a grouped count + anti-join — the corpus's
-        // whole character mass exchanged to answer a per-doc boolean — and
-        // it ran over ALL docs; the filter now touches only stage-2
-        // survivors. (Running full selfRepeatSpans extents: ~2x even the
-        // grouped form.)
-        val s3 = s2.filter(!Dedup.hasInternalRepeat($"text", 20))
-        val s4 = s3.filter(TextFunctions.tokenCount($"text") >= 30L)
-        def cnt(df: org.apache.spark.sql.DataFrame, id: Int, name: String) =
-          df.agg(count(lit(1)).as("n_docs"))
-            .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
-              $"n_docs")
-        cnt(docs, 1, "corpus")
-          .unionByName(cnt(s2, 2, "dedup_vs_earlier"))
-          .unionByName(cnt(s3, 3, "no_self_repetition"))
-          .unionByName(cnt(s4, 4, "min_30_tokens"))
+          .withColumn("pass_rep",
+            $"pass_cov" && !Dedup.hasInternalRepeat($"text", 20))
+          .withColumn("pass_tok",
+            $"pass_rep" && TextFunctions.tokenCount($"text") >= 30L)
+        flagged.agg(count(lit(1)).as("n1"),
+            count_if($"pass_cov").as("n2"),
+            count_if($"pass_rep").as("n3"),
+            count_if($"pass_tok").as("n4"))
+          .select(explode(array(
+            struct(lit(1L).as("stage_id"), lit("corpus").as("stage"),
+              $"n1".as("n_docs")),
+            struct(lit(2L).as("stage_id"), lit("dedup_vs_earlier").as("stage"),
+              $"n2".as("n_docs")),
+            struct(lit(3L).as("stage_id"), lit("no_self_repetition").as("stage"),
+              $"n3".as("n_docs")),
+            struct(lit(4L).as("stage_id"), lit("min_30_tokens").as("stage"),
+              $"n4".as("n_docs")))).as("s"))
+          .select($"s.stage_id", $"s.stage", $"s.n_docs")
           .orderBy($"stage_id")
       },
       Some("""WITH g AS (
