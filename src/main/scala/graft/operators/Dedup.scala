@@ -1004,15 +1004,70 @@ object Dedup {
     * per-row memory is 8 bytes per character (the long hash array). Docs
     * shorter than minLen+1 chars have at most one gram and return false
     * (the when-guard also keeps `sequence` from its descending-range
-    * form on negative spans). */
+    * form on negative spans).
+    *
+    * Memory guard: that 8-bytes-per-character transient concentrates on
+    * ONE task, so a single pathological multi-hundred-MB document would
+    * pin gigabyte-scale memory on one executor. Docs longer than
+    * `maxInlineChars` (default 4M chars = a 32 MB hash array, generous for
+    * any web document) return NULL — the caller routes them through
+    * [[internalRepeatOverflow]], whose memory spreads across a shuffle,
+    * and coalesces the two columns (Coalesce short-circuits, so the inline
+    * array is never built for a row the overflow side answered). */
   def hasInternalRepeat(
       text: org.apache.spark.sql.Column,
-      minLen: Int = 20): org.apache.spark.sql.Column = {
+      minLen: Int = 20,
+      maxInlineChars: Int = DefaultMaxInlineRepeatChars): org.apache.spark.sql.Column = {
     val n = length(text) - (minLen - 1)
-    when(n > 1,
-      size(array_distinct(transform(sequence(lit(1), n),
-        i => xxhash64(substring(text, i, lit(minLen)))))) < n)
+    when(n > maxInlineChars, lit(null).cast("boolean"))
+      .when(n > 1,
+        size(array_distinct(transform(sequence(lit(1), n),
+          i => xxhash64(substring(text, i, lit(minLen)))))) < n)
       .otherwise(lit(false))
+  }
+
+  /** The inline-vs-overflow split point for [[hasInternalRepeat]]: 4M
+    * chars ~ 32 MB of transient hash array per task. */
+  val DefaultMaxInlineRepeatChars: Int = 4 * 1024 * 1024
+
+  /** The shuffle-side complement of [[hasInternalRepeat]] for documents
+    * past its inline cutoff: (idCol, has_repeat) for every doc whose text
+    * exceeds `maxInlineChars`. Returns an EMPTY frame on any non-pathological
+    * corpus — broadcast-left-join it and coalesce with the inline column,
+    * so the common path stays a map-only projection and only the rare
+    * giant pays a shuffle.
+    *
+    * Bounded memory: the doc is cut into `segLen`-stride slices (each
+    * slice carries minLen-1 extra chars so every gram start position lands
+    * in exactly one slice — no double-count, no gap), slices explode to
+    * rows BEFORE gram hashing, so per-task transient memory is O(segLen),
+    * not O(doc). Repeats that span different slices still collapse in the
+    * per-(doc, gram-hash) count, which is global across slices. */
+  def internalRepeatOverflow(
+      docs: DataFrame,
+      minLen: Int = 20,
+      maxInlineChars: Int = DefaultMaxInlineRepeatChars,
+      segLen: Int = 1024 * 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val txt = col(textCol)
+    val n = length(txt) - (minLen - 1) // gram start positions: 1..n
+    docs.filter(n > maxInlineChars)
+      .select(col(idCol), txt.as("_t"), n.cast("int").as("_n"))
+      // slice s covers gram starts [s*segLen+1, (s+1)*segLen]; floor() on
+      // the division — plain `/` on ints is double division in Spark SQL
+      .select(col(idCol), col("_t"), col("_n"),
+        explode(sequence(lit(0),
+          floor((col("_n") - 1) / lit(segLen)).cast("int"))).as("_s"))
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1),
+            least(lit(segLen),
+              col("_n") - col("_s") * lit(segLen)).cast("int")),
+          i => xxhash64(substring(col("_t"),
+            col("_s") * lit(segLen) + i, lit(minLen))))).as("_gh"))
+      .groupBy(col(idCol), col("_gh")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c") > 1).as("has_repeat"))
   }
 
   /** Per-document duplicated-character coverage from EXACT shared spans —

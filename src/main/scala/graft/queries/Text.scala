@@ -1499,6 +1499,13 @@ object Text extends QueryModule {
         // lesson, here solved by folding all three figures into a single
         // aggregate over the endpoint explode (2 rows per pair: count/2 =
         // pairs, distinct endpoints = assets_in_dups).
+        // count_distinct ignores NULLs where the r14 union().distinct()
+        // counted a null endpoint as a row — equivalent here because pair
+        // endpoints are non-null BY CONSTRUCTION: both ids descend from
+        // documents.doc_id (the generator's non-null key) and every pair
+        // generator (signatureHammingPairs' band equi-join, the video
+        // frame-alignment join) emits its id columns from rows that
+        // survived an equi-join on id-derived keys.
         def stats(modality: String, n: org.apache.spark.sql.DataFrame,
             pairs: org.apache.spark.sql.DataFrame, a: String, b: String) =
           n.agg(count(lit(1)).as("n_assets"))
@@ -3364,14 +3371,24 @@ object Text extends QueryModule {
         // is NaN, which would silently EXCLUDE here while the oracle's
         // CASE keeps) — mirror exactSubstrCoverage's otherwise(0.0)
         // branch on both engines.
+        // Pathological-length defense (r15 advice): hasInternalRepeat
+        // answers docs up to its inline cutoff (4M chars) as a map-side
+        // projection and returns null past it; the rare giants come from
+        // the broadcast overflow frame (empty on any real corpus — the
+        // big side stays exchange-free) and Coalesce's short-circuit means
+        // the inline hash array is never built for a row the overflow
+        // side answered.
+        val overflowRep = Dedup.internalRepeatOverflow(docs, minLen = 20)
+          .withColumnRenamed("has_repeat", "rep_overflow")
         val flagged = docs.select($"doc_id", $"text",
             length($"text").cast("long").as("len"))
           .join(cov.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .join(broadcast(overflowRep), Seq("doc_id"), "left")
           .withColumn("pass_cov", when($"len" > 0,
               round(coalesce($"covered", lit(0L)).cast("double") / $"len", 6))
             .otherwise(0.0) < 0.5)
-          .withColumn("pass_rep",
-            $"pass_cov" && !Dedup.hasInternalRepeat($"text", 20))
+          .withColumn("pass_rep", $"pass_cov" &&
+            !coalesce($"rep_overflow", Dedup.hasInternalRepeat($"text", 20)))
           .withColumn("pass_tok",
             $"pass_rep" && TextFunctions.tokenCount($"text") >= 30L)
         flagged.agg(count(lit(1)).as("n1"),

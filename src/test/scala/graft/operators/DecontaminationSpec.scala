@@ -224,6 +224,18 @@ class DecontaminationSpec extends SparkSpec {
         "hits across micro-batches; minLen boundary enforced")
       assert(q.lastProgress.stateOperators.isEmpty,
         "substrHits must not create streaming state")
+      // stream == batch (r15 verdict #6): the streamed verdicts over all
+      // micro-batches must equal one batch substrHits run over the union
+      // of everything streamed — the statelessness claim is exactly that
+      // batch re-partitioning into micro-batches cannot change the answer.
+      val allStreamed = Seq(
+        (1L, "a" * 10 + "EVAL_SPAN_12" + "b" * 10), (3L, "clean"),
+        (2L, "c" * 10 + "EVAL_SPAN_1" + "d" * 10),
+        (5L, "zzz" + "EVAL_SPAN_12")).toDF("doc_id", "text")
+      val batchGot = Decontamination.substrHits(allStreamed, spanEval,
+          minLen = 12).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchGot, "stream verdicts == batch substrHits verdicts")
     } finally q.stop()
   }
 }

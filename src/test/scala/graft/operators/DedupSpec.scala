@@ -729,6 +729,63 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(_._2).keySet === grouped)
   }
 
+  test("hasInternalRepeat overflow split: docs past the inline cutoff go " +
+      "null inline, the segmented overflow path answers them (repeats " +
+      "spanning slice boundaries included), and the coalesce wiring " +
+      "reproduces brute force over the whole corpus") {
+    val L = 8
+    val cutoff = 40  // grams past this count go to the overflow path
+    val segLen = 16  // slices far smaller than the docs: boundary coverage
+    // long docs (gram count > cutoff): one with its ONLY repeat pair
+    // straddling a slice boundary (positions chosen so the two copies land
+    // in different 16-gram slices), one with no repeat at all (distinct
+    // chars), plus short docs that stay inline
+    val longRep = ('a' to 'z').mkString + "REPEATXY" +
+      ('A' to 'Z').mkString + "REPEATXY" + "0123456789"
+    val longNoRep = (0 until 90).map(i => (33 + (i * 7 + i / 13) % 90).toChar)
+      .mkString.zipWithIndex.map { case (c, i) => ((c + i) % 94 + 33).toChar }
+      .mkString
+    val texts = Map(
+      1L -> longRep,
+      2L -> "abcdefgh" * 12, // long AND periodic: repeats inside slices too
+      3L -> (longNoRep.take(60) + longNoRep.drop(60)), // long, likely no repeat
+      4L -> "shortshort", // inline: repeat iff L-gram repeats (it doesn't at L=8)
+      5L -> "xyxyxyxyxyxyxyxyxyxy") // inline with repeats
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val brute = texts.map { case (id, t) =>
+      val grams = t.sliding(L).toSeq
+      id -> (grams.size != grams.distinct.size)
+    }
+    // (a) inline column: null exactly where gram count > cutoff
+    val inline = docs.select($"doc_id",
+        Dedup.hasInternalRepeat($"text", L, maxInlineChars = cutoff).as("rep"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    texts.foreach { case (id, t) =>
+      val nGrams = t.length - (L - 1)
+      assert(inline(id).isEmpty === (nGrams > cutoff),
+        s"doc $id: inline null iff overflow (grams=$nGrams)")
+      inline(id).foreach(v => assert(v === brute(id), s"doc $id inline"))
+    }
+    // (b) overflow frame: exactly the long docs, brute-force-correct
+    val over = Dedup.internalRepeatOverflow(docs, minLen = L,
+        maxInlineChars = cutoff, segLen = segLen)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(over.keySet === texts.keySet.filter(id =>
+      texts(id).length - (L - 1) > cutoff))
+    over.foreach { case (id, v) => assert(v === brute(id), s"doc $id overflow") }
+    // (c) the q191 wiring: broadcast-left-join + coalesce == brute force
+    val wired = docs
+      .join(broadcast(Dedup.internalRepeatOverflow(docs, minLen = L,
+        maxInlineChars = cutoff, segLen = segLen)
+        .withColumnRenamed("has_repeat", "rep_overflow")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"rep_overflow",
+        Dedup.hasInternalRepeat($"text", L, maxInlineChars = cutoff)).as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(wired === brute)
+  }
+
   test("exactSubstrSpans: matches a brute-force reference on a random corpus") {
     // 12 docs over a 4-char alphabet (forces heavy accidental overlap);
     // the reference enumerates ALL maximal shared spans by direct diagonal
