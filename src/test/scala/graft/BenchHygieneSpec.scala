@@ -72,4 +72,48 @@ class BenchHygieneSpec extends SparkSpec {
     val c2 = Dedup.nearDupClusters(pairs) // fresh build, as Bench does
     assert(c2.count() == 2)
   }
+
+  test("the round report's Numbers block is byte-identical to what " +
+      "ReportNumbers derives from the committed artifact") {
+    // r15: REPORT quoted one run's 2,323 ms exact p99 over a committed
+    // artifact that said 2,215 ms. The report's headline numbers are now
+    // GENERATED (graft.tools.ReportNumbers) from BENCH_SIDECAR.json and
+    // embedded between markers; this pins that the newest REPORT_r*.md's
+    // embedded block re-derives exactly from the committed sidecar. Skips
+    // (vacuously passes) while the round's report or sidecar doesn't exist
+    // yet — the round workflow runs the suite once more after writing both.
+    import graft.tools.ReportNumbers
+    val root = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO",
+        sys.props.getOrElse("user.dir", ".")))
+    val reports = java.nio.file.Files.list(root).iterator()
+    var newest: Option[(Int, java.nio.file.Path)] = None
+    while (reports.hasNext) {
+      val p = reports.next()
+      "REPORT_r(\\d+)\\.md".r.findFirstMatchIn(p.getFileName.toString)
+        .foreach { m =>
+          val n = m.group(1).toInt
+          if (newest.forall(_._1 < n)) newest = Some((n, p))
+        }
+    }
+    val sidecarPath = root.resolve("BENCH_SIDECAR.json")
+    newest.filter(_ => java.nio.file.Files.exists(sidecarPath)).foreach {
+      case (_, reportPath) =>
+        def read(p: java.nio.file.Path) = new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val report = read(reportPath)
+        // only reports that carry the block are checked (older rounds'
+        // reports predate the mechanism and are historical records)
+        if (report.contains(ReportNumbers.BeginMarker)) {
+          val embedded = report.substring(
+            report.indexOf(ReportNumbers.BeginMarker),
+            report.indexOf(ReportNumbers.EndMarker) +
+              ReportNumbers.EndMarker.length)
+          assert(embedded === ReportNumbers.block(read(sidecarPath)),
+            s"$reportPath Numbers block != derived from $sidecarPath — " +
+              "regenerate with `runMain graft.tools.ReportNumbers`")
+        }
+    }
+  }
 }
