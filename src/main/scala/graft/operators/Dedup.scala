@@ -902,12 +902,19 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val L = minLen
+    // Gram hashing is the native CharGramHashes kernel (one byte walk per
+    // doc, codegen, bit-identical to xxhash64(substring(t, pos, L))): the
+    // former explode(sequence) + per-gram substring form paid
+    // UTF8String.substring's O(position) char-boundary walk for EVERY gram
+    // — O(chars²) bytes touched per doc. posexplode's 0-based index maps
+    // to the same 1-based pos. Transient memory is the 8 B/char hash array
+    // per row (the r13 scale-ramp's ~24 B/char gram-frame budget already
+    // dominates it).
     docs.filter(length(col(textCol)) >= L)
       .select(col(idCol).cast("long").as("id"),
-        explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
-        col(textCol).as("t"))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        xxhash64(expr(s"substring(t, pos, $L)")).as("gh"))
+        posexplode(ArrayExpressions.charGramHashes(col(textCol), L)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gh"))
   }
 
   /** Cross-side exact-substring spans: every maximal verbatim >=minLen-char
@@ -1019,10 +1026,15 @@ object Dedup {
       minLen: Int = 20,
       maxInlineChars: Int = DefaultMaxInlineRepeatChars): org.apache.spark.sql.Column = {
     val n = length(text) - (minLen - 1)
+    // gram hashing rides the native CharGramHashes kernel (one byte walk,
+    // codegen, bit-identical to xxhash64(substring(...))): the former
+    // transform(sequence, i -> xxhash64(substring(text, i, L))) form paid
+    // UTF8String.substring's O(position) char-boundary walk PER GRAM —
+    // O(n^2) bytes touched per doc, invisible on 300-char fixture rows and
+    // ruinous at the inline cutoff (a 4M-char doc would walk ~10^13 bytes)
     when(n > maxInlineChars, lit(null).cast("boolean"))
       .when(n > 1,
-        size(array_distinct(transform(sequence(lit(1), n),
-          i => xxhash64(substring(text, i, lit(minLen)))))) < n)
+        size(array_distinct(ArrayExpressions.charGramHashes(text, minLen))) < n)
       .otherwise(lit(false))
   }
 
@@ -1037,12 +1049,16 @@ object Dedup {
     * so the common path stays a map-only projection and only the rare
     * giant pays a shuffle.
     *
-    * Bounded memory: the doc is cut into `segLen`-stride slices (each
-    * slice carries minLen-1 extra chars so every gram start position lands
-    * in exactly one slice — no double-count, no gap), slices explode to
-    * rows BEFORE gram hashing, so per-task transient memory is O(segLen),
-    * not O(doc). Repeats that span different slices still collapse in the
-    * per-(doc, gram-hash) count, which is global across slices. */
+    * Bounded memory AND linear time: the doc is cut into `segLen`-stride
+    * slices (each slice carries minLen-1 extra chars so every gram start
+    * position lands in exactly one slice — no double-count, no gap), slices
+    * explode to rows BEFORE gram hashing, so per-task transient memory is
+    * O(segLen), not O(doc); each slice is cut ONCE (one O(doc) boundary
+    * walk per slice — O(doc²/segLen) total, ~10^10 bytes for a 4M-char doc
+    * at the default segLen, vs the per-gram-substring form's 10^13) and
+    * gram-hashed by the native CharGramHashes kernel in one pass. Repeats
+    * that span different slices still collapse in the per-(doc, gram-hash)
+    * count, which is global across slices. */
   def internalRepeatOverflow(
       docs: DataFrame,
       minLen: Int = 20,
@@ -1056,16 +1072,17 @@ object Dedup {
       .select(col(idCol), txt.as("_t"), n.cast("int").as("_n"))
       // slice s covers gram starts [s*segLen+1, (s+1)*segLen]; floor() on
       // the division — plain `/` on ints is double division in Spark SQL
-      .select(col(idCol), col("_t"), col("_n"),
+      .select(col(idCol), col("_t"),
         explode(sequence(lit(0),
           floor((col("_n") - 1) / lit(segLen)).cast("int"))).as("_s"))
+      // one substring per SLICE (covers its segLen gram starts plus the
+      // minLen-1 overlap chars), then the kernel hashes every gram of the
+      // slice in one walk; the final slice is naturally shorter and the
+      // kernel emits exactly its remaining grams
       .select(col(idCol),
-        explode(transform(
-          sequence(lit(1),
-            least(lit(segLen),
-              col("_n") - col("_s") * lit(segLen)).cast("int")),
-          i => xxhash64(substring(col("_t"),
-            col("_s") * lit(segLen) + i, lit(minLen))))).as("_gh"))
+        explode(ArrayExpressions.charGramHashes(
+          col("_t").substr(col("_s") * lit(segLen) + lit(1),
+            lit(segLen + minLen - 1)), minLen)).as("_gh"))
       .groupBy(col(idCol), col("_gh")).agg(count(lit(1)).as("_c"))
       .groupBy(col(idCol)).agg(max(col("_c") > 1).as("has_repeat"))
   }

@@ -135,6 +135,25 @@ object ScaleRamp {
       "substr_spans_cap24" ->
         (d => Dedup.exactSubstrSpans(d, minLen = 40, maxBucket = 24))))
 
+    // The segmented overflow self-repeat path (r16): every doc here is far
+    // past the (test-reduced) inline cutoff, so ALL work goes through
+    // internalRepeatOverflow's slice-exploded grouped form — the branch
+    // that is empty on real corpora and exists for the pathological tail.
+    // Docs inflate to ~64-128k chars via repeat (trivially self-repetitive,
+    // which is fine: timing measures the gram mass, and the per-(doc,gram)
+    // counts see worst-case duplication); the corpus axis scales doc count,
+    // so the exponent reads total character mass. Expected ~linear; per-task
+    // transient memory stays O(segLen) regardless of doc length.
+    // limit() collapses to one partition — spread the inflated docs back
+    // over the cores or the whole ramp times a single task
+    def overflowDocs(f: Int): DataFrame =
+      Tables(spark, sfDir, "documents").orderBy("doc_id").limit(100 * f)
+        .repartition(cpus.toInt)
+        .select(col("doc_id"), repeat(col("text"), 512).as("text"))
+    ramp("repeat_overflow", overflowDocs, Seq(
+      "overflow_repeat" -> (d => Dedup.internalRepeatOverflow(d,
+        minLen = 20, maxInlineChars = 1000, segLen = 16384))))
+
     // The broadcast decontamination gate (q197's shape): the eval gram
     // index is FIXED (benchmark suites don't grow with the corpus) while
     // the corpus axis scales — the gate is a map-only gram projection

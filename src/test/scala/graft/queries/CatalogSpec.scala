@@ -143,6 +143,44 @@ class CatalogSpec extends SparkSpec {
         streamedNames.mkString(" "))
   }
 
+  test("q191 overflow branch: the pathological-doc repeat frame is the BUILD " +
+      "side of a BroadcastHashJoin (the corpus-wide ledger side never " +
+      "exchanges for this join) and carries the segmented two-level " +
+      "aggregate below a Generate") {
+    val df = SparkEntry.queries("q191_exact_curation_funnel")(spark, sf0001)
+    val plan = df.queryExecution.sparkPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val bhj = nodes(plan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    // the overflow join is the BroadcastHashJoin whose BUILD side is the
+    // gram-hash aggregate (its `_gh` grouping attribute identifies it)
+    val overflow = bhj.filter { b =>
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+      }
+      build.toString.contains("_gh")
+    }
+    assert(overflow.nonEmpty,
+      s"expected the overflow repeat frame on a BroadcastHashJoin build side:\n$plan")
+    val build = overflow.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => overflow.head.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => overflow.head.right
+    }
+    val buildNames = nodes(build).map(_.getClass.getSimpleName)
+    // segmented shape: explode (Generate) feeding the per-(doc, gram) count
+    // then the per-doc any-repeat fold — two aggregate levels
+    assert(buildNames.contains("GenerateExec"),
+      s"slice/gram explode missing in the overflow subtree:\n" +
+        buildNames.mkString(" "))
+    assert(buildNames.count(_ == "HashAggregateExec") >= 2,
+      s"two-level (doc,gram)->doc aggregate missing:\n" +
+        buildNames.mkString(" "))
+  }
+
   test("AQE is on in the catalog session (runtime coalesce + skew-join at scale)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
