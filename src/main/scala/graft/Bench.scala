@@ -47,13 +47,19 @@ object Bench {
     // AFTER the query loop: a floor that rose mid-run explains late-
     // catalog outliers (r11's q115 34 s) that a single up-front probe
     // can't — external load is not constant over a 20-minute suite.
+    // A FAILED probe records Double.MaxValue, never its wall time (r16
+    // advice): a fast failure (stopped session, analysis error) would
+    // otherwise read as an ultra-clean floor and grade a genuinely
+    // contended moment "clean" — a broken instrument must fail toward
+    // "can't verify the window", not toward "window verified quiet".
     def probeTimes(s: SparkSession, n: Int): Seq[Double] =
       (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try s.range(0, 1000000, 1, cpus.toInt).repartition(cpus.toInt)
-          .selectExpr("sum(id)").collect()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e6
+        val ok =
+          try { s.range(0, 1000000, 1, cpus.toInt).repartition(cpus.toInt)
+            .selectExpr("sum(id)").collect(); true }
+          catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e6 else Double.MaxValue
       }.sorted
     def probeFloor(s: SparkSession): (Long, Long) = {
       val times = probeTimes(s, 7)
@@ -80,12 +86,13 @@ object Bench {
     def jobProbeTimes(s: SparkSession, n: Int): Seq[Double] =
       (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try s.range(0, 8000000, 1, cpus.toInt)
-          .selectExpr("id", "xxhash64(id) AS h")
-          .repartition(cpus.toInt, org.apache.spark.sql.functions.col("h"))
-          .selectExpr("bit_xor(h)").collect()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e6
+        val ok =
+          try { s.range(0, 8000000, 1, cpus.toInt)
+            .selectExpr("id", "xxhash64(id) AS h")
+            .repartition(cpus.toInt, org.apache.spark.sql.functions.col("h"))
+            .selectExpr("bit_xor(h)").collect(); true }
+          catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e6 else Double.MaxValue
       }.sorted
     def jobFloor(s: SparkSession): Long = jobProbeTimes(s, 3).head.round
 
@@ -392,14 +399,65 @@ object Bench {
     // min reads systematically lower and would bias every test toward
     // "contended". Both statistics are published (job_floor_ms_* for the
     // bracket, ob_policy.floor_ref_ms for this gate's reference).
-    val floorRef = math.max(quickFloor(spark), 150L) // quiet probes dip ~120 ms
-    // Job-scale reference for the dual-probe contended test, same
-    // like-with-like discipline (min-of-3 at run start vs min-of-3 in
-    // loop). The clamp keeps a suspiciously fast start from biasing every
-    // later test toward "contended" (quiet-host job probes sit ~400-600 ms
-    // on this box — calibrated below and recorded in ob_policy).
-    val jobFloorRef = math.max(jobFloor(spark),
+    // The committed sidecar is read ONCE here: it carries the history
+    // ledgers (hist_best mins, hist_med medians) and the quiet-host floor
+    // calibration the references below clamp against.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
+    val sidecarTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OB_HIST_PATH", s"$repoRoot/BENCH_SIDECAR.json"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
+    def parseQueryMap(txt: String, key: String): Map[String, Double] =
+      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map { m =>
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble)
+          .filter(_._2 > 0.0).toMap
+      }.getOrElse(Map.empty)
+
+    // Quiet-host floor calibration (r16 verdict #1): the references below
+    // were previously self-anchored at run start with only a LOWER clamp —
+    // a uniformly contended session inflated its own reference and then
+    // graded every excursion "clean" against it (r16's driver run started
+    // at job-floor 946 ms, ~2x the quiet band, and committed 58 medians
+    // >1.5x best-ever all carrying clean-floor records). The calibration is
+    // the best run-start probe pair ever committed (seeded from the
+    // sidecar-history quiet band: quick min-of-3 run-starts 190-653 ms
+    // across 12 committed runs, quiet cluster 190-260; job-scale 497-1728,
+    // quiet 497-580), persisted in the sidecar as `floor_calib` and
+    // re-merged (elementwise min, clamped below) by every full run.
+    val calibQuickSeed =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_QUICK_MS", "190").toLong
+    val calibJobSeed =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_JOB_MS", "497").toLong
+    def parseCalib(key: String): Option[Long] =
+      ("\"floor_calib\":\\{[^}]*\"" + key + "\":([0-9]+)").r
+        .findFirstMatchIn(sidecarTxt).map(_.group(1).toLong)
+    // clamped below at the physical floors (150/350 ms) so one freak-fast
+    // probe can never lock in an unattainable calibration that flags every
+    // future run inflated
+    val calibQuick = math.max(parseCalib("quick_ms").getOrElse(calibQuickSeed), 150L)
+    val calibJob = math.max(parseCalib("job_ms").getOrElse(calibJobSeed), 350L)
+    val runStartFloor = quickFloor(spark)
+    val runStartJobFloor = jobFloor(spark)
+    // Clamped from BOTH sides: below at the physical floor (quiet probes
+    // dip ~120 ms / sub-400 job), above at 1.25x the calibrated quiet — a
+    // contended run start can no longer raise the bar every later test is
+    // judged against.
+    val floorRef = math.max(
+      math.min(runStartFloor, (1.25 * calibQuick).round), 150L)
+    val jobFloorRef = math.max(
+      math.min(runStartJobFloor, (1.25 * calibJob).round),
       sys.env.getOrElse("SPARK_GRAFT_OB_JOB_FLOOR_MIN_MS", "350").toLong)
+    // Run-level drift flag: when the run-start probes exceed 1.5x the
+    // calibrated quiet band, the WHOLE run is stamped window-inflated in
+    // both artifacts — 58 per-query "clean" excursions become one named
+    // fact ("host was slow today"), distinguishable from "engine regressed
+    // everywhere" at a glance.
+    val windowInflation = math.max(
+      runStartFloor.toDouble / calibQuick, runStartJobFloor.toDouble / calibJob)
+    val windowInflated = windowInflation > 1.5
     // A moment is clean only when BOTH probes sit inside their bands: the
     // quick probe catches scheduler-latency contention, the job probe the
     // compute/shuffle-window classes it is blind to (r15 verdict #1 — the
@@ -424,35 +482,30 @@ object Bench {
     // that reached the hist_best elementwise-min merge below would lock
     // itself in as a permanent fake best (firing the history gate on that
     // query every round forever).
-    def parseQueryMap(txt: String, key: String): Map[String, Double] =
-      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map { m =>
-        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
-          .map(g => g.group(1) -> g.group(2).toDouble)
-          .filter(_._2 > 0.0).toMap
-      }.getOrElse(Map.empty)
-    def loadHistMins(path: String): Map[String, Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val best = parseQueryMap(txt, "hist_best")
-        if (best.nonEmpty) best else parseQueryMap(txt, "mins")
-      } catch { case _: Throwable => Map.empty }
-    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
-      sys.props.getOrElse("user.dir", "."))
     // Deliberate re-baseline path (r15 advice): hist_best is otherwise a
     // monotone best-ever min with no reset — a legitimate slower-but-correct
     // rewrite would trip the history gate on its query every round forever.
     // SPARK_GRAFT_HIST_RESET="q172_x,q191_y" (or "all") drops those entries
     // for this run; the merged hist_best written below then re-baselines
-    // them from this run's own mins.
+    // them from this run's own mins. Applies to both ledgers.
     val histReset = sys.env.get("SPARK_GRAFT_HIST_RESET")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val histMins = loadHistMins(
-      sys.env.getOrElse("SPARK_GRAFT_OB_HIST_PATH", s"$repoRoot/BENCH_SIDECAR.json"))
-      .filter(_._2 > 0.0)
-      .filterNot(kv => histReset.contains("all") || histReset.contains(kv._1))
+    def loadLedger(primary: String, fallback: String): Map[String, Double] = {
+      val best = parseQueryMap(sidecarTxt, primary)
+      (if (best.nonEmpty) best else parseQueryMap(sidecarTxt, fallback))
+        .filter(_._2 > 0.0)
+        .filterNot(kv => histReset.contains("all") || histReset.contains(kv._1))
+    }
+    val histMins = loadLedger("hist_best", "mins")
+    // Best-ever committed MEDIANS (r16 advice): the median gate's judged
+    // criterion is median vs best-ever MEDIAN, but it previously compared
+    // against the best-ever MIN — any query whose natural min-to-median
+    // spread exceeds medFactor tripped the gate every round, burning the
+    // shared per-query budget on probes the rep/history gates then lacked.
+    // Seeded from the full committed-sidecar history (tools, r17); the
+    // fallback for a sidecar predating the field is the last run's medians.
+    val histMeds = loadLedger("hist_med", "queries")
     // Floor timeline: a quick probe every 20 queries, so a mid-run
     // contention window is visible in the artifact itself rather than
     // inferred from which queries smeared.
@@ -590,19 +643,45 @@ object Bench {
         val ok = raw.filter(_ >= 0.0).sorted
         if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       }
-      histMins.get(name).foreach { h =>
+      histMeds.get(name).foreach { h =>
         var settled = false
+        // One extra rep at CLEAN floors when the median sits >2x best-ever
+        // (r16 verdict #4): the contended-only retry left q72's 2.45x and
+        // an 18-member >2x cohort kept on first reading — one bounded
+        // clean-floor rep is cheap and the median recomputes over all reps,
+        // so a single clean rep can repair a two-contended-reps median
+        // in-run instead of in the next round's verdict.
+        var cleanRetryUsed = false
         var med = medianOfRaw()
         while (!settled && med > obMinSec && med > medFactor * h &&
             obCount < obMaxPerQuery && obTotal < obMaxTotal) {
           val f = quickFloor(spark)
           val jf = jobFloor(spark)
           if (floorsClean(f, jf)) {
-            obLog += s"""{"q":"$name","trigger":"median",""" +
-              f""""hist_min_sec":$h%.3f,"median_sec":$med%.3f,""" +
-              s""""floor_ms":$f,"job_floor_ms":$jf,""" +
-              s""""contended":false,"kept":true}"""
-            settled = true
+            if (med > 2.0 * h && !cleanRetryUsed) {
+              cleanRetryUsed = true
+              obCount += 1; obTotal += 1
+              System.gc()
+              val t2 = evalFully(name)
+              val t2GcMs = lastEvalGcMs
+              dropPersisted()
+              if (t2 >= 0.0) raw += t2
+              val med2 = medianOfRaw()
+              obLog += s"""{"q":"$name","trigger":"median",""" +
+                f""""hist_med_sec":$h%.3f,"median_sec":$med%.3f,""" +
+                f""""retry_sec":$t2%.3f,"retry_gc_ms":$t2GcMs,""" +
+                f""""median_after_sec":$med2%.3f,""" +
+                s""""floor_ms":$f,"job_floor_ms":$jf,""" +
+                s""""contended":false,"clean_retry":true}"""
+              med = med2
+              if (t2 >= 0.0 && t2 < best) best = t2
+            } else {
+              obLog += s"""{"q":"$name","trigger":"median",""" +
+                f""""hist_med_sec":$h%.3f,"median_sec":$med%.3f,""" +
+                s""""floor_ms":$f,"job_floor_ms":$jf,""" +
+                s""""contended":false,"kept":true}"""
+              settled = true
+            }
           } else {
             obCount += 1; obTotal += 1
             System.gc()
@@ -613,7 +692,7 @@ object Bench {
             if (t2 >= 0.0) raw += t2
             val med2 = medianOfRaw()
             obLog += s"""{"q":"$name","trigger":"median",""" +
-              f""""hist_min_sec":$h%.3f,"median_sec":$med%.3f,""" +
+              f""""hist_med_sec":$h%.3f,"median_sec":$med%.3f,""" +
               f""""retry_sec":$t2%.3f,"median_after_sec":$med2%.3f,""" +
               s""""floor_ms":$f,"job_floor_ms":$jf,""" +
               s""""retry_floor_ms":$f2,"retry_job_floor_ms":$jf2,""" +
@@ -651,8 +730,17 @@ object Bench {
         s""""floor_ref_stat":"quick_min_of_3",""" +
         s""""job_floor_ref_ms":$jobFloorRef,""" +
         s""""job_floor_stat":"8M_row_hash_shuffle_min_of_3",""" +
+        // the raw run-start probes plus the calibration they were clamped
+        // against — the full inputs of the window_inflated verdict, so a
+        // reader can recompute it
+        s""""floor_start_ms":$runStartFloor,""" +
+        s""""job_floor_start_ms":$runStartJobFloor,""" +
+        s""""calib_quick_ms":$calibQuick,"calib_job_ms":$calibJob,""" +
+        s""""window_inflated":$windowInflated,""" +
+        f""""window_inflation":$windowInflation%.2f,""" +
         s""""hist_factor":$histFactor,"med_factor":$medFactor,""" +
         s""""hist_queries":${histMins.size},"hist_stat":"best_ever",""" +
+        s""""hist_med_queries":${histMeds.size},"med_stat":"best_ever_median",""" +
         s""""retries_used":$obTotal,"retries_max":$obMaxTotal,""" +
         s""""max_per_query":$obMaxPerQuery}"""
 
@@ -697,6 +785,21 @@ object Bench {
       val v = (histMins.get(k).toSeq ++ runMins.get(k).toSeq).min
       "\"" + k + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
+    // Best-ever committed MEDIANS ledger — the median gate's reference next
+    // round (same self-maintaining elementwise-min discipline as hist_best).
+    val runMeds = results.collect { case (k, v, _) if v > 0.0 => k -> v }.toMap
+    val histMedJson = (histMeds.keySet ++ runMeds.keySet).toSeq.sorted.map { k =>
+      val v = (histMeds.get(k).toSeq ++ runMeds.get(k).toSeq).min
+      "\"" + k + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    // Quiet-host calibration carried forward: the best run-start probe pair
+    // ever seen, clamped below at the physical floors — next round's upper
+    // clamp on the self-anchored references.
+    val calibJson = {
+      val q = math.max(math.min(calibQuick, runStartFloor), 150L)
+      val j = math.max(math.min(calibJob, runStartJobFloor), 350L)
+      s"""{"quick_ms":$q,"job_ms":$j}"""
+    }
     val total = results.map(_._2).filter(_ >= 0.0).sum
     val totalMin = results
       .map { case (_, _, raw) => val ok = raw.filter(_ >= 0.0); if (ok.isEmpty) -1.0 else ok.min }
@@ -801,7 +904,8 @@ object Bench {
     //    count, stream/ann telemetry, and a *headline* subset of per-query
     //    medians, staying well under 1.5 KB at any catalog size.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""mins":$minsJson,"hist_best":$histBestJson,""" +
+      s""""mins":$minsJson,"hist_best":$histBestJson,"hist_med":$histMedJson,""" +
+      s""""floor_calib":$calibJson,""" +
       s""""queries_stddev":$stddevJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$selfDefenseJson$filtered,"sf":"$sfDir"}"""
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
@@ -813,6 +917,10 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","total_min":$totalMin%.2f,""" +
       s""""queries_total":${results.size},"queries_errored":$errored,""" +
       s""""bench_retries":$obTotal,""" +
+      // run-level window verdict in the driver-captured artifact too
+      // (r16 verdict #1): one named fact instead of N "clean" excursions
+      s""""window_inflated":$windowInflated,""" +
+      f""""window_inflation":$windowInflation%.2f,""" +
       s""""queries":$headQs$annJson$streamJson$floorJson$filtered,"sf":"$sfDir"}"""
 
     // The round-6 artifact was lost to a shutdown race: the metric line was

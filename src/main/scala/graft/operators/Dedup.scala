@@ -1032,7 +1032,10 @@ object Dedup {
     // UTF8String.substring's O(position) char-boundary walk PER GRAM —
     // O(n^2) bytes touched per doc, invisible on 300-char fixture rows and
     // ruinous at the inline cutoff (a 4M-char doc would walk ~10^13 bytes)
-    when(n > maxInlineChars, lit(null).cast("boolean"))
+    // The split predicate is CHARACTER count (matching the parameter's
+    // documented contract), not gram-start count — it must stay identical
+    // to internalRepeatOverflow's filter so the split is gapless.
+    when(length(text) > maxInlineChars, lit(null).cast("boolean"))
       .when(n > 1,
         size(array_distinct(ArrayExpressions.charGramHashes(text, minLen))) < n)
       .otherwise(lit(false))
@@ -1068,7 +1071,9 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val txt = col(textCol)
     val n = length(txt) - (minLen - 1) // gram start positions: 1..n
-    docs.filter(n > maxInlineChars)
+    // character-count split, the exact complement of hasInternalRepeat's
+    // inline predicate (gapless by construction)
+    docs.filter(length(txt) > maxInlineChars)
       .select(col(idCol), txt.as("_t"), n.cast("int").as("_n"))
       // slice s covers gram starts [s*segLen+1, (s+1)*segLen]; floor() on
       // the division — plain `/` on ints is double division in Spark SQL

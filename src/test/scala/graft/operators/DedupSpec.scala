@@ -734,7 +734,7 @@ class DedupSpec extends SparkSpec {
       "spanning slice boundaries included), and the coalesce wiring " +
       "reproduces brute force over the whole corpus") {
     val L = 8
-    val cutoff = 40  // grams past this count go to the overflow path
+    val cutoff = 40  // docs longer than this many CHARS go to overflow
     val segLen = 16  // slices far smaller than the docs: boundary coverage
     // long docs (gram count > cutoff): one with its ONLY repeat pair
     // straddling a slice boundary (positions chosen so the two copies land
@@ -750,7 +750,11 @@ class DedupSpec extends SparkSpec {
       2L -> "abcdefgh" * 12, // long AND periodic: repeats inside slices too
       3L -> (longNoRep.take(60) + longNoRep.drop(60)), // long, likely no repeat
       4L -> "shortshort", // inline: repeat iff L-gram repeats (it doesn't at L=8)
-      5L -> "xyxyxyxyxyxyxyxyxyxy") // inline with repeats
+      5L -> "xyxyxyxyxyxyxyxyxyxy", // inline with repeats
+      // between the boundaries: 44 chars (> cutoff) but 37 gram starts
+      // (<= cutoff) — overflow under the documented CHARACTER-count
+      // contract, inline under the old gram-count reading (r16 advice)
+      6L -> ('0' to '[').mkString)
     val docs = texts.toSeq.toDF("doc_id", "text")
     val brute = texts.map { case (id, t) =>
       val grams = t.sliding(L).toSeq
@@ -762,17 +766,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
     texts.foreach { case (id, t) =>
-      val nGrams = t.length - (L - 1)
-      assert(inline(id).isEmpty === (nGrams > cutoff),
-        s"doc $id: inline null iff overflow (grams=$nGrams)")
+      assert(inline(id).isEmpty === (t.length > cutoff),
+        s"doc $id: inline null iff longer than $cutoff chars (len=${t.length})")
       inline(id).foreach(v => assert(v === brute(id), s"doc $id inline"))
     }
-    // (b) overflow frame: exactly the long docs, brute-force-correct
+    // (b) overflow frame: exactly the docs past the character cutoff,
+    // brute-force-correct
     val over = Dedup.internalRepeatOverflow(docs, minLen = L,
         maxInlineChars = cutoff, segLen = segLen)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(over.keySet === texts.keySet.filter(id =>
-      texts(id).length - (L - 1) > cutoff))
+      texts(id).length > cutoff))
     over.foreach { case (id, v) => assert(v === brute(id), s"doc $id overflow") }
     // (c) the q191 wiring: broadcast-left-join + coalesce == brute force
     val wired = docs
