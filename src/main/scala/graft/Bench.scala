@@ -542,9 +542,11 @@ object Bench {
       System.gc()
       var best = Double.MaxValue
       var obCount = 0
+      val rawGc = scala.collection.mutable.ArrayBuffer[Long]()
       val raw = (1 to reps).map { rep =>
         var t = evalFully(name)
         var tGcMs = lastEvalGcMs // the pause evidence travels with t
+        rawGc += tGcMs
         dropPersisted()
         if (t >= 0.0 && t < best) best = t
         // Out-of-band? Probe BOTH floors NOW; retry only while the moment
@@ -704,10 +706,13 @@ object Bench {
       }
       // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr, for spotting
       // session-age drift (a growing sequence means accumulated state —
-      // storage blocks, codegen caches — not query cost)
+      // storage blocks, codegen caches — not query cost). Each main-loop
+      // rep also prints its own GC delta — the first profile question for
+      // any slow-rep claim (r16 q72: gc_ms 1,846 on a 23 s rep).
       if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
         System.err.println(s"BENCH_REPS $name " +
-          raw.map(t => f"$t%.2f").mkString(" "))
+          raw.map(t => f"$t%.2f").mkString(" ") +
+          " gc_ms " + rawGc.mkString(" "))
       val times = raw.filter(_ >= 0.0).sorted
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
       (name, median, raw)
