@@ -409,12 +409,9 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_OB_HIST_PATH", s"$repoRoot/BENCH_SIDECAR.json"))),
         java.nio.charset.StandardCharsets.UTF_8)
       catch { case _: Throwable => "" }
+    // gate arithmetic lives in BenchPolicy (spec-pinned: BenchPolicySpec)
     def parseQueryMap(txt: String, key: String): Map[String, Double] =
-      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map { m =>
-        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
-          .map(g => g.group(1) -> g.group(2).toDouble)
-          .filter(_._2 > 0.0).toMap
-      }.getOrElse(Map.empty)
+      BenchPolicy.parseQueryMap(txt, key)
 
     // Quiet-host floor calibration (r16 verdict #1): the references below
     // were previously self-anchored at run start with only a LOWER clamp —
@@ -431,33 +428,30 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CALIB_QUICK_MS", "190").toLong
     val calibJobSeed =
       sys.env.getOrElse("SPARK_GRAFT_CALIB_JOB_MS", "497").toLong
-    def parseCalib(key: String): Option[Long] =
-      ("\"floor_calib\":\\{[^}]*\"" + key + "\":([0-9]+)").r
-        .findFirstMatchIn(sidecarTxt).map(_.group(1).toLong)
     // clamped below at the physical floors (150/350 ms) so one freak-fast
     // probe can never lock in an unattainable calibration that flags every
     // future run inflated
-    val calibQuick = math.max(parseCalib("quick_ms").getOrElse(calibQuickSeed), 150L)
-    val calibJob = math.max(parseCalib("job_ms").getOrElse(calibJobSeed), 350L)
+    val calibQuick = math.max(
+      BenchPolicy.parseCalib(sidecarTxt, "quick_ms").getOrElse(calibQuickSeed), 150L)
+    val calibJob = math.max(
+      BenchPolicy.parseCalib(sidecarTxt, "job_ms").getOrElse(calibJobSeed), 350L)
     val runStartFloor = quickFloor(spark)
     val runStartJobFloor = jobFloor(spark)
     // Clamped from BOTH sides: below at the physical floor (quiet probes
     // dip ~120 ms / sub-400 job), above at 1.25x the calibrated quiet — a
     // contended run start can no longer raise the bar every later test is
     // judged against.
-    val floorRef = math.max(
-      math.min(runStartFloor, (1.25 * calibQuick).round), 150L)
-    val jobFloorRef = math.max(
-      math.min(runStartJobFloor, (1.25 * calibJob).round),
+    val floorRef = BenchPolicy.clampedRef(runStartFloor, calibQuick, 150L)
+    val jobFloorRef = BenchPolicy.clampedRef(runStartJobFloor, calibJob,
       sys.env.getOrElse("SPARK_GRAFT_OB_JOB_FLOOR_MIN_MS", "350").toLong)
     // Run-level drift flag: when the run-start probes exceed 1.5x the
     // calibrated quiet band, the WHOLE run is stamped window-inflated in
     // both artifacts — 58 per-query "clean" excursions become one named
     // fact ("host was slow today"), distinguishable from "engine regressed
     // everywhere" at a glance.
-    val windowInflation = math.max(
-      runStartFloor.toDouble / calibQuick, runStartJobFloor.toDouble / calibJob)
-    val windowInflated = windowInflation > 1.5
+    val windowInflation = BenchPolicy.inflation(
+      runStartFloor, runStartJobFloor, calibQuick, calibJob)
+    val windowInflated = BenchPolicy.windowInflated(windowInflation)
     // A moment is clean only when BOTH probes sit inside their bands: the
     // quick probe catches scheduler-latency contention, the job probe the
     // compute/shuffle-window classes it is blind to (r15 verdict #1 — the
@@ -801,8 +795,8 @@ object Bench {
     // ever seen, clamped below at the physical floors — next round's upper
     // clamp on the self-anchored references.
     val calibJson = {
-      val q = math.max(math.min(calibQuick, runStartFloor), 150L)
-      val j = math.max(math.min(calibJob, runStartJobFloor), 350L)
+      val q = BenchPolicy.mergedCalib(calibQuick, runStartFloor, 150L)
+      val j = BenchPolicy.mergedCalib(calibJob, runStartJobFloor, 350L)
       s"""{"quick_ms":$q,"job_ms":$j}"""
     }
     val total = results.map(_._2).filter(_ >= 0.0).sum

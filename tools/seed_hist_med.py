@@ -28,6 +28,7 @@ def main() -> None:
         ["git", "log", "--format=%H", "--", "BENCH_SIDECAR.json"],
         capture_output=True, text=True, check=True).stdout.split()
     best_med: dict[str, float] = {}
+    best_min: dict[str, float] = {}
     calib_quick, calib_job = [], []
     for rev in revs:
         p = subprocess.run(["git", "show", f"{rev}:BENCH_SIDECAR.json"],
@@ -40,9 +41,15 @@ def main() -> None:
             continue
         if d.get("filtered"):
             continue  # partial run: medians not comparable
+        if not str(d.get("sf", "")).endswith("sf0.1"):
+            continue  # three early sidecars ran sf0.001/sf0.01 — their
+            # medians are not comparable to the official-SF ledger
         for q, v in (d.get("queries") or {}).items():
             if isinstance(v, (int, float)) and v > 0:
                 best_med[q] = min(best_med.get(q, float("inf")), v)
+        for q, v in (d.get("mins") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                best_min[q] = min(best_min.get(q, float("inf")), v)
         ob = d.get("ob_policy") or {}
         if isinstance(ob.get("floor_ref_ms"), int):
             calib_quick.append(ob["floor_ref_ms"])
@@ -54,18 +61,29 @@ def main() -> None:
     for q, v in (cur.get("queries") or {}).items():
         if isinstance(v, (int, float)) and v > 0:
             best_med[q] = min(best_med.get(q, float("inf")), v)
+    # hist_best started accumulating only at r14 — rebuild it as the
+    # genuine elementwise min over EVERY committed sf0.1 run plus the
+    # existing ledger (which can only lower it further), so the history
+    # gate references the actual cleanest windows ever recorded and the
+    # hist_med >= hist_best invariant holds by construction.
+    for q, v in (cur.get("hist_best") or {}).items():
+        if isinstance(v, (int, float)) and v > 0:
+            best_min[q] = min(best_min.get(q, float("inf")), v)
     hist_med = ",".join(f'"{q}":{best_med[q]:.3f}' for q in sorted(best_med))
+    hist_best = ",".join(f'"{q}":{best_min[q]:.3f}' for q in sorted(best_min))
     quick = max(min(calib_quick, default=190), 150)
     job = max(min(calib_job, default=497), 350)
     calib = f'{{"quick_ms":{quick},"job_ms":{job}}}'
 
-    # drop any existing copies of the fields, then insert after hist_best
+    # drop any existing copies of the fields, then replace hist_best and
+    # insert the new ledgers after it
     txt = re.sub(r',"hist_med":\{[^}]*\}', "", txt)
     txt = re.sub(r',"floor_calib":\{[^}]*\}', "", txt)
     m = re.search(r'"hist_best":\{[^}]*\}', txt)
     if not m:
         sys.exit("no hist_best in sidecar")
-    txt = (txt[:m.end()] + f',"hist_med":{{{hist_med}}}'
+    txt = (txt[:m.start()] + f'"hist_best":{{{hist_best}}}'
+           + f',"hist_med":{{{hist_med}}}'
            + f',"floor_calib":{calib}' + txt[m.end():])
     json.loads(txt)  # must still parse
     open("BENCH_SIDECAR.json", "w", encoding="utf-8").write(txt)
