@@ -1,21 +1,29 @@
 #!/usr/bin/env python3
-"""One-off seed (r17) for the sidecar's best-ever-median ledger.
+"""Seed/repair the sidecar's history ledgers (r17).
 
 The median-defense gate's judged criterion is "committed median vs
 best-ever committed MEDIAN", but until r17 the sidecar only carried
 best-ever MINS (hist_best), so the gate compared against mins and
 tripped on any query whose natural min-to-median spread exceeds the
 gate factor (r16 advice). Bench now reads/merges a `hist_med` map; this
-script back-fills it from every committed BENCH_SIDECAR.json in git
-history (elementwise min over each run's full `queries` median map — an
-inflated run can only lose the min), and seeds `floor_calib` from the
-best run-start floor probes ever committed (ob_policy.floor_ref_ms /
-job_floor_ref_ms, which were the raw run-start min-of-3 probes before
-r17 added the upper clamp).
+script back-fills it from committed history.
 
-Run from the repo root; rewrites BENCH_SIDECAR.json in place by
-inserting/replacing the two fields. Bench self-maintains both from then
-on, so this runs once.
+WINDOW RULE (learned the hard way in r17): only sidecars that already
+carry `hist_best` (the post-r14 ledger discipline) are merged. Query
+DEFINITIONS evolve across rounds — q158 gained whitening + index
+persistence + an append-equivalence rebuild in r14, tripling its
+honest cost — so a pre-r14 median is a measurement of a DIFFERENT
+query, and merging it plants an unreachable reference the gate then
+burns its retry budget chasing every round. The incumbent hist_best
+accumulation (monotone elementwise min since r14) already encodes this
+window; `hist_best` itself is therefore restored from the newest
+committed sidecar that predates `hist_med` (the last pre-r17
+accumulation) rather than rebuilt from scratch, then merged with the
+current file's own run mins.
+
+Run from the repo root; rewrites BENCH_SIDECAR.json in place. Bench
+self-maintains all three fields from then on, so this runs once (or
+again to repair).
 """
 import json
 import re
@@ -23,60 +31,78 @@ import subprocess
 import sys
 
 
-def main() -> None:
+def committed_sidecars() -> list[dict]:
     revs = subprocess.run(
         ["git", "log", "--format=%H", "--", "BENCH_SIDECAR.json"],
         capture_output=True, text=True, check=True).stdout.split()
-    best_med: dict[str, float] = {}
-    best_min: dict[str, float] = {}
-    calib_quick, calib_job = [], []
-    for rev in revs:
+    out = []
+    for rev in revs:  # newest first
         p = subprocess.run(["git", "show", f"{rev}:BENCH_SIDECAR.json"],
                            capture_output=True, text=True)
         if p.returncode != 0:
             continue
         try:
-            d = json.loads(p.stdout)
+            out.append(json.loads(p.stdout))
         except json.JSONDecodeError:
             continue
+    return out
+
+
+def main() -> None:
+    history = committed_sidecars()
+    best_med: dict[str, float] = {}
+    calib_quick, calib_job = [], []
+    for d in history:
         if d.get("filtered"):
             continue  # partial run: medians not comparable
         if not str(d.get("sf", "")).endswith("sf0.1"):
-            continue  # three early sidecars ran sf0.001/sf0.01 — their
-            # medians are not comparable to the official-SF ledger
+            continue  # three early sidecars ran sf0.001/sf0.01
+        if "hist_best" not in d:
+            continue  # pre-r14: different query definitions (window rule)
         for q, v in (d.get("queries") or {}).items():
             if isinstance(v, (int, float)) and v > 0:
                 best_med[q] = min(best_med.get(q, float("inf")), v)
-        for q, v in (d.get("mins") or {}).items():
-            if isinstance(v, (int, float)) and v > 0:
-                best_min[q] = min(best_min.get(q, float("inf")), v)
         ob = d.get("ob_policy") or {}
         if isinstance(ob.get("floor_ref_ms"), int):
             calib_quick.append(ob["floor_ref_ms"])
         if isinstance(ob.get("job_floor_ref_ms"), int):
             calib_job.append(ob["job_floor_ref_ms"])
 
+    # hist_best: the newest committed accumulation from BEFORE hist_med
+    # existed (pre-r17) is the complete, definition-windowed ledger —
+    # monotone merging since r14 means the newest pre-r17 copy subsumes
+    # all earlier ones.
+    base_best: dict[str, float] = {}
+    for d in history:  # newest first
+        if "hist_best" in d and "hist_med" not in d:
+            base_best = {q: v for q, v in d["hist_best"].items()
+                         if isinstance(v, (int, float)) and v > 0}
+            break
+    if not base_best:
+        sys.exit("no pre-r17 hist_best found in history")
+
     txt = open("BENCH_SIDECAR.json", encoding="utf-8").read()
     cur = json.loads(txt)
-    for q, v in (cur.get("queries") or {}).items():
-        if isinstance(v, (int, float)) and v > 0:
-            best_med[q] = min(best_med.get(q, float("inf")), v)
-    # hist_best started accumulating only at r14 — rebuild it as the
-    # genuine elementwise min over EVERY committed sf0.1 run plus the
-    # existing ledger (which can only lower it further), so the history
-    # gate references the actual cleanest windows ever recorded and the
-    # hist_med >= hist_best invariant holds by construction.
-    for q, v in (cur.get("hist_best") or {}).items():
-        if isinstance(v, (int, float)) and v > 0:
-            best_min[q] = min(best_min.get(q, float("inf")), v)
+    # argv: extra full-run artifacts (e.g. /tmp copies of this round's other
+    # official runs) whose measurements should also enter the ledgers
+    extras = []
+    for path in sys.argv[1:]:
+        extras.append(json.load(open(path, encoding="utf-8")))
+    for d in [cur] + extras:
+        if str(d.get("sf", "")).endswith("sf0.1") and not d.get("filtered"):
+            for q, v in (d.get("queries") or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    best_med[q] = min(best_med.get(q, float("inf")), v)
+            for q, v in (d.get("mins") or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    base_best[q] = min(base_best.get(q, float("inf")), v)
+
     hist_med = ",".join(f'"{q}":{best_med[q]:.3f}' for q in sorted(best_med))
-    hist_best = ",".join(f'"{q}":{best_min[q]:.3f}' for q in sorted(best_min))
+    hist_best = ",".join(f'"{q}":{base_best[q]:.3f}' for q in sorted(base_best))
     quick = max(min(calib_quick, default=190), 150)
     job = max(min(calib_job, default=497), 350)
     calib = f'{{"quick_ms":{quick},"job_ms":{job}}}'
 
-    # drop any existing copies of the fields, then replace hist_best and
-    # insert the new ledgers after it
     txt = re.sub(r',"hist_med":\{[^}]*\}', "", txt)
     txt = re.sub(r',"floor_calib":\{[^}]*\}', "", txt)
     m = re.search(r'"hist_best":\{[^}]*\}', txt)
@@ -88,6 +114,7 @@ def main() -> None:
     json.loads(txt)  # must still parse
     open("BENCH_SIDECAR.json", "w", encoding="utf-8").write(txt)
     print(f"seeded hist_med with {len(best_med)} queries; "
+          f"hist_best restored+merged ({len(base_best)}); "
           f"floor_calib quick={quick} job={job}")
 
 
