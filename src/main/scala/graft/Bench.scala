@@ -145,6 +145,39 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
+    // The committed sidecar is read ONCE, up front (r18: before the stream
+    // legs, which now grade their own windows against the calibration): it
+    // carries the history ledgers (hist_best mins, hist_med medians), the
+    // per-query definition tags, and the quiet-host floor calibration the
+    // contended-test references clamp against.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
+    val sidecarTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OB_HIST_PATH", s"$repoRoot/BENCH_SIDECAR.json"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
+    // Quiet-host floor calibration (r16 verdict #1): the contended-test
+    // references are self-anchored at run start but clamped from ABOVE at
+    // 1.25x the best run-start probe pair ever committed — a uniformly
+    // contended session must not inflate its own reference and then grade
+    // every excursion "clean" against it. Seeded from the sidecar-history
+    // quiet band (quick min-of-3 run-starts 190-653 ms across 12 committed
+    // runs, quiet cluster 190-260; job-scale 497-1728, quiet 497-580),
+    // persisted in the sidecar as `floor_calib` and re-merged (elementwise
+    // min, clamped below) by every full run.
+    val calibQuickSeed =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_QUICK_MS", "190").toLong
+    val calibJobSeed =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_JOB_MS", "497").toLong
+    // clamped below at the physical floors (150/350 ms) so one freak-fast
+    // probe can never lock in an unattainable calibration that flags every
+    // future run inflated
+    val calibQuick = math.max(
+      BenchPolicy.parseCalib(sidecarTxt, "quick_ms").getOrElse(calibQuickSeed), 150L)
+    val calibJob = math.max(
+      BenchPolicy.parseCalib(sidecarTxt, "job_ms").getOrElse(calibJobSeed), 350L)
+
     // ------------------------------------------------------ stream legs
     // Rate-matched streaming latency as structured fields (the BASELINE.md
     // comparison: reference live p99 ~2,000 ms at 1.32 chunks/s): one
@@ -203,24 +236,46 @@ object Bench {
         }
         // One leg = fresh session, floor probes (quick + job-scale, the
         // same dual instrument as the query loop), run, floor probes,
-        // quiesce.
+        // quiesce. Per-leg window provenance (r17 verdict #1): the leg's
+        // own inflation verdict is computed from a calibration-comparable
+        // probe pair taken IMMEDIATELY before the leg — the run-level
+        // window_inflated flag is measured minutes later at batch-loop
+        // start, and in r17 it contradicted three pristine stream legs
+        // (committed 2,232/6,215 ms under a run flag of 2.49). `q3B` is a
+        // quick min-of-3 (the calibration's own statistic — the 7-sample
+        // bracket's deeper min reads systematically lower and would bias
+        // the leg verdict toward "clean"); jfB is already min-of-3.
         final case class Leg(r: graft.streaming.StreamBench.Result,
           fMin: Long, fP50: Long, aMin: Long, aP50: Long,
-          jfB: Long, jfA: Long) {
-          def floorsJson: String =
+          jfB: Long, jfA: Long, q3B: Long) {
+          def inflation: Double =
+            BenchPolicy.inflation(q3B, jfB, calibQuick, calibJob)
+          def floorsJson(triggerMs: Long): String = {
+            val infl = inflation
+            // mid-leg stall (r17 verdict #2): derived from the batch-
+            // duration percentiles the leg already measured — the one
+            // class the bracketing probes can't see (BenchPolicy.legStall)
+            val stall =
+              BenchPolicy.legStall(r.steadyP50, r.steadyP99, triggerMs)
             s"""{"before_ms":[$fMin,$fP50],"after_ms":[$aMin,$aP50],""" +
-              s""""job_before_ms":$jfB,"job_after_ms":$jfA}"""
+              s""""job_before_ms":$jfB,"job_after_ms":$jfA,""" +
+              s""""quick3_before_ms":$q3B,""" +
+              f""""leg_inflation":$infl%.2f,""" +
+              s""""leg_window_inflated":${BenchPolicy.windowInflated(infl)},""" +
+              s""""leg_stall":$stall}"""
+          }
         }
         def runLeg(durable: Boolean, pipeline: String = "live"): Leg = {
           val s = buildSession()
           val (fMin, fP50) = probeFloor(s)
           val jfB = jobFloor(s)
+          val q3B = quickFloor(s) // last probe before the leg opens
           val r = graft.streaming.StreamBench.run(s, streamSec, rps = 2,
             durable = durable, warmupSec = warmup, pipeline = pipeline)
           val (aMin, aP50) = probeFloor(s)
           val jfA = jobFloor(s)
           quiesce(s)
-          Leg(r, fMin, fP50, aMin, aP50, jfB, jfA)
+          Leg(r, fMin, fP50, aMin, aP50, jfB, jfA, q3B)
         }
         // Out-of-band leg policy (the query loop's r14 medicine applied to
         // the stream phase — r13's committed record is the precedent that
@@ -323,12 +378,13 @@ object Bench {
             // stdout below)
             s""""chunk_latency_exact":{"in_memory":${mem.exactLatency.json},""" +
             s""""durable":${dur.exactLatency.json},"vod":${vodR.exactLatency.json}},""" +
-            // all bracketing floor probes of every KEPT leg attempt — the
-            // r14 top-level stream_floor_* fields kept their names while
-            // changing which probes they carry; this object is the explicit
-            // record (see stream_fields_version)
-            s""""stream_floors":{"in_memory":${memLeg.floorsJson},""" +
-            s""""durable":${durLeg.floorsJson},"vod":${vodLeg.floorsJson}},""" +
+            // all bracketing floor probes of every KEPT leg attempt — plus
+            // that attempt's own window verdict (inflation vs the quiet
+            // calibration, measured immediately before the leg) and its
+            // mid-leg stall verdict (r17 verdict #1/#2). Trigger periods:
+            // live pipelines 1 s, VOD 5 s (streaming.Pipelines defaults).
+            s""""stream_floors":{"in_memory":${memLeg.floorsJson(1000L)},""" +
+            s""""durable":${durLeg.floorsJson(1000L)},"vod":${vodLeg.floorsJson(5000L)}},""" +
             s""""stream_out_of_band":[${streamObLog.mkString(",")}]"""
         // the batch loop starts on its own fresh context, inheriting nothing.
         // chunk_p99_ms_exact* = exact per-chunk latency at delivery
@@ -337,7 +393,9 @@ object Bench {
         // p99s stay for round-over-round continuity.
         // version 4: per-leg job-scale floors, retry budget 2 with per-
         // attempt log entries, VOD exact-p95 bar, discarded JVM warm leg
-        s""","stream_fields_version":4,""" +
+        // version 5: per-leg window provenance (quick3_before_ms,
+        // leg_inflation, leg_window_inflated) + mechanical leg_stall
+        s""","stream_fields_version":5,""" +
           s""""stream_warm_leg_sec":$warmLegSec,""" +
           s""""stream_p99_ms":${mem.steadyP99},"stream_p99_ms_durable":${dur.steadyP99},""" +
           s""""stream_p50_ms":${mem.steadyP50},"stream_p50_ms_durable":${dur.steadyP50},""" +
@@ -399,42 +457,12 @@ object Bench {
     // min reads systematically lower and would bias every test toward
     // "contended". Both statistics are published (job_floor_ms_* for the
     // bracket, ob_policy.floor_ref_ms for this gate's reference).
-    // The committed sidecar is read ONCE here: it carries the history
-    // ledgers (hist_best mins, hist_med medians) and the quiet-host floor
-    // calibration the references below clamp against.
-    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
-      sys.props.getOrElse("user.dir", "."))
-    val sidecarTxt: String =
-      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_OB_HIST_PATH", s"$repoRoot/BENCH_SIDECAR.json"))),
-        java.nio.charset.StandardCharsets.UTF_8)
-      catch { case _: Throwable => "" }
-    // gate arithmetic lives in BenchPolicy (spec-pinned: BenchPolicySpec)
+    // gate arithmetic lives in BenchPolicy (spec-pinned: BenchPolicySpec);
+    // the sidecar text and the quiet-host calibration were read up front,
+    // before the stream legs
     def parseQueryMap(txt: String, key: String): Map[String, Double] =
       BenchPolicy.parseQueryMap(txt, key)
 
-    // Quiet-host floor calibration (r16 verdict #1): the references below
-    // were previously self-anchored at run start with only a LOWER clamp —
-    // a uniformly contended session inflated its own reference and then
-    // graded every excursion "clean" against it (r16's driver run started
-    // at job-floor 946 ms, ~2x the quiet band, and committed 58 medians
-    // >1.5x best-ever all carrying clean-floor records). The calibration is
-    // the best run-start probe pair ever committed (seeded from the
-    // sidecar-history quiet band: quick min-of-3 run-starts 190-653 ms
-    // across 12 committed runs, quiet cluster 190-260; job-scale 497-1728,
-    // quiet 497-580), persisted in the sidecar as `floor_calib` and
-    // re-merged (elementwise min, clamped below) by every full run.
-    val calibQuickSeed =
-      sys.env.getOrElse("SPARK_GRAFT_CALIB_QUICK_MS", "190").toLong
-    val calibJobSeed =
-      sys.env.getOrElse("SPARK_GRAFT_CALIB_JOB_MS", "497").toLong
-    // clamped below at the physical floors (150/350 ms) so one freak-fast
-    // probe can never lock in an unattainable calibration that flags every
-    // future run inflated
-    val calibQuick = math.max(
-      BenchPolicy.parseCalib(sidecarTxt, "quick_ms").getOrElse(calibQuickSeed), 150L)
-    val calibJob = math.max(
-      BenchPolicy.parseCalib(sidecarTxt, "job_ms").getOrElse(calibJobSeed), 350L)
     val runStartFloor = quickFloor(spark)
     val runStartJobFloor = jobFloor(spark)
     // Clamped from BOTH sides: below at the physical floor (quiet probes
@@ -485,11 +513,23 @@ object Bench {
     val histReset = sys.env.get("SPARK_GRAFT_HIST_RESET")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // Per-query definition tags (r17 verdict #6, generalizing the q158
+    // lesson): each catalog query's oracle SQL hashes to a short tag,
+    // stamped into the sidecar alongside the ledgers. A ledger entry whose
+    // STORED tag mismatches the CURRENT tag was measured under a different
+    // definition of the query — it is dropped mechanically at load, making
+    // ledger invalidation automatic instead of era-windowed (the manual
+    // HIST_RESET path stays for slower-but-correct rewrites that keep the
+    // oracle unchanged).
+    val defTags: Map[String, String] =
+      SparkEntry.oracleSql.map { case (k, sql) => k -> BenchPolicy.defTag(sql) }
+    val storedTags = BenchPolicy.parseStringMap(sidecarTxt, "def_tags")
     def loadLedger(primary: String, fallback: String): Map[String, Double] = {
       val best = parseQueryMap(sidecarTxt, primary)
-      (if (best.nonEmpty) best else parseQueryMap(sidecarTxt, fallback))
+      val ledger = (if (best.nonEmpty) best else parseQueryMap(sidecarTxt, fallback))
         .filter(_._2 > 0.0)
         .filterNot(kv => histReset.contains("all") || histReset.contains(kv._1))
+      BenchPolicy.filterByDefTags(ledger, storedTags, defTags)
     }
     val histMins = loadLedger("hist_best", "mins")
     // Best-ever committed MEDIANS (r16 advice): the median gate's judged
@@ -536,11 +576,14 @@ object Bench {
       System.gc()
       var best = Double.MaxValue
       var obCount = 0
+      // Parallel to `raw`, entry for entry (r17 advice): every append to
+      // `raw` — main-loop rep, history-gate retry, median-gate retry —
+      // appends its own GC delta here, so the verbose per-rep print's
+      // positional correspondence survives retries.
       val rawGc = scala.collection.mutable.ArrayBuffer[Long]()
       val raw = (1 to reps).map { rep =>
         var t = evalFully(name)
         var tGcMs = lastEvalGcMs // the pause evidence travels with t
-        rawGc += tGcMs
         dropPersisted()
         if (t >= 0.0 && t < best) best = t
         // Out-of-band? Probe BOTH floors NOW; retry only while the moment
@@ -584,6 +627,9 @@ object Bench {
             if (t >= 0.0 && t < best) best = t
           }
         }
+        // appended at the END of the rep so a kept retry's GC (tGcMs was
+        // re-pointed above) — not the discarded original's — rides with it
+        rawGc += tGcMs
         t
       }.toBuffer
       // History-aware gate (r14 verdict #2, the uniform-window blind spot):
@@ -598,8 +644,8 @@ object Bench {
       histMins.get(name).foreach { h =>
         var settled = false
         while (!settled && best < Double.MaxValue && best > obMinSec &&
-            best > histFactor * h && obCount < obMaxPerQuery &&
-            obTotal < obMaxTotal) {
+            best > histFactor * h && !BenchPolicy.trivialExempt(best, h) &&
+            obCount < obMaxPerQuery && obTotal < obMaxTotal) {
           val f = quickFloor(spark)
           val jf = jobFloor(spark)
           if (floorsClean(f, jf)) {
@@ -612,6 +658,7 @@ object Bench {
             obCount += 1; obTotal += 1
             System.gc()
             val t2 = evalFully(name)
+            val t2GcMs = lastEvalGcMs
             dropPersisted()
             val f2 = quickFloor(spark)
             val jf2 = jobFloor(spark)
@@ -623,7 +670,7 @@ object Bench {
               s""""floor_ms":$f,"job_floor_ms":$jf,""" +
               s""""retry_floor_ms":$f2,"retry_job_floor_ms":$jf2,""" +
               s""""contended":true}"""
-            if (t2 >= 0.0) raw += t2
+            if (t2 >= 0.0) { raw += t2; rawGc += t2GcMs }
           }
         }
       }
@@ -635,10 +682,11 @@ object Bench {
       // bounded extra rep appended to the rep set (the median recomputes
       // over all reps, so one clean rep can tip it); clean -> keep, and the
       // log entry IS the attached record an elevated committed median needs.
-      def medianOfRaw(): Double = {
-        val ok = raw.filter(_ >= 0.0).sorted
-        if (ok.isEmpty) -1.0 else ok(ok.size / 2)
-      }
+      // Averaged-middles median (BenchPolicy.median, r17 advice): the
+      // upper-middle pick made the clean-floor retry below a structural
+      // no-op on odd-sized rep sets — the appended clean rep left the
+      // contended upper-middle element in place.
+      def medianOfRaw(): Double = BenchPolicy.median(raw.toSeq)
       histMeds.get(name).foreach { h =>
         var settled = false
         // One extra rep at CLEAN floors when the median sits >2x best-ever
@@ -650,6 +698,7 @@ object Bench {
         var cleanRetryUsed = false
         var med = medianOfRaw()
         while (!settled && med > obMinSec && med > medFactor * h &&
+            !BenchPolicy.trivialExempt(med, h) &&
             obCount < obMaxPerQuery && obTotal < obMaxTotal) {
           val f = quickFloor(spark)
           val jf = jobFloor(spark)
@@ -661,7 +710,7 @@ object Bench {
               val t2 = evalFully(name)
               val t2GcMs = lastEvalGcMs
               dropPersisted()
-              if (t2 >= 0.0) raw += t2
+              if (t2 >= 0.0) { raw += t2; rawGc += t2GcMs }
               val med2 = medianOfRaw()
               obLog += s"""{"q":"$name","trigger":"median",""" +
                 f""""hist_med_sec":$h%.3f,"median_sec":$med%.3f,""" +
@@ -682,10 +731,11 @@ object Bench {
             obCount += 1; obTotal += 1
             System.gc()
             val t2 = evalFully(name)
+            val t2GcMs = lastEvalGcMs
             dropPersisted()
             val f2 = quickFloor(spark)
             val jf2 = jobFloor(spark)
-            if (t2 >= 0.0) raw += t2
+            if (t2 >= 0.0) { raw += t2; rawGc += t2GcMs }
             val med2 = medianOfRaw()
             obLog += s"""{"q":"$name","trigger":"median",""" +
               f""""hist_med_sec":$h%.3f,"median_sec":$med%.3f,""" +
@@ -707,8 +757,7 @@ object Bench {
         System.err.println(s"BENCH_REPS $name " +
           raw.map(t => f"$t%.2f").mkString(" ") +
           " gc_ms " + rawGc.mkString(" "))
-      val times = raw.filter(_ >= 0.0).sorted
-      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
+      val median = BenchPolicy.median(raw.toSeq)
       (name, median, raw)
     }
     // Floor AFTER the loop (same 7-sample probe): the pair (before, after)
@@ -799,6 +848,10 @@ object Bench {
       val j = BenchPolicy.mergedCalib(calibJob, runStartJobFloor, 350L)
       s"""{"quick_ms":$q,"job_ms":$j}"""
     }
+    // Current definition tags, stamped next to the ledgers they guard.
+    val defTagsJson = defTags.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
     val totalMin = results
       .map { case (_, _, raw) => val ok = raw.filter(_ >= 0.0); if (ok.isEmpty) -1.0 else ok.min }
@@ -904,7 +957,7 @@ object Bench {
     //    medians, staying well under 1.5 KB at any catalog size.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""mins":$minsJson,"hist_best":$histBestJson,"hist_med":$histMedJson,""" +
-      s""""floor_calib":$calibJson,""" +
+      s""""floor_calib":$calibJson,"def_tags":$defTagsJson,""" +
       s""""queries_stddev":$stddevJson,"reps":$repsJson$annJson$streamJson$streamStateJson$floorJson$selfDefenseJson$filtered,"sf":"$sfDir"}"""
     val headline = Seq("q01_pricing_summary", "q04_revenue_by_nation",
       "q21_gap_detection", "q34_exact_dedup", "q46_minhash_neardups",
@@ -936,14 +989,20 @@ object Bench {
     try spark.stop() catch { case _: Throwable => () }
     // The repo sidecar is the committed round-over-round perf record — a
     // SPARK_GRAFT_BENCH_ONLY-filtered local iteration must NOT clobber it
-    // with a partial payload; filtered runs write only the /tmp sidecar.
-    // Repo root (defined with the history map above) comes from the
-    // environment, falling back to the forked JVM's working directory (sbt
-    // forks in the project base directory) — not a hardcoded path, so a run
-    // from another checkout records itself.
+    // with a partial payload, and (r18) neither may a full run at a
+    // NON-OFFICIAL scale factor: its hist_best/hist_med merge would fold
+    // e.g. sf0.01 mins into the sf0.1 ledgers, planting unreachably-fast
+    // references every later gate burns its retry budget chasing. Both
+    // cases write only the /tmp sidecar. Repo root (defined with the
+    // history map above) comes from the environment, falling back to the
+    // forked JVM's working directory (sbt forks in the project base
+    // directory) — not a hardcoded path, so a run from another checkout
+    // records itself.
+    val officialSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val sidecars =
       Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")) ++
-        (if (only.isDefined) Nil else Seq(s"$repoRoot/BENCH_SIDECAR.json"))
+        (if (only.isDefined || !officialSf) Nil
+         else Seq(s"$repoRoot/BENCH_SIDECAR.json"))
     sidecars.foreach { path =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -124,19 +124,43 @@ class BenchHygieneSpec extends SparkSpec {
           // change (r16 verdict #3). Matching EITHER is green; matching
           // neither means the block is stale — regenerate it.
           val worktree = ReportNumbers.block(read(sidecarPath))
-          lazy val committed: Option[String] =
+          def git(cmd: String*): Option[String] =
             try {
-              val pr = new ProcessBuilder("git", "show", "HEAD:BENCH_SIDECAR.json")
+              val pr = new ProcessBuilder(("git" +: cmd): _*)
                 .directory(root.toFile).redirectErrorStream(false).start()
               val txt = new String(pr.getInputStream.readAllBytes(),
                 java.nio.charset.StandardCharsets.UTF_8)
-              if (pr.waitFor() == 0 && txt.nonEmpty)
-                Some(ReportNumbers.block(txt))
-              else None
+              if (pr.waitFor() == 0 && txt.nonEmpty) Some(txt) else None
             } catch { case _: Throwable => None }
-          assert(embedded == worktree || committed.contains(embedded),
+          // The committed-state match is only valid while the REPORT itself
+          // is unmodified (r17 advice): accepting it for an edited report
+          // reintroduces the drift this check exists to catch — a new
+          // official run overwrites the worktree sidecar, the report is
+          // rewritten but its block regeneration forgotten, and the stale
+          // block sails green pre-commit, leaving the repo red for the next
+          // suite run. An edited report must match the worktree sidecar it
+          // claims to describe.
+          lazy val reportUnmodified: Boolean =
+            try new ProcessBuilder("git", "diff", "--quiet", "HEAD", "--",
+              reportPath.toString).directory(root.toFile).start()
+              .waitFor() == 0
+            catch { case _: Throwable => false }
+          // ...and the committed state compared against is the sidecar AS
+          // OF THE COMMIT THAT LAST TOUCHED THE REPORT — the artifact the
+          // report was committed alongside. Comparing against HEAD's
+          // sidecar (the pre-r18 rule) turned every report red one round
+          // later, when the driver's round-end commit replaced the sidecar
+          // with its own run's artifact: a historical report describes its
+          // own round's committed record, not whatever artifact is newest.
+          lazy val committedAtReport: Option[String] = for {
+            rev <- git("log", "-1", "--format=%H", "--", reportPath.toString)
+            txt <- git("show", s"${rev.trim}:BENCH_SIDECAR.json")
+          } yield ReportNumbers.block(txt)
+          assert(embedded == worktree ||
+              (reportUnmodified && committedAtReport.contains(embedded)),
             s"$reportPath Numbers block matches neither the working-tree " +
-              s"nor the HEAD-committed $sidecarPath — regenerate with " +
+              s"$sidecarPath nor (for an unmodified report) the sidecar " +
+              "committed alongside the report — regenerate with " +
               "`runMain graft.tools.ReportNumbers`")
         }
     }

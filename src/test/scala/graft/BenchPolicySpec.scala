@@ -48,6 +48,80 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.mergedCalib(497L, 90L, 350L) === 350L)  // freak-fast
   }
 
+  test("legStall fires on the r16 run-5 decomposition (normal p50, p99 far " +
+      "above it) and stays quiet on clean and uniformly-slow legs") {
+    // r16 run 5's in-memory leg: batch p50 679 / p99 3,693 at a 1 s
+    // trigger — all four bracketing probes clean, delivered p99 4,899
+    assert(BenchPolicy.legStall(679L, 3693L, 1000L))
+    // r17 committed clean band: durable 501/1147, in-memory-like 597/1595
+    assert(!BenchPolicy.legStall(501L, 1147L, 1000L))
+    assert(!BenchPolicy.legStall(597L, 1595L, 1000L))
+    // a uniformly slow leg (elevated p50) is inflation, not a stall
+    assert(!BenchPolicy.legStall(2500L, 9000L, 1000L))
+    // VOD at its 5 s trigger: sub-second batches, wide absolute bar
+    assert(!BenchPolicy.legStall(400L, 859L, 5000L))
+    assert(BenchPolicy.legStall(400L, 11000L, 5000L))
+  }
+
+  test("trivialExempt covers exactly the r17 sub-second floor-noise cohort " +
+      "and never a material excursion") {
+    // q02-style: 300 ms at a 500 ms floor reading 2x its 150 ms ledger
+    assert(BenchPolicy.trivialExempt(0.3, 0.15))
+    assert(BenchPolicy.trivialExempt(0.9, 0.45))
+    // material in absolute terms: not exempt even when sub-second
+    assert(!BenchPolicy.trivialExempt(0.95, 0.2))
+    // over a second: never exempt
+    assert(!BenchPolicy.trivialExempt(5.0, 2.9))
+    assert(!BenchPolicy.trivialExempt(1.2, 1.0))
+  }
+
+  test("a redefined query (oracle SQL changed) drops its stale ledger " +
+      "entry mechanically; untagged entries are grandfathered") {
+    val oldSql = "SELECT a FROM t ORDER BY a"
+    val newSql = "SELECT a, b FROM t ORDER BY a"
+    val stored = Map("q1" -> BenchPolicy.defTag(oldSql),
+      "q2" -> BenchPolicy.defTag("SELECT 1"))
+    val current = Map("q1" -> BenchPolicy.defTag(newSql),
+      "q2" -> BenchPolicy.defTag("SELECT 1"),
+      "q3" -> BenchPolicy.defTag("SELECT 3"))
+    val ledger = Map("q1" -> 2.5, "q2" -> 1.0, "q3" -> 0.7, "q4" -> 9.9)
+    val kept = BenchPolicy.filterByDefTags(ledger, stored, current)
+    assert(kept === Map("q2" -> 1.0, "q3" -> 0.7, "q4" -> 9.9),
+      "q1 (redefined) must drop; q3 (no stored tag) and q4 (no tag at " +
+        "all) are grandfathered")
+  }
+
+  test("defTag is whitespace-insensitive (formatting edits don't " +
+      "invalidate ledgers) but content-sensitive") {
+    assert(BenchPolicy.defTag("SELECT  a\n FROM t") ===
+      BenchPolicy.defTag("SELECT a FROM t"))
+    assert(BenchPolicy.defTag("SELECT a FROM t") !==
+      BenchPolicy.defTag("SELECT b FROM t"))
+    assert(BenchPolicy.defTag("x").matches("[0-9a-f]{12}"))
+  }
+
+  test("parseStringMap round-trips the def_tags shape Bench writes") {
+    val txt = ""","def_tags":{"q01_x":"ab12cd34ef56","q02_y":"0011223344aa"},"""
+    assert(BenchPolicy.parseStringMap(txt, "def_tags") ===
+      Map("q01_x" -> "ab12cd34ef56", "q02_y" -> "0011223344aa"))
+    assert(BenchPolicy.parseStringMap("{}", "def_tags") === Map.empty)
+  }
+
+  test("median averages the two middle elements for even sizes, so one " +
+      "appended clean rep can repair a two-contended-reps median (r17 advice)") {
+    // the advice's exact scenario: 3 reps, two contended, one clean retry
+    // appended — the upper-middle pick kept 8.0 as the median; averaged
+    // middles move it to 5.0
+    assert(BenchPolicy.median(Seq(2.0, 8.0, 9.0)) === 8.0)
+    assert(BenchPolicy.median(Seq(2.0, 8.0, 9.0, 2.0)) === 5.0)
+    // odd sizes keep the exact middle element
+    assert(BenchPolicy.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    // error sentinels are excluded before the middle is picked
+    assert(BenchPolicy.median(Seq(-1.0, 4.0, 6.0)) === 5.0)
+    assert(BenchPolicy.median(Seq(-1.0, -1.0)) === -1.0)
+    assert(BenchPolicy.median(Seq.empty) === -1.0)
+  }
+
   test("parseQueryMap extracts a ledger and drops error sentinels at parse") {
     val txt = """{"x":1,"hist_med":{"q1":1.500,"q2":-1.000,"q3":0.250},"y":2}"""
     assert(BenchPolicy.parseQueryMap(txt, "hist_med") ===

@@ -50,7 +50,23 @@ def committed_sidecars() -> list[dict]:
 
 def main() -> None:
     history = committed_sidecars()
+    txt = open("BENCH_SIDECAR.json", encoding="utf-8").read()
+    cur = json.loads(txt)
+    # Definition-version tags (r18): a sidecar entry measured under a
+    # DIFFERENT definition of the query (tag mismatch vs the current file's
+    # def_tags) is a measurement of a different query — skip it, the
+    # mechanical form of the r17 window rule. Sidecars predating def_tags
+    # carry no tags and are merged untagged (the hist_best window rule
+    # below still bounds them to post-r14 definitions).
+    cur_tags = cur.get("def_tags") or {}
+
+    def tag_ok(d: dict, q: str) -> bool:
+        t = (d.get("def_tags") or {}).get(q)
+        c = cur_tags.get(q)
+        return t is None or c is None or t == c
+
     best_med: dict[str, float] = {}
+    hist_mins: dict[str, float] = {}
     calib_quick, calib_job = [], []
     for d in history:
         if d.get("filtered"):
@@ -60,8 +76,16 @@ def main() -> None:
         if "hist_best" not in d:
             continue  # pre-r14: different query definitions (window rule)
         for q, v in (d.get("queries") or {}).items():
-            if isinstance(v, (int, float)) and v > 0:
+            if isinstance(v, (int, float)) and v > 0 and tag_ok(d, q):
                 best_med[q] = min(best_med.get(q, float("inf")), v)
+        # every committed run's own MINS enter best-ever too (r17 advice):
+        # restoring hist_best from only the newest pre-hist_med accumulation
+        # discarded the mins that intermediate post-r17 committed runs had
+        # merged, silently ratcheting best-ever entries back UP on a repair
+        # re-run and weakening the history gate
+        for q, v in (d.get("mins") or {}).items():
+            if isinstance(v, (int, float)) and v > 0 and tag_ok(d, q):
+                hist_mins[q] = min(hist_mins.get(q, float("inf")), v)
         ob = d.get("ob_policy") or {}
         if isinstance(ob.get("floor_ref_ms"), int):
             calib_quick.append(ob["floor_ref_ms"])
@@ -80,9 +104,11 @@ def main() -> None:
             break
     if not base_best:
         sys.exit("no pre-r17 hist_best found in history")
+    # ...merged with every committed post-r14-discipline run's mins
+    # (collected above, already tag-filtered)
+    for q, v in hist_mins.items():
+        base_best[q] = min(base_best.get(q, float("inf")), v)
 
-    txt = open("BENCH_SIDECAR.json", encoding="utf-8").read()
-    cur = json.loads(txt)
     # argv: extra full-run artifacts (e.g. /tmp copies of this round's other
     # official runs) whose measurements should also enter the ledgers
     extras = []
@@ -91,10 +117,10 @@ def main() -> None:
     for d in [cur] + extras:
         if str(d.get("sf", "")).endswith("sf0.1") and not d.get("filtered"):
             for q, v in (d.get("queries") or {}).items():
-                if isinstance(v, (int, float)) and v > 0:
+                if isinstance(v, (int, float)) and v > 0 and tag_ok(d, q):
                     best_med[q] = min(best_med.get(q, float("inf")), v)
             for q, v in (d.get("mins") or {}).items():
-                if isinstance(v, (int, float)) and v > 0:
+                if isinstance(v, (int, float)) and v > 0 and tag_ok(d, q):
                     base_best[q] = min(base_best.get(q, float("inf")), v)
 
     hist_med = ",".join(f'"{q}":{best_med[q]:.3f}' for q in sorted(best_med))
