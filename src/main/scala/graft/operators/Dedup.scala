@@ -564,7 +564,28 @@ object Dedup {
       rdd.count() // materialize now; lineage to the plan above is truncated
       (sessionInit.createDataFrame(rdd, df.schema), rdd)
     }
-    val (edges, edgesRdd) = checkpointed(
+    // Edges are materialized WITH LINEAGE INTACT (persist, not checkpoint):
+    // truncation is only needed where lineage would otherwise grow with the
+    // round count — the frontiers — and edges' lineage is the constant-
+    // depth candidate pipeline. Keeping it recomputable closes the r18
+    // zombie-broadcast abort: each round's `edges JOIN labels` broadcasts
+    // the (small) edge side on Spark's broadcast thread pool, and a
+    // broadcast future that nothing ended up awaiting can still be running
+    // when the loop converges and releases edges — reading a dropped block
+    // of a TRUNCATED rdd aborts the job (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+    // observed as silent post-convergence job failures on the 10x funnel
+    // ramp: the lost rdd's creation site traced to this line), while a
+    // dropped block of a persisted rdd just recomputes. Same argument at
+    // cluster scale for executor loss, where edges is the one loop input
+    // that must survive the WHOLE loop: frontier rounds are transient, but
+    // a lost edge block would abort every later round.
+    def materialized(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (sessionInit.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (edges, edgesRdd) = materialized(
       pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
         .union(pairs.select(col(idColB).as("src"), col(idColA).as("dst"))))
     var (labels, labelsRdd0) = checkpointed(
@@ -594,6 +615,9 @@ object Dedup {
       org.apache.spark.sql.types.StructField("label", labels.schema("label").dataType),
       org.apache.spark.sql.types.StructField("changed", org.apache.spark.sql.types.BooleanType)))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = labelsRdd0
+    // one-round release lag (see the unpersist below): holds round N-1
+    // while round N+1 materializes from round N
+    var prevPrevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -620,7 +644,19 @@ object Dedup {
       // changes, with per-partition exactly-once aggregation semantics
       val changed = roundRdd.aggregate(0L)(
         (n, r) => if (r.getBoolean(2)) n + 1L else n, _ + _)
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      // Release rounds LAGGED BY ONE, and blocking (r18): the 10x funnel
+      // ramp intermittently died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+      // under host contention — a cached block of round N dropped while
+      // round N+1 read it, whose recompute then reached round N-1's
+      // ALREADY-UNPERSISTED checkpoint (round N's truncated lineage stops
+      // exactly there). Keeping one extra round alive makes that recompute
+      // succeed instead: while round N+1 materializes from round N, round
+      // N-1's blocks still exist, and once N+1 is materialized nothing can
+      // reach N-1 again. Blocking removal closes the other half of the
+      // race (an async removal in flight while the next round's jobs
+      // launch); one label-table round costs single-digit ms to drop.
+      if (prevPrevRdd != null) prevPrevRdd.unpersist(blocking = true)
+      prevPrevRdd = prevRdd
       prevRdd = roundRdd
       labels = session.createDataFrame(roundRdd, labelSchema)
       converged = changed == 0L
@@ -628,7 +664,13 @@ object Dedup {
     }
     edgesRdd.unpersist(blocking = false) // symmetrized corpus-pair edges: the
     // loop's largest retained blocks; release them before returning (the
-    // final round's label RDD stays cached — it backs the returned frame)
+    // final round's label RDD stays cached — it backs the returned frame).
+    // Safe against in-flight zombie broadcast readers: edges kept its
+    // lineage (see `materialized` above), so a late read recomputes.
+    // the lagged round too: after the loop the final round is materialized,
+    // so its predecessor can no longer be reached by any recompute
+    if (prevPrevRdd != null && !(prevPrevRdd eq prevRdd))
+      prevPrevRdd.unpersist(blocking = false)
     if (!converged) {
       // per the no-silent-caps rule: a non-converged labeling is PARTIAL
       // (some cluster ids are not yet the component minimum) — fail loudly.

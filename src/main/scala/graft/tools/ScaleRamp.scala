@@ -69,34 +69,118 @@ object ScaleRamp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // WARN exposes BlockManager/MemoryStore block-drop messages when
+    // debugging lost-block aborts; default stays quiet
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_RAMP_LOG", "ERROR"))
 
-    val factors = Seq(1, 3, 10)
+    // SPARK_GRAFT_RAMP_FACTORS=10 iterates on one factor (debugging the
+    // factor-10 lost-block abort without re-paying 1x/3x); RAMP_FIT rows
+    // are only emitted when all three factors ran
+    val factors = sys.env.get("SPARK_GRAFT_RAMP_FACTORS")
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 3, 10))
+
+    // Silent-abort tripwire (r18): during the first funnel-family run, two
+    // jobs aborted (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) without any
+    // exception reaching the harness — the timing rows printed as if
+    // nothing happened. A measurement over a window containing failed jobs
+    // is not a measurement; every RAMP row now carries the failed-job
+    // count observed during it, and a nonzero count voids the row.
+    val failedJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    // rdd id -> creation callsite, harvested from every job's stage infos:
+    // when a job dies on `Checkpoint block rdd_X_p not found`, X's callsite
+    // names the operator line that produced the lost checkpoint
+    val rddSites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobSites.put(e.jobId,
+            e.stageInfos.map(_.name).mkString(" | ").take(300))
+          e.stageInfos.foreach(_.rddInfos.foreach { ri =>
+            rddSites.put(ri.id, s"${ri.name}@${ri.callSite}".take(160)) })
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          e.jobResult match {
+            case org.apache.spark.scheduler.JobSucceeded => ()
+            case failed =>
+              failedJobs.incrementAndGet()
+              // name the failed job's stages + error: a failure that never
+              // propagates to the harness is otherwise unattributable
+              val why = failed match {
+                case org.apache.spark.scheduler.JobFailed(ex) =>
+                  String.valueOf(ex.getMessage).replace('\n', ' ').take(200)
+                case other => other.toString.take(200)
+              }
+              val lost = "rdd_(\\d+)_".r.findFirstMatchIn(why)
+                .map(_.group(1).toInt)
+              val lostSite = lost.map(id =>
+                s" lost_rdd=$id site=[${rddSites.getOrDefault(id, "?")}]")
+                .getOrElse("")
+              println(s"RAMP_JOB_FAILED id=${e.jobId} " +
+                s"stages=[${jobSites.getOrDefault(e.jobId, "?")}]$lostSite " +
+                s"why=$why")
+          }
+        // RDD-id-level unpersist trace (debug aid for the lost-block
+        // abort): correlate `Checkpoint block rdd_X_p not found` against
+        // who dropped rdd_X and when
+        override def onUnpersistRDD(
+            e: org.apache.spark.scheduler.SparkListenerUnpersistRDD): Unit =
+          if (sys.env.contains("SPARK_GRAFT_RAMP_TRACE"))
+            println(s"RAMP_UNPERSIST rdd=${e.rddId} " +
+              s"t=${System.currentTimeMillis()}")
+      })
 
     // SPARK_GRAFT_RAMP_ONLY=graph,graph_gen runs a comma-separated family
     // subset (iterating on one family without re-paying the whole harness)
     val only = sys.env.get("SPARK_GRAFT_RAMP_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
+    // Corpus materialization: `checkpoint` holds the scaled corpus as an
+    // eager localCheckpoint (cheap, fine for map/agg-only operators);
+    // `parquet` round-trips it through /tmp parquet — the production shape
+    // ("the table on disk"), REQUIRED for operators that persist() frames
+    // derived from the corpus: a cache-miss recompute over a truncated-
+    // lineage checkpoint dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // (observed on the funnel family, whose `gated` persist sits directly
+    // over the corpus), while a parquet-backed corpus always recomputes.
     def ramp(family: String, synth: Int => DataFrame,
-        ops: Seq[(String, DataFrame => DataFrame)]): Unit = {
+        ops: Seq[(String, DataFrame => DataFrame)],
+        corpusVia: String = "checkpoint"): Unit = {
       if (!only.forall(_.contains(family))) return
       val mins = scala.collection.mutable.Map[(String, Int), Double]()
       factors.foreach { f =>
         // materialize the scaled corpus once so synthesis cost is not
         // billed to the operators (on a cluster this is the table on disk)
-        val corpus = synth(f).localCheckpoint(true)
+        val corpus =
+          if (corpusVia == "parquet") {
+            val path = s"/tmp/graft_ramp_${family}_$f.parquet"
+            synth(f).write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+          } else synth(f).localCheckpoint(true)
         val n = corpus.count()
         ops.foreach { case (name, op) =>
           val times = (1 to reps).map { _ =>
+            val fail0 = failedJobs.get()
             val t0 = System.nanoTime()
             op(corpus).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            val failed = failedJobs.get() - fail0
+            if (failed > 0)
+              println(s"RAMP_VOID op=$name factor=$f failed_jobs=$failed " +
+                "(rep discarded: its window contains aborted jobs)")
+            (dt, failed)
           }
-          mins((name, f)) = times.min
-          println(f"RAMP op=$name%-18s factor=$f%-2d rows=$n%-7d min_sec=${times.min}%.2f")
+          val clean = times.filter(_._2 == 0).map(_._1)
+          mins((name, f)) =
+            if (clean.nonEmpty) clean.min else Double.NaN
+          println(f"RAMP op=$name%-18s factor=$f%-2d rows=$n%-7d " +
+            f"min_sec=${mins((name, f))}%.2f clean_reps=${clean.size}/${times.size}")
         }
-        corpus.unpersist(blocking = true)
+        if (corpusVia != "parquet") corpus.unpersist(blocking = true)
       }
       ops.foreach { case (name, _) =>
         val (t1, t3, t10) = (mins((name, 1)), mins((name, 3)), mins((name, 10)))
@@ -155,7 +239,7 @@ object ScaleRamp {
         .agg(count(lit(1)).as("n_docs"))
     }
     ramp("funnel", scaledDocs(spark, sfDir, _), Seq(
-      "q72_funnel" -> (d => funnel(d))))
+      "q72_funnel" -> (d => funnel(d))), corpusVia = "parquet")
 
     // The maxBucket lever under a DEGENERATE corpus (q195's shape): one
     // shared 98-char block on every third doc puts ~60 gram buckets at
