@@ -349,6 +349,10 @@ object Dedup {
     val rows = k / bands
     val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r18): the banded self-join's two sides are concurrent
+    // AQE query stages; racing the unfilled cache runs the corpus
+    // scan+hash subtree once per side (see exactSubstrSpans)
+    sig.count()
     // one row per (band, bucket): bucket = hash of the band's signature slice
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -815,6 +819,7 @@ object Dedup {
     val fps = winnowingFingerprintTable(docs, textCol, idCol, k, w)
       .select(col("id"), explode(col("fingerprints")).as("fph"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count() // eager fill (r18) — see exactSubstrSpans
     val capped = capBuckets(fps, Seq("fph"), maxBucket, "sharedFingerprintPairs")
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.fph") === col("b.fph") && col("a.id") < col("b.id"))
@@ -870,8 +875,12 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucket: Int = 0): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val grams = exactSubstrGrams(docs, minLen, textCol, idCol)
+    val grams = exactSubstrGrams(docs, minLen, textCol, idCol, spread = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r18): the shared-hash aggregate and both pair-join sides
+    // otherwise race the unfilled cache and each re-derive the gram frame
+    // from the scan (q195 profile: ~6 single-task re-derivations per run)
+    grams.count()
     val spans = exactSubstrSpansFromGrams(grams, minLen, maxBucket)
     grams.unpersist(blocking = false)
     spans
@@ -912,6 +921,10 @@ object Dedup {
     val cand = capBuckets(grams.join(shared, Seq("gh")), Seq("gh"),
       maxBucket, "exactSubstrSpans", tiebreakers = Seq("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r18): both self-join sides materialize as concurrent AQE
+    // query stages; racing the unfilled cache re-runs the shared-hash
+    // aggregate subtree once per side
+    cand.count()
     val m = cand.as("a").join(cand.as("b"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
@@ -941,7 +954,8 @@ object Dedup {
       docs: DataFrame,
       minLen: Int = 40,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      spread: Boolean = false): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val L = minLen
     // Gram hashing is the native CharGramHashes kernel (one byte walk per
@@ -952,9 +966,31 @@ object Dedup {
     // to the same 1-based pos. Transient memory is the 8 B/char hash array
     // per row (the r13 scale-ramp's ~24 B/char gram-frame budget already
     // dominates it).
-    docs.filter(length(col(textCol)) >= L)
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(ArrayExpressions.charGramHashes(col(textCol), L)))
+    //
+    // `spread` (r18, guide §2.5): the hash walk + explode inherit the
+    // SCAN's split count — on a single-row-group fixture file that is ONE
+    // task, and the q195 profile showed the whole gram derivation running
+    // ~500-800 ms single-task per consumer. Spreading the (id, text) rows
+    // by id first costs one exchange of ~1 byte/char — small next to the
+    // ~24 byte/char gram frame the span operators shuffle downstream
+    // anyway — so the span-family callers opt in. Callers whose design is
+    // a MAP-ONLY gram projection (the q197 decontamination gate, whose
+    // corpus side must reach a BroadcastHashJoin with no corpus exchange)
+    // keep the default false: there the added text shuffle would be the
+    // heaviest exchange in the job, not 4% of it. Width follows the
+    // session conf; the explicit number keeps AQE from re-coalescing the
+    // fan-out stage down to the input's byte size.
+    val base = docs.filter(length(col(textCol)) >= L)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+    val sprd =
+      if (spread)
+        base.repartition(
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("id"))
+      else base
+    sprd
+      .select(col("id"),
+        posexplode(ArrayExpressions.charGramHashes(col("__t"), L)))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gh"))
   }
@@ -1011,8 +1047,9 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val L = minLen
-    val grams = exactSubstrGrams(docs, L, textCol, idCol)
+    val grams = exactSubstrGrams(docs, L, textCol, idCol, spread = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager fill (r18) — see exactSubstrSpans
     val rep = grams.groupBy(col("id"), col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("id"), col("gh"))
@@ -1020,6 +1057,7 @@ object Dedup {
     // join sides would otherwise re-run the repeated-gram aggregate
     val cand = grams.join(rep, Seq("id", "gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // eager fill (r18) — see exactSubstrSpans
     val m = cand.as("a").join(cand.as("b"),
         col("a.id") === col("b.id") && col("a.gh") === col("b.gh") &&
           col("a.pos") < col("b.pos"))
@@ -1367,6 +1405,13 @@ object Dedup {
     // repeated calls don't pin storage for the session lifetime.
     val withSim = sigs.select(col(idCol).as("id"), col(sigCol).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Fill the cache EAGERLY (r18, guide §1/§5): the candidate join's two
+    // self-join sides materialize as independent AQE query stages, and both
+    // racing an UNFILLED cache re-run the signature subtree — for media
+    // signatures that is the decode pass itself (q172's profile: two
+    // back-to-back 660 ms audio-fingerprint stages for one table). One
+    // count() job fills the cache once; the join sides then read it.
+    withSim.count()
     val blockKey = (b: Int) =>
       shiftrightunsigned(col("sim"), b * width).bitwiseAND(lit((1L << width) - 1))
     // matchBlocks = 1: classic single-block banding ("block" = block index,
@@ -1509,6 +1554,10 @@ object Dedup {
     val cached = frames.select(col(idCol).as("fid"), col(frameCol).as("fno"),
         col(nCol).as("nf"), col(sigCol).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill, same reason as signatureHammingPairs (r18): the three
+    // consumers otherwise race the unfilled cache and re-run the frame
+    // decode per concurrent query stage
+    cached.count()
     val cand = signatureHammingPairs(
         cached.filter(col("fno") === 0), "fid", "sig",
         blocks, maxBucket, matchBlocks, maxHamming)

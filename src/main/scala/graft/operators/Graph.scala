@@ -168,9 +168,26 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("y"))
       .filter(col("x") =!= col("y"))
       .distinct()
+    // Wedge fan-out guard (r18, guide §2.5): the wedge self-join's INPUT is
+    // tiny (the capped adjacency list), so AQE coalesces its exchanges down
+    // to ONE partition — but the join's OUTPUT is quadratic per apex
+    // (Σ C(deg, 2) wedges), and the q167 profile showed the whole wedge
+    // stage + partial aggregate running 5.6 s in ONE task (21.8 MB of
+    // partial-agg output from a 0.1 MB input). The EXPLICIT-width hash
+    // repartition on the apex — placed directly over the checkpointed
+    // adjacency, whose Scan ExistingRDD carries no known partitioning, so
+    // the optimizer cannot elide it as redundant — survives as a
+    // REPARTITION_BY_NUM exchange AQE may not re-coalesce, and every
+    // apex-keyed consumer below (degree agg, weight join, both wedge
+    // sides) reuses that ONE exchange at full width instead of adding its
+    // own coalescible one. Width follows the session conf (local cores
+    // here, cluster-sized there), never a constant.
+    val wedgeWidth =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sym = und.select(col("x").as("node"), col("y").as("nb"))
       .union(und.select(col("y").as("node"), col("x").as("nb")))
       .localCheckpoint(true) // adjacency: wedge sides + anti-join + degrees
+      .repartition(wedgeWidth, col("node"))
     val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
     // d >= 2: a degree-1 node can never be a wedge apex, and ln(1) = 0
     // would make the weight projection divide by zero under ANSI mode
@@ -343,6 +360,12 @@ object Graph {
           .otherwise(struct(col("y").as("s"), col("x").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
       .localCheckpoint(true) // both wedge sides read it
+      // same wedge fan-out guard as adamicAdar (r18): pin the self-join's
+      // width so AQE's input-sized coalescing can't serialize the
+      // quadratic-output wedge enumeration onto one task
+      .repartition(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("s"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))

@@ -52,6 +52,25 @@ object Multimodal {
       solid_rgb: Long,
       content_md5: String)
 
+  /** Typed asset view with its rows SPREAD by id hash — the input shape for
+    * every synthetic byte generator below. A narrow map chain inherits the
+    * scan's split count (guide §2.5 input parallelism), which on a
+    * single-file fixture parquet is ONE task: q172's profile showed the
+    * audio synthesis+fingerprint pass running 1.6 s on 1 of 32 cores (three
+    * such single-task stages = ~75% of the query's wall). The exchange here
+    * moves only the tiny PRE-expansion (id, type, text-bytes) rows — the
+    * expensive byte synthesis/decode runs after it, at
+    * spark.sql.shuffle.partitions-way parallelism (scale-adaptive conf:
+    * local cores here, cluster-sized there). Real-media decode operators do
+    * NOT get this treatment: their bytes are already expanded, and at scale
+    * shuffling media payloads to win parallelism is the §8 anti-pattern —
+    * scan parallelism covers them in production, and in this catalog their
+    * input is a generator output that is already spread. */
+  private def spreadAssets(assets: DataFrame): Dataset[Asset] =
+    assets.select(col("asset_id"), col("media_type"), col("content"))
+      .repartition(col("asset_id"))
+      .as(Encoders.product[Asset])
+
   /** Adapt any (id, text) table into a typed asset table: binary content +
     * media-type metadata (deterministic assignment across the 3 modalities). */
   def assetize(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -84,8 +103,7 @@ object Multimodal {
   /** Swap real PNG bytes into the image-typed rows (audio/video keep their
     * opaque blobs): the fixture generator for the end-to-end decode path. */
   def withSyntheticImages(assets: DataFrame): DataFrame = {
-    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
-      .as(Encoders.product[Asset])
+    val ds = spreadAssets(assets)
     ds.mapPartitions { it =>
       ImageIO.setUseCache(false) // keep the encoder in-memory, no temp files
       it.map { a =>
@@ -335,8 +353,7 @@ object Multimodal {
   /** Swap pattern PNGs into the image-typed rows — the perceptual-hash
     * fixture generator (audio/video rows keep their opaque blobs). */
   def withSyntheticPatternImages(assets: DataFrame): DataFrame = {
-    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
-      .as(Encoders.product[Asset])
+    val ds = spreadAssets(assets)
     ds.mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { a =>
@@ -450,8 +467,7 @@ object Multimodal {
 
   /** Swap real WAV bytes into the audio-typed rows. */
   def withSyntheticAudio(assets: DataFrame): DataFrame = {
-    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
-      .as(Encoders.product[Asset])
+    val ds = spreadAssets(assets)
     ds.mapPartitions(_.map { a =>
       if (a.media_type == "audio") a.copy(content = syntheticWav(a.asset_id)) else a
     })(Encoders.product[Asset]).toDF()
@@ -535,8 +551,7 @@ object Multimodal {
 
   /** Swap variant-track WAVs into the audio-typed rows. */
   def withSyntheticAudioVariants(assets: DataFrame): DataFrame = {
-    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
-      .as(Encoders.product[Asset])
+    val ds = spreadAssets(assets)
     ds.mapPartitions(_.map { a =>
       if (a.media_type == "audio") a.copy(content = syntheticWavVariant(a.asset_id)) else a
     })(Encoders.product[Asset]).toDF()
@@ -647,8 +662,7 @@ object Multimodal {
 
   /** Swap real animated-GIF bytes into the video-typed rows. */
   def withSyntheticVideos(assets: DataFrame): DataFrame = {
-    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
-      .as(Encoders.product[Asset])
+    val ds = spreadAssets(assets)
     ds.mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { a =>
@@ -747,8 +761,7 @@ object Multimodal {
 
   /** Swap pattern-sequence GIFs into the video-typed rows. */
   def withSyntheticPatternVideos(assets: DataFrame): DataFrame = {
-    val ds = assets.select(col("asset_id"), col("media_type"), col("content"))
-      .as(Encoders.product[Asset])
+    val ds = spreadAssets(assets)
     ds.mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { a =>

@@ -1522,23 +1522,30 @@ object Text extends QueryModule {
               .as("assets_in_dups"))
           .select(lit("text").as("modality"), $"n_assets", $"dup_pairs",
             $"assets_in_dups")
+        // n_assets counts the PRE-synthesis asset rows (r18, guide §2.3
+        // "project before the opaque operation"): the generators are 1:1
+        // row-preserving maps that keep media_type, but counting their
+        // OUTPUT forces the opaque mapPartitions byte synthesis just to
+        // count rows — measured 1.6 s of single-purpose audio synthesis in
+        // the profile. Counting assetize's codegen projection is the same
+        // number off a bare column scan.
         val imgs = Multimodal.withSyntheticPatternImages(assets)
           .filter($"media_type" === "image")
-        val image = stats("image", imgs,
+        val image = stats("image", assets.filter($"media_type" === "image"),
           Dedup.signatureHammingPairs(
             Multimodal.imageAHash(imgs).toDF().filter($"decoded"),
             "asset_id", "ahash", blocks = 4, maxHamming = 2),
           "id_a", "id_b")
         val auds = Multimodal.withSyntheticAudioVariants(assets)
           .filter($"media_type" === "audio")
-        val audio = stats("audio", auds,
+        val audio = stats("audio", assets.filter($"media_type" === "audio"),
           Dedup.signatureHammingPairs(
             Multimodal.audioFingerprint(auds).toDF().filter($"decoded"),
             "asset_id", "fingerprint", blocks = 4, maxHamming = 3),
           "id_a", "id_b")
         val vids = Multimodal.withSyntheticPatternVideos(assets)
           .filter($"media_type" === "video")
-        val video = stats("video", vids,
+        val video = stats("video", assets.filter($"media_type" === "video"),
           Dedup.frameSequencePairs(
             Multimodal.videoFingerprint(vids).toDF().filter($"decoded"),
             maxHamming = 2),
@@ -3604,8 +3611,12 @@ object Reshape extends QueryModule {
         // independent drop-ledger audit — recomputed exactly as capBuckets
         // accounts it (occupancy of each >=2-distinct-doc gram), with the
         // oracle recomputing it a third way from gram STRINGS.
-        val grams = Dedup.exactSubstrGrams(synth, minLen = 40)
+        val grams = Dedup.exactSubstrGrams(synth, minLen = 40, spread = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // eager fill (r18): four consumers (ledger, shared-hash prefilter,
+        // both pair-join sides) otherwise race the unfilled cache and each
+        // re-derive the gram frame single-task from the scan
+        grams.count()
         val ledger = grams.groupBy($"gh")
           .agg(min($"id").as("mn"), max($"id").as("mx"),
             count(lit(1)).as("occ"))
@@ -3680,8 +3691,9 @@ object Reshape extends QueryModule {
         val pbDocs = synth.filter($"doc_id" % 2 =!= 0)
         // ONE index-side gram explode serves the ledger audit, the cap's
         // occupancy pass, and the join (q189/q195 lifecycle)
-        val ixGrams = Dedup.exactSubstrGrams(ixDocs, minLen = 40)
+        val ixGrams = Dedup.exactSubstrGrams(ixDocs, minLen = 40, spread = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ixGrams.count() // eager fill (r18) — see q195
         val ledger = ixGrams.groupBy($"gh")
           .agg(count(lit(1)).as("occ"))
           .agg(
@@ -3689,7 +3701,7 @@ object Reshape extends QueryModule {
               .as("dropped_index_rows"),
             count_if($"occ" > cap).as("capped_buckets"))
         val spans = Dedup.exactSubstrSpansAgainstIndex(
-            ixGrams, Dedup.exactSubstrGrams(pbDocs, minLen = 40),
+            ixGrams, Dedup.exactSubstrGrams(pbDocs, minLen = 40, spread = true),
             minLen = 40, maxBucket = cap)
         val checked = spans
           .join(synth.select($"doc_id".as("index_id"), $"text".as("ti")),
