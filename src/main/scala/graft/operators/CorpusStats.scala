@@ -449,8 +449,26 @@ object CorpusStats {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     var round = 0
+    // Checkpoint CADENCE (r18, guide §1.2 per-round fixed costs): the
+    // per-merge eager checkpoint paid one extra materialization job per
+    // round (q146 profiled at 54 jobs of 10-50 ms — pure job-floor
+    // stacking). The merge fold is a cheap vocabulary-sized projection, so
+    // rounds between checkpoints just stack `sinceCkpt` folds into the
+    // argmax job's plan; checkpointing every 4th merge keeps plan depth
+    // bounded while cutting the job count per round from ~4.5 to ~2.5.
+    var sinceCkpt = 0
     while (!done && round < merges) {
-      val top = bpePairCounts(vocab)
+      // Trainer-lean pair stats: bpePairCounts additionally computes
+      // n_words (a countDistinct whose two-phase expansion doubles the
+      // aggregate's shuffle) for the q120 stats surface — the trainer
+      // never reads it, so it aggregates cnt alone (r18).
+      val top = vocab
+        .select(col("freq"),
+          explode(zip_with(
+            slice(col("symbols"), lit(1), size(col("symbols")) - 1),
+            slice(col("symbols"), lit(2), size(col("symbols")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .filter(col("cnt") >= minPairCount)
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect() // bounded: exactly the argmax row
@@ -463,7 +481,8 @@ object CorpusStats {
         vocab = vocab
           .select(col("word"), bpeMergeSymbols(col("symbols"), a, b).as("symbols"),
             col("freq"))
-          .localCheckpoint(true)
+        sinceCkpt += 1
+        if (sinceCkpt == 4) { vocab = vocab.localCheckpoint(true); sinceCkpt = 0 }
       }
       round += 1
     }

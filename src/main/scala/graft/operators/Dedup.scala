@@ -349,10 +349,11 @@ object Dedup {
     val rows = k / bands
     val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r18): the banded self-join's two sides are concurrent
-    // AQE query stages; racing the unfilled cache runs the corpus
-    // scan+hash subtree once per side (see exactSubstrSpans)
-    sig.count()
+    // No explicit eager fill here (r18, measured): capBuckets' sampled
+    // occupancy probe below is the first action and already materializes
+    // the cache SEQUENTIALLY before the self-join's concurrent sides read
+    // it — an extra count() job only re-reads the cache (~350 ms of pure
+    // job floor at fixture scale, verified as a q58 regression).
     // one row per (band, bucket): bucket = hash of the band's signature slice
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -559,15 +560,6 @@ object Dedup {
     // genuinely release storage instead of no-op'ing through a re-wrapped
     // frame that the CacheManager never registered.
     val sessionInit = pairs.sparkSession
-    def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
-      // reliable when the session asks (graft.loops.reliableCheckpoint):
-      // a lost localCheckpoint block is unrecoverable mid-loop at cluster
-      // scale — see Loops
-      Loops.markCheckpoint(sessionInit, rdd)
-      rdd.count() // materialize now; lineage to the plan above is truncated
-      (sessionInit.createDataFrame(rdd, df.schema), rdd)
-    }
     // Edges are materialized WITH LINEAGE INTACT (persist, not checkpoint):
     // truncation is only needed where lineage would otherwise grow with the
     // round count — the frontiers — and edges' lineage is the constant-
@@ -592,9 +584,14 @@ object Dedup {
     val (edges, edgesRdd) = materialized(
       pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
         .union(pairs.select(col(idColB).as("src"), col(idColA).as("dst"))))
-    var (labels, labelsRdd0) = checkpointed(
-      edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
+    // No separate initial-label frame (r18): with labels₀(x) = x, round 1's
+    // neighbor-min join degenerates to a projection of the edge table
+    // itself (dst takes src as a candidate label; every node contributes a
+    // self row — duplicates collapse in the same groupBy-min that already
+    // runs). That removes the distinct + checkpoint + count jobs the old
+    // labels₀ materialization paid, and round 1's edges⋈labels join, with
+    // bit-identical round-1 output (pinned by the existing CC specs).
+    var labels: DataFrame = null
     // One Spark job per round: the convergence signal rides the same job
     // that materializes the round's labels. The old label is carried THROUGH
     // the neighbor-min aggregation (max() over exactly one non-null per
@@ -614,23 +611,33 @@ object Dedup {
     // cluster and waste rounds or trip the maxRounds guard); downstream
     // consumers project (node, label) explicitly, so the extra column never
     // enters a join or the returned frame
+    val nodeType = edges.schema("src").dataType
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node", labels.schema("node").dataType),
-      org.apache.spark.sql.types.StructField("label", labels.schema("label").dataType),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("label", nodeType),
       org.apache.spark.sql.types.StructField("changed", org.apache.spark.sql.types.BooleanType)))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = labelsRdd0
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     // one-round release lag (see the unpersist below): holds round N-1
     // while round N+1 materializes from round N
     var prevPrevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // (a) neighbor-min, carrying each node's previous label alongside
-      val viaNbr = edges.as("e").join(labels.as("l"), col("e.src") === col("l.node"))
-        .select(col("e.dst").as("node"), col("l.label").as("label"),
-          lit(null).cast(labelSchema("label").dataType).as("old"))
-      val stepped = viaNbr
-        .union(labels.select(col("node"), col("label"), col("label").as("old")))
+      // (a) neighbor-min, carrying each node's previous label alongside.
+      // Round 1 (labels == null) inlines labels₀(x) = x: neighbor
+      // candidates are just (dst, src), self rows are (src, src, old=src)
+      // straight off the edge table — no join, no distinct (the
+      // groupBy-min collapses duplicate self rows identically).
+      val stepped = (if (labels == null)
+        edges.select(col("dst").as("node"), col("src").as("label"),
+            lit(null).cast(nodeType).as("old"))
+          .union(edges.select(col("src").as("node"), col("src").as("label"),
+            col("src").as("old")))
+      else
+        edges.as("e").join(labels.as("l"), col("e.src") === col("l.node"))
+          .select(col("e.dst").as("node"), col("l.label").as("label"),
+            lit(null).cast(nodeType).as("old"))
+          .union(labels.select(col("node"), col("label"), col("label").as("old"))))
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
       // (b) pointer jump: label(x) := label(label(x)) (labels are node ids,

@@ -308,15 +308,19 @@ object Graph {
         .union(und.select(col("y").as("node"), col("x").as("nb"))))
     var labels = Loops.roundCheckpoint(sym.select(col("node")).distinct()
       .select(col("node"), col("node").as("label")))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("c").desc, col("label"))
+    // Per-round top-1 is ONE deterministic mode() aggregate (r18, guide
+    // §2.3/§2.4): mode(label, deterministic = true) returns the most
+    // frequent neighbor label with ties to the LOWEST value — exactly the
+    // former (node, label)-count + row_number window's (c DESC, label ASC)
+    // rule — in a single node-keyed exchange with map-side partial
+    // aggregation (per-node label->count maps merge associatively), where
+    // the window shape paid TWO exchanges and a per-partition sort per
+    // round.
     for (_ <- 1 to rounds) {
       labels = Loops.roundCheckpoint(sym
         .join(labels.select(col("node").as("nb"), col("label")), "nb")
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label")))
+        .groupBy(col("node"))
+        .agg(mode(col("label"), deterministic = true).as("label")))
     }
     labels.select(col("node"), col("label").as("community"))
   }

@@ -522,8 +522,18 @@ object Sketch extends QueryModule {
           .union(edges.select($"dst".as("node"), $"src".as("nb")))
         val ball1 = sym.select($"node", $"node".as("item"))
           .union(sym.select($"node", $"nb".as("item")))
+        // Explicit-width spread of the checkpointed register table (r18,
+        // guide §2.5): the propagation join's INPUT is small, so AQE
+        // coalesced it to 2 tasks while its OUTPUT fans out to
+        // edges x 64 buckets — profiled at 2.3 s in 2 tasks (13.6 MB of
+        // partial-agg output from 7.3 MB in). The repartition sits over the
+        // checkpoint's Scan ExistingRDD (no known partitioning), so it
+        // survives as a non-coalescible REPARTITION_BY_NUM exchange; width
+        // follows the session conf.
         val r1 = Sketches.hllRegisters(ball1, Seq("node"), $"item", B)
           .localCheckpoint(true) // self term + per-neighbor term
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            $"node")
         val propagated = r1.union(
           sym.join(r1.withColumnRenamed("node", "nb"), "nb")
             .select($"node", $"bucket", $"register"))
