@@ -486,6 +486,11 @@ object CorpusStats {
       }
       round += 1
     }
+    // Invariant (r19, advisor): up to 3 un-checkpointed merge folds may
+    // remain stacked on `vocab` when the loop exits. That is fine ONLY
+    // because vocab never escapes this method — the merge list `out` is the
+    // result. If a future change returns or reuses vocab, checkpoint it
+    // here first (its pending lineage would otherwise re-run those folds).
     out.toSeq
   }
 

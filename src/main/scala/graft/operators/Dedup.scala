@@ -279,7 +279,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 16,
-      shingle: Int = 3): DataFrame = {
+      shingle: Int = 3,
+      spread: Boolean = false): DataFrame = {
     // explode_outer keeps shingle-less docs as a single null-hash row, so
     // no second scan + join-back is needed to preserve them; the guarded
     // hash leaves their mins null -> coalesced to the Long.MaxValue sentinel
@@ -289,10 +290,27 @@ object Dedup {
     // min over the hash multiset equals min over the distinct set, so the
     // signature stays bit-identical to the per-row distinct form while the
     // scan skips both the string materialization and the string distinct.
-    val hashed = docs
-      .select(col(idCol).as("id"),
+    //
+    // `spread` (r19, same guard as exactSubstrGrams): the shingle hash walk
+    // and the k map-side partial mins inherit the SCAN's split count — ONE
+    // task on a single-row-group fixture file (q46 profile: the whole
+    // signature build ran 321 ms in 1 of 32 tasks). Spreading the (id,
+    // text) rows first costs one ~1 byte/char exchange; the hash walk then
+    // runs at spark.sql.shuffle.partitions-way parallelism. Opt-in for the
+    // batch self-dedup callers; default false keeps the map-only shape for
+    // incremental/streaming banding ([[bandedSignatures]]), where an extra
+    // per-batch text shuffle is pure cost.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val sprd =
+      if (spread)
+        base.repartition(
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("id"))
+      else base
+    val hashed = sprd
+      .select(col("id"),
         explode_outer(org.apache.spark.sql.graft.ArrayExpressions
-          .wordShingleHashes(col(textCol), shingle)).as("h"))
+          .wordShingleHashes(col("__t"), shingle)).as("h"))
       // the null guard must wrap the FAMILY hash too: xxhash64 skips null
       // arguments (hashing just the seed) instead of propagating null
       .select(col("id") +: (0 until k).map(seed =>
@@ -347,13 +365,19 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle)
+    val sig = minhashSignatureTable(docs, textCol, idCol, k, shingle,
+        spread = true) // batch self-dedup: parallelize the hash walk (r19)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // No explicit eager fill here (r18, measured): capBuckets' sampled
     // occupancy probe below is the first action and already materializes
     // the cache SEQUENTIALLY before the self-join's concurrent sides read
     // it — an extra count() job only re-reads the cache (~350 ms of pure
     // job floor at fixture scale, verified as a q58 regression).
+    // EXCEPT when the cap is disabled (r19, advisor): capBuckets' cap <= 0
+    // path returns immediately with no action, which would reintroduce the
+    // unfilled-cache race (both self-join sides concurrently re-deriving
+    // the signature table). Fill explicitly on that path only.
+    if (maxBucket <= 0) sig.count()
     // one row per (band, bucket): bucket = hash of the band's signature slice
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -399,15 +423,32 @@ object Dedup {
       idCol: String,
       shingle: Int): DataFrame = {
     val cands = candidatePairs
-    // no .distinct(): left_semi tolerates duplicate ids, and the distinct
-    // would be one more shuffle of an already-small set
+    // no .distinct(): the semi-join build side tolerates duplicate ids, and
+    // the distinct would be one more shuffle of an already-small set
     val ids = cands.select(col("id_a").as("sid"))
       .union(cands.select(col("id_b").as("sid")))
+    // BROADCAST the candidate-id semi-join (r19, guide §3.1): the id set is
+    // banding output — sub-quadratic by construction and cap-bounded — but
+    // it reaches the planner as a checkpointed Scan ExistingRDD with no
+    // usable size estimate, so the q46 plan picked a SortMergeJoin LeftSemi
+    // that shuffled the ENTIRE corpus (id, text) by id — twice, once per
+    // pair-join side. The hint removes both full-corpus exchanges; the
+    // corpus is now never shuffled here at any scale.
+    //
+    // The shingle frame is then materialized ONCE (r19, guide §2.4/§5): it
+    // feeds BOTH pair joins, and un-materialized it re-planned its whole
+    // subtree per side — two corpus scans, two semi-joins, and two runs of
+    // the distinctShingles kernel (the dominant CPU of the q46 profile:
+    // 5.7 core-seconds per run at sf0.1). Shingles exist only for candidate
+    // docs, so the checkpoint holds the small refined working set, not the
+    // corpus; blocks release via ContextCleaner when the result frame is
+    // dropped (same lifecycle as the candidate checkpoint feeding this).
     val sh = docs
       .select(col(idCol).as("sid"), col(textCol))
-      .join(ids, Seq("sid"), "left_semi")
+      .join(broadcast(ids), Seq("sid"), "left_semi")
       .select(col("sid"),
         TextFunctions.distinctShingles(col(textCol), shingle).as("sh"))
+      .localCheckpoint(true)
     cands
       .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -1250,16 +1291,30 @@ object Dedup {
   def simhashTable(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id",
+      spread: Boolean = false): DataFrame = {
     // One map-only pass: the native SimHash64 kernel tokenizes, hashes and
     // majority-votes per ROW inside whole-stage codegen — no token explode,
     // no 64-column groupBy, no shuffle (the former explode/groupBy form's
     // only shuffle; bit-parity with it and with [[simhash]] is pinned in
     // DedupSpec). coalesce replicates the old explode_outer null fold:
     // NULL text -> every bit sums to -1 -> fingerprint 0.
-    docs.select(col(idCol).as("id"),
-      coalesce(org.apache.spark.sql.graft.ArrayExpressions.simhash64(col(textCol)),
+    //
+    // `spread` (r19, same guard as minhashSignatureTable): the fingerprint
+    // byte walk inherits the scan's split count (ONE task on a single-row-
+    // group fixture file). The batch self-dedup caller opts in; the default
+    // keeps the map-only no-shuffle shape for everyone else.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val sprd =
+      if (spread)
+        base.repartition(
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("id"))
+      else base
+    sprd.select(col("id"),
+      coalesce(org.apache.spark.sql.graft.ArrayExpressions.simhash64(col("__t")),
         lit(0L)).as("simhash"))
+  }
 
   /** SimHash candidates refined with exact shingle-Jaccard — the SimHash
     * analogue of [[minhashNearDups]]. The Jaccard join touches only pairs
@@ -1379,7 +1434,7 @@ object Dedup {
       matchBlocks: Int = 1,
       maxHamming: Int = Int.MaxValue): DataFrame =
     signatureHammingPairs(
-      simhashTable(docs, textCol, idCol), "id", "simhash",
+      simhashTable(docs, textCol, idCol, spread = true), "id", "simhash",
       blocks, maxBucket, matchBlocks, maxHamming)
 
   /** Hamming-bounded pairs over ANY 64-bit signature frame — the banded

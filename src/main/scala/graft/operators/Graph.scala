@@ -85,21 +85,42 @@ object Graph {
     // lineage re-derives them from the raw input, turning a k-round loop
     // into k full source scans. Same eager-materialization discipline as
     // the connected-components loop in [[Dedup]].
-    val eo = Loops.roundCheckpoint(e.join(outDeg, "src"))
+    //
+    // Both invariants are PRE-PARTITIONED on their loop join key before the
+    // checkpoint (r19, guide §2.4): Dataset.checkpoint preserves the
+    // physical plan's output partitioning through the materialized RDD, so
+    // every round's ranks⋈eo join (keyed node = src) and the nodes⋈contrib
+    // left join (keyed node) find their inputs already hash-distributed
+    // and plan NO exchange for them. Each round then pays exactly ONE
+    // exchange — the dst-keyed contrib aggregation, which IS the
+    // propagation and cannot be removed. The explicit width pins
+    // REPARTITION_BY_NUM (not AQE-coalescible) so the co-partitioning
+    // stays aligned round to round; width follows the session conf, never
+    // a local constant.
+    val width = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val eo = Loops.roundCheckpoint(
+      e.join(outDeg, "src").repartition(width, col("src")))
     val nodes = Loops.roundCheckpoint(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+      .union(e.select(col("dst").as("node")))
+      .repartition(width, col("node")).distinct())
     val base = (100L - dampPct) * scale / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ranks.join(eo, ranks("node") === eo("src"))
         .select(col("dst").as("node"),
           expr("(rank * cnt) div out_total").as("c"))
         .groupBy("node").agg(sum("c").as("c"))
-      // per-round checkpoint: constant-depth plans, and the next round's
-      // join reads materialized rows instead of replaying the history
-      ranks = Loops.roundCheckpoint(nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("rank")))
+          (lit(base) + expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("rank"))
+      // Checkpoint CADENCE 2 (r19, the BPE-trainer treatment, guide §1.2
+      // per-round fixed costs): the q138 profile showed 63 jobs of 5-30 ms
+      // — per-round action floors, not compute. Materializing every 2nd
+      // round fuses two propagation steps into one query execution (half
+      // the actions; plan depth stays bounded at two rounds), and the
+      // final round always materializes so the returned frame is backed by
+      // rows, exactly as before.
+      ranks = if (i % 2 == 0 || i == iters) Loops.roundCheckpoint(next) else next
     }
     ranks
   }

@@ -86,6 +86,67 @@ object Layout {
         round(col("est_bytes").cast("double") / col("n_rows").cast("double"), 6))
   }
 
+  /** Exact, fully parallel `ntile(numTiles) OVER (ORDER BY sortKeys)` —
+    * the same values Spark's window ntile assigns, without the
+    * single-partition WindowExec that a global ORDER BY window forces
+    * (every row through ONE task: the 100 TB scale-killer flagged on the
+    * q85 plan). Two cooperating consumers of ONE range exchange:
+    *
+    *   1. `repartitionByRange(width, sortKeys)` — explicit width, so the
+    *      exchange is REPARTITION_BY_NUM (AQE may neither coalesce it nor
+    *      give its two readers different coalesce specs, which keeps
+    *      `spark_partition_id()` consistent across the consumers).
+    *   2. Per-partition row counts (map-side-combinable count keyed on the
+    *      partition id), folded into a WIDTH-row boundary frame carrying
+    *      each partition's cumulative row offset and the global row count —
+    *      computed with array folds over the collected (pid, cnt) list
+    *      (width elements, one struct each), NOT a window, so no
+    *      single-partition WindowExec anywhere in the plan.
+    *   3. The data partitions sort locally (range partitions are globally
+    *      ordered, so partition-local sort = global sort), take their local
+    *      row index from `monotonically_increasing_id()`'s low 33 bits, and
+    *      broadcast-join the boundary frame: global rank = offset + local
+    *      index + 1.
+    *
+    * The tile of rank r among n rows is then pure arithmetic (Spark's
+    * NTile rule: the first n % numTiles tiles get one extra row).
+    * `sortKeys` should be a total order (ties make which-row-gets-which-
+    * tile run-dependent, exactly as with the window form). */
+  def exactNtile(df: DataFrame, sortKeys: Seq[Column], numTiles: Int,
+      out: String): DataFrame = {
+    require(numTiles >= 1, "numTiles must be positive")
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = df.repartitionByRange(width, sortKeys: _*)
+    val counts = part
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(collect_list(struct(col("__pid"), col("__cnt"))).as("__cs"))
+    val boundary = counts
+      .select(explode(col("__cs")).as("__c"), col("__cs"))
+      .select(col("__c.__pid").as("__pid"),
+        aggregate(
+          filter(col("__cs"), x => x("__pid") < col("__c.__pid")),
+          lit(0L), (acc, x) => acc + x("__cnt")).as("__off"),
+        aggregate(col("__cs"), lit(0L), (acc, x) => acc + x("__cnt")).as("__n"))
+    val k = lit(numTiles.toLong)
+    val ranked = part
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+      .join(broadcast(boundary), "__pid")
+      .withColumn("__rank",
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+    val base = call_function("div", col("__n"), k)
+    val rem = pmod(col("__n"), k)
+    val thr = rem * (base + 1L)
+    val tile = when(col("__rank") <= thr,
+        call_function("div", col("__rank") - 1L, base + 1L) + 1L)
+      .otherwise(rem + call_function("div", col("__rank") - thr - 1L, base) + 1L)
+    ranked
+      .withColumn(out, tile.cast("int"))
+      .drop("__pid", "__mid", "__off", "__n", "__rank")
+  }
+
   /** Range-partition split points for `value`: the n-1 interior quantiles
     * at i/n, i = 1..n-1 — what `repartitionByRange` estimates by sampling,
     * computed declaratively (one interpolated-percentile aggregate) so the

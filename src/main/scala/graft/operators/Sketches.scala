@@ -93,13 +93,26 @@ object Sketches {
     * sketch (cells sum). The d hashes derive arithmetically from one md5
     * ([[cmsCell]]), so the scan hashes each item once. */
   def cmsCells(df: DataFrame, groupCols: Seq[String], item: Column,
-      d: Int, w: Int): DataFrame = {
+      d: Int, w: Int): DataFrame =
+    cmsCellsWeighted(df, groupCols, item, lit(1L), d, w)
+
+  /** [[cmsCells]] over PRE-AGGREGATED (item, weight) rows: cell count =
+    * Σ weight instead of a row count. Bit-identical to feeding the
+    * un-aggregated multiset through [[cmsCells]] (a cell's count is the sum
+    * of the counts of the items hashing into it), but the expensive d-way
+    * explode + cell hash run once per DISTINCT item — vocabulary-sized, not
+    * corpus-sized. The heavy-hitter queries build their exact counts frame
+    * anyway; sketching that frame instead of the raw token stream removes a
+    * full corpus pass (r19, guide §2.3 aggregate-before-you-explode). */
+  def cmsCellsWeighted(df: DataFrame, groupCols: Seq[String], item: Column,
+      weight: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 2, s"bad cms shape d=$d w=$w")
     df.select((groupCols.map(col) :+ md5Bits60(item).as("__h") :+
+        weight.cast("long").as("__wt") :+
         explode(sequence(lit(0), lit(d - 1))).as("r")): _*)
       .withColumn("c", cmsCell(col("__h"), col("r"), w))
       .groupBy((groupCols.map(col) ++ Seq(col("r"), col("c"))): _*)
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__wt")).as("n"))
   }
 
   /** Point-query the sketch for each row of `items` (column `__item` must

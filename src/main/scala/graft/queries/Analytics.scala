@@ -195,7 +195,8 @@ object Analytics extends QueryModule {
     QueryDef("q133_bm25_topk",
       (s, dir) => {
         import s.implicits._
-        Retrieval.bm25TopK(t(s, dir, "documents"), nQueryTerms = 10, topK = 10)
+        Retrieval.bm25TopK(t(s, dir, "documents"), nQueryTerms = 10, topK = 10,
+          spread = true)
           .orderBy($"term", $"rank")
       },
       Some("""WITH tok AS (SELECT doc_id,

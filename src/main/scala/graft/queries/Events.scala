@@ -435,21 +435,31 @@ object Events extends QueryModule {
     // The ntile here only simulates file IDs for the deterministic compare;
     // the real write path (Layout.zorderWrite) range-partitions on sampled
     // boundaries — parallel, no global sort — and is exercised in LayoutSpec.
+    // The file ids are assigned with Layout.exactNtile (r19): the former
+    // ntile(64) OVER (ORDER BY ...) windows pulled the ENTIRE events table
+    // through ONE task each ("No Partition Defined for Window operation"
+    // x2 per run) — the one 100 TB scale-killer left in the catalog.
+    // exactNtile range-partitions, ranks per partition, and turns rank
+    // into the identical tile id by arithmetic; the two tilings run as
+    // independent parallel branches whose one-row aggregates cross-join.
     QueryDef("q85_zorder_pruning",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val z = graft.operators.Layout.mortonCode(
           Seq(graft.operators.Layout.clampDim($"user_id", zBits),
             graft.operators.Layout.clampDim($"value", zBits)), zBits)
         val hit = $"user_id".between(40, 60) && $"value".between(100.0, 200.0)
-        t(s, dir, "events")
-          .select($"event_id", $"user_id", $"value", z.as("z"))
-          .withColumn("fz", ntile(64).over(Window.orderBy($"z", $"event_id")))
-          .withColumn("fs", ntile(64).over(Window.orderBy($"event_id")))
+        val ev = t(s, dir, "events")
+        val byZ = graft.operators.Layout.exactNtile(
+            ev.select($"event_id", $"user_id", $"value", z.as("z")),
+            Seq($"z", $"event_id"), 64, "fz")
           .agg(count_if(hit).cast("long").as("n_match"),
-            count_distinct(when(hit, $"fz")).as("files_zorder"),
-            count_distinct(when(hit, $"fs")).as("files_seq"))
+            count_distinct(when(hit, $"fz")).as("files_zorder"))
+        val bySeq = graft.operators.Layout.exactNtile(
+            ev.select($"event_id", $"user_id", $"value"),
+            Seq($"event_id"), 64, "fs")
+          .agg(count_distinct(when(hit, $"fs")).as("files_seq"))
+        byZ.crossJoin(bySeq)
       },
       Some(s"""WITH b AS (SELECT event_id, user_id, value, $mortonSql AS z
           FROM events),

@@ -65,14 +65,27 @@ object Sketch extends QueryModule {
     QueryDef("q86_hll_distinct",
       (s, dir) => {
         import s.implicits._
+        // ONE corpus tokenize (r19): `toks` un-aggregated fed TWO different
+        // exchanges (the register groupBy and the count_distinct), each
+        // replaying the tokenize+explode map side — twice over the corpus,
+        // single-task on the fixture's one-split file. Distinct-ing
+        // (source, token) first gives both consumers the SAME exchange
+        // subtree (ReuseExchange runs the tokenize once, at spread
+        // parallelism), and both results are exactly preserved: HLL
+        // registers max over rho (duplicates never move a max) and
+        // count_distinct == count over the distinct frame.
+        val width = s.conf.get("spark.sql.shuffle.partitions").toInt
         val toks = t(s, dir, "documents")
+          .select($"source", $"doc_id", $"text")
+          .repartition(width, $"doc_id")
           .select($"source", explode(graft.functions.TextFunctions.tokens($"text"))
             .as("token"))
           .filter(length($"token") > 0)
+          .distinct()
         val est = Sketches.hllEstimate(
           Sketches.hllRegisters(toks, Seq("source"), $"token", B), Seq("source"), B)
         toks.groupBy($"source")
-          .agg(count_distinct($"token").as("exact_distinct"))
+          .agg(count($"token").as("exact_distinct"))
           .join(est, "source")
           .select($"source", $"exact_distinct",
             round($"hll_estimate", 6).as("hll_estimate"),
@@ -114,24 +127,38 @@ object Sketch extends QueryModule {
     QueryDef("q87_cms_heavy_hitters",
       (s, dir) => {
         import s.implicits._
-        // ONE corpus-wide token explode feeding both aggregates: the
-        // exploded frame is cached, `top` materializes it (filling the
-        // cache), `cells` reads it back instead of re-exploding the corpus,
-        // and both downstream frames are tiny (20 rows / ≤D*W cells) eager
-        // checkpoints so the token cache releases before the query returns.
-        val toks = t(s, dir, "documents")
+        // ONE corpus-wide token pass, aggregated IMMEDIATELY to the exact
+        // per-token counts (map-side-combined groupBy — the only corpus-
+        // sized shuffle left, and it carries (token, count) rows, not raw
+        // occurrences). Both the top-20 and the CMS derive from that
+        // VOCABULARY-sized frame: the sketch sums counts per cell
+        // (cmsCellsWeighted — bit-identical to counting raw occurrences),
+        // so the former corpus-sized MEMORY_AND_DISK token cache and the
+        // d-way corpus explode are gone (r19, guide §2.3). The counts frame
+        // feeds two consumers; vocabulary-sized, it persists cheaply and is
+        // filled sequentially by `top`'s checkpoint before `cells` reads it.
+        // spread (r19, guide §2.5 input parallelism): the tokenize +
+        // explode + map-side partial agg inherit the scan's split count —
+        // ONE task on the single-row-group fixture file (q87 profile:
+        // 844 ms in 1 of 32 tasks). One ~1 byte/char exchange of (id,
+        // text) first; width follows the session conf.
+        val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val counts = t(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .repartition(width, $"doc_id")
           .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
           .filter(length($"token") > 0)
+          .groupBy($"token").agg(count(lit(1)).as("exact_n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // top feeds two consumers (probe build + the final join); the eager
-        // checkpoint pins its 20 rows so the corpus-wide token explode runs
+        // checkpoint pins its 20 rows so the corpus-wide aggregate runs
         // once for it, not once per consumer (q69/q72 lifecycle pattern)
-        val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
-          .orderBy($"exact_n".desc, $"token").limit(20)
+        val top = counts.orderBy($"exact_n".desc, $"token").limit(20)
           .localCheckpoint(true)
-        val cells = Sketches.cmsCells(toks, Seq.empty, $"token", D, W)
+        val cells = Sketches.cmsCellsWeighted(
+            counts, Seq.empty, $"token", $"exact_n", D, W)
           .localCheckpoint(true)
-        toks.unpersist(blocking = false)
+        counts.unpersist(blocking = false)
         Sketches.cmsQuery(cells, Seq.empty, top, $"token", D, W)
           .select($"__item".as("token"), $"cms_estimate")
           .join(top, "token")

@@ -102,6 +102,39 @@ class LayoutSpec extends SparkSpec {
     bal.values.foreach(n => assert(math.abs(n - 100L) <= 1L, s"unbalanced: $bal"))
   }
 
+  test("exactNtile matches window ntile exactly (remainder, n<k, n==k, empty)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // unique keys in scrambled order; 1000 % 64 = 40 exercises the
+    // first-tiles-get-one-extra-row remainder rule
+    val rows = rnd.shuffle((0 until 1000).toList)
+      .map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    def wantOf(df: org.apache.spark.sql.DataFrame, n: Int) = df
+      .withColumn("want", ntile(n).over(Window.orderBy($"k")))
+    for (n <- Seq(64, 7, 1)) {
+      val got = Layout.exactNtile(wantOf(rows, n), Seq($"k"), n, "got")
+      assert(got.filter($"got" =!= $"want").count() === 0L,
+        s"exactNtile(k=$n) diverged from window ntile")
+      assert(got.count() === 1000L)
+    }
+    // n < numTiles: each row its own tile; n == numTiles: same
+    for (sz <- Seq(10, 64)) {
+      val small = rnd.shuffle((0 until sz).toList).map(_.toLong).toDF("k")
+      val got = Layout.exactNtile(wantOf(small, 64), Seq($"k"), 64, "got")
+      assert(got.filter($"got" =!= $"want").count() === 0L, s"n=$sz diverged")
+    }
+    // empty input: no rows, no errors
+    assert(Layout.exactNtile(Seq.empty[Long].toDF("k"), Seq($"k"), 64, "got")
+      .count() === 0L)
+    // multi-key order (the q85 shape): ties on the first key break on the second
+    val multi = rnd.shuffle((0 until 500).toList)
+      .map(i => (i.toLong % 17, i.toLong)).toDF("z", "id")
+    val gotM = Layout.exactNtile(
+      multi.withColumn("want", ntile(64).over(Window.orderBy($"z", $"id"))),
+      Seq($"z", $"id"), 64, "got")
+    assert(gotM.filter($"got" =!= $"want").count() === 0L)
+  }
+
   test("rangeBalance sends boundary ties to the lower bucket") {
     // boundaries at 10 and 20; value exactly 10 goes to bucket 0
     val bounds = Seq((1L, 10.0), (2L, 20.0)).toDF("bucket", "boundary")

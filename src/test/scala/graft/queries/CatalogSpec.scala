@@ -27,6 +27,11 @@ class CatalogSpec extends SparkSpec {
     "q66_tfidf_topterms", "q69_passage_candidates", "q70_mixture_plan",
     "q71_planned_mix", "q72_full_pipeline", "q76_semantic_dedup",
     "q80_unigram_nll", "q81_source_drift", "q82_quality_scoreboard",
+    // q85 cross-joins the ONE-ROW z-order tiling aggregate with the
+    // ONE-ROW arrival-order tiling aggregate (shape (a)) — the r19
+    // exactNtile rewrite that removed the two single-partition global
+    // ntile windows
+    "q85_zorder_pruning",
     "q88_hll_source_overlap", "q91_bloom_prune_join", "q93_funnel_conversion",
     "q97_join_advisor", "q99_range_layout_audit", "q105_quality_audit",
     "q107_split_leakage", "q113_quantized_recall", "q114_bigram_nll",
