@@ -511,8 +511,20 @@ object Dedup {
     // discipline ensembleNearDups uses). At cluster scale this is the
     // SSJoin index build's temp-table materialization; partition-local
     // checkpoint is the single-JVM analog and spills.
-    val sh = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.distinctShingles(col(textCol), shingle)).as("sh"))
+    //
+    // Spread first (r19, same guard as minhashSignatureTable, applied
+    // unconditionally because this operator is always a batch self-join):
+    // the distinctShingles kernel — the dominant CPU of this operator —
+    // inherits the scan's split count, ONE task on a single-row-group
+    // fixture file, and the eager checkpoint then materializes it
+    // sequentially. One ~1 byte/char (id, text) exchange parallelizes the
+    // kernel at pinned conf width (non-coalescible REPARTITION_BY_NUM).
+    val sh = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("id"))
+      .select(col("id"),
+        explode(TextFunctions.distinctShingles(col("__t"), shingle)).as("sh"))
       .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfx = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -766,8 +778,21 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 8,
-      w: Int = 8): DataFrame = {
-    val grams = charGramHashes(docs, textCol, idCol, k)
+      w: Int = 8,
+      spread: Boolean = false): DataFrame = {
+    // `spread` (r19, same opt-in guard as minhashSignatureTable): the
+    // char-gram hash walk + SlidingMin kernel inherit the scan's split
+    // count — ONE task on a single-row-group fixture file. One ~1 byte/char
+    // (id, text) exchange first parallelizes the walk; default false keeps
+    // the map-only scan shape (q57's audit pass) where input splits already
+    // provide parallelism.
+    val base =
+      if (spread)
+        docs.select(col(idCol), col(textCol)).repartition(
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col(idCol))
+      else docs
+    val grams = charGramHashes(base, textCol, idCol, k)
     grams.select(col("id"),
       array_distinct(ArrayExpressions.slidingMin(col("gh"), w)).as("fingerprints"),
       size(col("gh")).as("n_grams"))
@@ -864,7 +889,8 @@ object Dedup {
       minShared: Int = 2,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val fps = winnowingFingerprintTable(docs, textCol, idCol, k, w)
+    val fps = winnowingFingerprintTable(docs, textCol, idCol, k, w,
+        spread = true) // batch self-dedup: parallelize the gram walk (r19)
       .select(col("id"), explode(col("fingerprints")).as("fph"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fps.count() // eager fill (r18) — see exactSubstrSpans

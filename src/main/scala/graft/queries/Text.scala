@@ -928,6 +928,16 @@ object Text extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
+        // NOT spread before the decontamination gate (r19, measured): the
+        // gate's distinctShingles probe + the langId/qualityScore kernels
+        // run on the scan's splits (557 ms single-task at fixture scale —
+        // the gate is map-only by design). A pinned-width (id, text) spread
+        // here A/B-benched NEUTRAL (5-rep q72 min 4.52 -> 4.36 s, inside
+        // the day's ±0.5 s host band) because the fill overlaps the
+        // pipeline's other jobs, and at production scan parallelism the
+        // exchange is a pure extra corpus pass (guide §8 anti-pattern) —
+        // unlike the Dedup signature spreads, nothing downstream of this
+        // gate shuffles more bytes than the exchange itself would.
         val clean = Decontamination.clean(
           docs.filter($"doc_id" % 97 =!= 0),
           docs.filter($"doc_id" % 97 === 0))
